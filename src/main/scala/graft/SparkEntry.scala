@@ -1,13 +1,245 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{DateTimeIndex, Frequency}
+import graft.ts.{RollAlign, TimeSeriesOps => TS}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+
+  /** events as observations: key=user_id, ts=ts_us (micros long), value. */
+  private def obs(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
+
+  /**
+   * Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+   * End-to-end slice per SURVEY §7.2: events → daily resample per user →
+   * align to the full daily index (nulls where a user had no events) →
+   * linear fill → 7-day rolling mean.
+   */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    val daily = TS.resampleCalendar(obs(spark, dir), "DAY", avg,
+      key = "user_id", ts = "ts_us", value = "value", tickNanos = 1000L)
+      .withColumn("day_us", unix_micros(col("bucket_ts")))
+    val Array(minUs, maxUs) = daily.agg(min("day_us"), max("day_us"))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val dayUs = 86400L * 1000000L
+    val index = graft.core.IrregularDateTimeIndex(
+      (minUs to maxUs by dayUs).toArray) // micros units; index is unit-agnostic
+    val aligned = TS.align(daily.select(col("user_id"), col("day_us"), col("value")),
+      index, fillMethod = Some("linear"), key = "user_id", ts = "day_us", value = "value")
+    TS.rollMean(aligned, 7, RollAlign.Right, key = "user_id", ts = "day_us", value = "value")
+  }
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- relational / aggregation layer ----------------
+    "q01_pricing_summary" -> ((s, dir) => {
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 6).as("avg_qty"),
+          round(avg("l_extendedprice"), 6).as("avg_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+    "q02_revenue_by_nation" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy("n_name")
+        .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+    }),
+    "q03_brand_volume" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+    "q04_priority_count" -> ((s, dir) => {
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("order_count"))
+    }),
+
+    // ---------------- time-series operators (SURVEY §2.5/2.6) ----------------
+    "ts01_lag" -> ((s, dir) => {
+      TS.lags(obs(s, dir), 2, trim = true, key = "user_id", ts = "ts_us", value = "value")
+        .select("user_id", "ts_us", "value", "lag_1", "lag_2")
+    }),
+    "ts02_diff" -> ((s, dir) => {
+      TS.differences(obs(s, dir), 1, key = "user_id", ts = "ts_us", value = "value")
+        .select("user_id", "ts_us", "value")
+    }),
+    "ts03_rollmean" -> ((s, dir) => {
+      TS.rollMean(obs(s, dir), 7, RollAlign.Right, key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("ts_us"), round(col("value"), 6).as("roll_mean"))
+    }),
+    "ts04_resample_day" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      ev.withColumn("day_us", unix_micros(date_trunc("DAY", timestamp_micros(col("ts_us")))))
+        .groupBy("user_id", "day_us")
+        .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"),
+          round(sum("value"), 4).as("sum_value"))
+    }),
+    "ts05_fill_locf" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("v").as("value"))
+      TS.fill(ev, "previous", key = "user_id", ts = "ts_us", value = "value")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value").as("filled"))
+    }),
+    "ts06_stats" -> ((s, dir) => {
+      TS.seriesStats(obs(s, dir), key = "user_id", value = "value")
+        .select(col("user_id"), col("n"), round(col("mean"), 6).as("mean"),
+          round(col("stdev"), 6).as("stdev"), col("min"), col("max"))
+    }),
+    "ts07_returnrates" -> ((s, dir) => {
+      TS.returnRates(obs(s, dir), key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("ts_us"), round(col("value"), 8).as("ret"))
+    }),
+    "ts08_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"), col("value"))
+      TS.asofJoin(clicks, purchases, valueOut = "last_purchase",
+        key = "user_id", ts = "ts_us", rightValue = "value")
+        .select("event_id", "user_id", "ts_us", "last_purchase")
+    }),
+    "ts09_downsample" -> ((s, dir) => {
+      TS.downsample(obs(s, dir), 10, 0, key = "user_id", ts = "ts_us", value = "value")
+        .select("user_id", "ts_us", "value")
+    }),
+    "ts10_quotients" -> ((s, dir) => {
+      TS.quotients(obs(s, dir), 1, key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("ts_us"), round(col("value"), 8).as("quot"))
+    }),
+
+    // ---------------- LLM-pipeline extensions ----------------
+    "dd01_dedup_exact" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .groupBy("text")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+        .select(md5(col("text").cast("binary")).as("text_hash"), col("keep_id"), col("dup_count"))
+    }),
+    "tx01_text_stats" -> ((s, dir) => {
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_c"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"))
+    })
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+         round(avg(l_quantity),6) AS avg_qty,
+         round(avg(l_extendedprice),6) AS avg_price,
+         round(avg(l_discount),6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_revenue_by_nation" ->
+      """SELECT n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+         FROM orders JOIN customer ON o_custkey=c_custkey
+         JOIN nation ON c_nationkey=n_nationkey GROUP BY n_name""",
+    "q03_brand_volume" ->
+      """SELECT p_brand, round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue, count(*) AS n_items
+         FROM lineitem JOIN part ON l_partkey=p_partkey GROUP BY p_brand""",
+    "q04_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS order_count FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY o_orderpriority""",
+    "ts01_lag" ->
+      """SELECT user_id, ts_us, value, lag_1, lag_2 FROM (
+         SELECT user_id, epoch_us(ts) AS ts_us, value,
+           lag(value,1) OVER w AS lag_1, lag(value,2) OVER w AS lag_2,
+           row_number() OVER w AS rn
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+         ) t WHERE rn > 2""",
+    "ts02_diff" ->
+      """SELECT user_id, ts_us, value FROM (
+         SELECT user_id, epoch_us(ts) AS ts_us,
+           value - lag(value,1) OVER w AS value, row_number() OVER w AS rn
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+         ) t WHERE rn > 1""",
+    "ts03_rollmean" ->
+      """SELECT user_id, ts_us, round(m,6) AS roll_mean FROM (
+         SELECT user_id, epoch_us(ts) AS ts_us,
+           avg(value) OVER w AS m, count(value) OVER w AS c
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ) t WHERE c = 7""",
+    "ts04_resample_day" ->
+      """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+         count(*) AS n, round(avg(value),6) AS avg_value, round(sum(value),4) AS sum_value
+         FROM events GROUP BY user_id, date_trunc('day', ts)""",
+    "ts05_fill_locf" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+         last_value(CASE WHEN event_type='error' THEN NULL ELSE value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM events""",
+    "ts06_stats" ->
+      """SELECT user_id, count(value) AS n, round(avg(value),6) AS mean,
+         round(stddev_samp(value),6) AS stdev, min(value) AS min, max(value) AS max
+         FROM events GROUP BY user_id""",
+    "ts07_returnrates" ->
+      """SELECT user_id, ts_us, round(r,8) AS ret FROM (
+         SELECT user_id, epoch_us(ts) AS ts_us,
+           value / lag(value,1) OVER w - 1.0 AS r, row_number() OVER w AS rn
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+         ) t WHERE rn > 1""",
+    "ts08_asof" ->
+      """SELECT event_id, user_id, ts_us, last_purchase FROM (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type,
+           last_value(CASE WHEN event_type='purchase' THEN value END IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+         FROM events WHERE event_type IN ('click','purchase')
+         ) t WHERE event_type='click'""",
+    "ts09_downsample" ->
+      """SELECT user_id, ts_us, value FROM (
+         SELECT user_id, epoch_us(ts) AS ts_us, value, row_number() OVER w AS rn
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+         ) t WHERE (rn - 1) % 10 = 0""",
+    "ts10_quotients" ->
+      """SELECT user_id, ts_us, round(q,8) AS quot FROM (
+         SELECT user_id, epoch_us(ts) AS ts_us,
+           value / lag(value,1) OVER w AS q, row_number() OVER w AS rn
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+         ) t WHERE rn > 1""",
+    "dd01_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY text""",
+    "tx01_text_stats" ->
+      """SELECT doc_id, length(text) AS n_chars_c,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+         FROM documents"""
+  )
 }

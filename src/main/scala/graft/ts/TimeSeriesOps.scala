@@ -1,0 +1,429 @@
+package graft.ts
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{DateTimeIndex, Frequency, DurationFrequency, TimeUtils}
+
+/**
+ * Window alignment for rolling operators, mirroring the reference's
+ * Left/Center/Right alignment on rollSum/rollMean
+ * (reference: src/main/scala/com/cloudera/sparkts/TimeSeriesRDD.scala:611-642).
+ */
+object RollAlign extends Enumeration {
+  val Left, Center, Right = Value
+}
+
+/**
+ * Relational (observations-layout) time-series operators.
+ *
+ * The canonical layout is `(key STRING, ts_nanos LONG, value DOUBLE)` — one row
+ * per observation; missing values are SQL nulls (NaN only inside array
+ * payloads, converted at the boundary). Every operator is expressed with
+ * Spark SQL window functions / aggregations so Catalyst plans the shuffles,
+ * pushes filters to the scan, and whole-stage-codegens the arithmetic — there
+ * is no driver-side iteration anywhere.
+ *
+ * Capability map (reference: src/main/scala/com/cloudera/sparkts/
+ * TimeSeriesRDD.scala, UnivariateTimeSeries.scala — re-expressed, not ported):
+ * lags, differences, quotients, returnRates, rollSum/rollMean, fills
+ * (previous/next/nearest/linear/value/zero), trims, slice, seriesStats,
+ * downsample/upsample, filterByInstant, removeInstantsWithNaNs, align/rebase,
+ * resample, instants pivot.
+ */
+object TimeSeriesOps {
+
+  private def wKey(key: String, ts: String) =
+    Window.partitionBy(col(key)).orderBy(col(ts))
+
+  /** NaN → null at the relational boundary (reference stores NaN; we use null). */
+  def nanToNull(df: DataFrame, valueCol: String = "value"): DataFrame =
+    df.withColumn(valueCol, when(isnan(col(valueCol)), lit(null)).otherwise(col(valueCol)))
+
+  /** null → NaN when handing arrays to model kernels. */
+  def nullToNan(df: DataFrame, valueCol: String = "value"): DataFrame =
+    df.withColumn(valueCol, coalesce(col(valueCol), lit(Double.NaN)))
+
+  // ---------------------------------------------------------------- lagging
+
+  /**
+   * Add lag_1..lag_maxLag columns per key (equivalent of the reference's
+   * `lags` with trimming — TimeSeriesRDD.scala:86-100; lag emitted as columns
+   * rather than mangled keys, per SURVEY §1.2).
+   * Rows whose full lag window precedes the series start are dropped when
+   * `trim` is set (the reference always trims).
+   */
+  def lags(df: DataFrame, maxLag: Int, trim: Boolean = true,
+      key: String = "key", ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    val w = wKey(key, ts)
+    var out = df
+    for (i <- 1 to maxLag) out = out.withColumn(s"lag_$i", lag(col(value), i).over(w))
+    if (trim) {
+      out = out.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") > maxLag).drop("__rn")
+    }
+    out
+  }
+
+  /** x_t - x_{t-n} per key; first n rows dropped (reference differences: TimeSeriesRDD.scala:113-119). */
+  def differences(df: DataFrame, n: Int = 1, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    val w = wKey(key, ts)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn(value, col(value) - lag(col(value), n).over(w))
+      .filter(col("__rn") > n).drop("__rn")
+  }
+
+  /** x_t / x_{t-n} per key (reference quotients: TimeSeriesRDD.scala:121-127). */
+  def quotients(df: DataFrame, n: Int = 1, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    val w = wKey(key, ts)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn(value, col(value) / lag(col(value), n).over(w))
+      .filter(col("__rn") > n).drop("__rn")
+  }
+
+  /** x_t / x_{t-1} - 1 (reference returnRates: TimeSeriesRDD.scala:129-131). */
+  def returnRates(df: DataFrame, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    val w = wKey(key, ts)
+    df.withColumn("__rn", row_number().over(w))
+      .withColumn(value, col(value) / lag(col(value), 1).over(w) - 1.0)
+      .filter(col("__rn") > 1).drop("__rn")
+  }
+
+  // ---------------------------------------------------------------- rolling
+
+  private def rollFrame(w: org.apache.spark.sql.expressions.WindowSpec,
+      n: Int, align: RollAlign.Value) = align match {
+    case RollAlign.Right  => w.rowsBetween(-(n - 1), 0)
+    case RollAlign.Left   => w.rowsBetween(0, n - 1)
+    case RollAlign.Center => w.rowsBetween(-((n - 1) / 2), n / 2)
+  }
+
+  /**
+   * Sliding sum of width n. Only rows with a full window survive, mirroring
+   * the reference's index re-slicing (TimeSeriesRDD.scala:611-626).
+   */
+  def rollSum(df: DataFrame, n: Int, align: RollAlign.Value = RollAlign.Right,
+      key: String = "key", ts: String = "ts_nanos", value: String = "value"): DataFrame =
+    rollAgg(df, n, align, sum, key, ts, value)
+
+  /** Sliding mean of width n (reference rollMean: TimeSeriesRDD.scala:631-647). */
+  def rollMean(df: DataFrame, n: Int, align: RollAlign.Value = RollAlign.Right,
+      key: String = "key", ts: String = "ts_nanos", value: String = "value"): DataFrame =
+    rollAgg(df, n, align, avg, key, ts, value)
+
+  private def rollAgg(df: DataFrame, n: Int, align: RollAlign.Value,
+      aggFn: Column => Column, key: String, ts: String, value: String): DataFrame = {
+    val w = wKey(key, ts)
+    val cnt = count(col(value)).over(rollFrame(w, n, align))
+    df.withColumn("__agg", aggFn(col(value)).over(rollFrame(w, n, align)))
+      .withColumn("__cnt", cnt)
+      .filter(col("__cnt") === n) // full windows only
+      .withColumn(value, col("__agg"))
+      .drop("__agg", "__cnt")
+  }
+
+  // ---------------------------------------------------------------- fills
+
+  /**
+   * Missing-value imputation; methods mirror the reference dispatcher `fillts`
+   * (UnivariateTimeSeries.scala:144-154). Missing = null here.
+   */
+  def fill(df: DataFrame, method: String, fillValue: Double = 0.0,
+      key: String = "key", ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    val w = wKey(key, ts)
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wPrevIncl = w.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = w.rowsBetween(1, Window.unboundedFollowing)
+    val wNextIncl = w.rowsBetween(0, Window.unboundedFollowing)
+    method match {
+      case "previous" => // LOCF
+        df.withColumn(value, coalesce(col(value),
+          last(col(value), ignoreNulls = true).over(wPrevIncl)))
+      case "next" => // NOCB
+        df.withColumn(value, coalesce(col(value),
+          first(col(value), ignoreNulls = true).over(wNextIncl)))
+      case "nearest" =>
+        // closer of previous/next non-null; ties -> previous
+        // (reference fillNearest semantics, UnivariateTimeSeries.scala:176-208)
+        val loc = row_number().over(w)
+        df.withColumn("__loc", loc)
+          .withColumn("__pv", last(col(value), ignoreNulls = true).over(wPrev))
+          .withColumn("__ploc", last(when(col(value).isNotNull, col("__loc")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("__nv", first(col(value), ignoreNulls = true).over(wNext))
+          .withColumn("__nloc", first(when(col(value).isNotNull, col("__loc")),
+            ignoreNulls = true).over(wNext))
+          .withColumn(value, when(col(value).isNotNull, col(value))
+            .when(col("__pv").isNotNull && (col("__nv").isNull ||
+              (col("__loc") - col("__ploc") <= col("__nloc") - col("__loc"))), col("__pv"))
+            .otherwise(col("__nv")))
+          .drop("__loc", "__pv", "__ploc", "__nv", "__nloc")
+      case "linear" =>
+        // interior-gap interpolation on index position, like the reference
+        // (UnivariateTimeSeries.scala:267-290: interpolates on loc, not time)
+        val loc = row_number().over(w)
+        df.withColumn("__loc", loc)
+          .withColumn("__pv", last(col(value), ignoreNulls = true).over(wPrev))
+          .withColumn("__ploc", last(when(col(value).isNotNull, col("__loc")),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("__nv", first(col(value), ignoreNulls = true).over(wNext))
+          .withColumn("__nloc", first(when(col(value).isNotNull, col("__loc")),
+            ignoreNulls = true).over(wNext))
+          .withColumn(value, when(col(value).isNotNull, col(value))
+            .when(col("__pv").isNotNull && col("__nv").isNotNull,
+              col("__pv") + (col("__nv") - col("__pv")) *
+                (col("__loc") - col("__ploc")) / (col("__nloc") - col("__ploc"))))
+          .drop("__loc", "__pv", "__ploc", "__nv", "__nloc")
+      case "value" =>
+        df.withColumn(value, coalesce(col(value), lit(fillValue)))
+      case "zero" =>
+        df.withColumn(value, coalesce(col(value), lit(0.0)))
+      case "linearTime" =>
+        // time-weighted variant (extension; interpolates on ts distance)
+        df.withColumn("__pv", last(col(value), ignoreNulls = true).over(wPrev))
+          .withColumn("__pts", last(when(col(value).isNotNull, col(ts)),
+            ignoreNulls = true).over(wPrev))
+          .withColumn("__nv", first(col(value), ignoreNulls = true).over(wNext))
+          .withColumn("__nts", first(when(col(value).isNotNull, col(ts)),
+            ignoreNulls = true).over(wNext))
+          .withColumn(value, when(col(value).isNotNull, col(value))
+            .when(col("__pv").isNotNull && col("__nv").isNotNull,
+              col("__pv") + (col("__nv") - col("__pv")) *
+                (col(ts) - col("__pts")).cast("double") /
+                (col("__nts") - col("__pts")).cast("double")))
+          .drop("__pv", "__pts", "__nv", "__nts")
+      case other => throw new IllegalArgumentException(s"no such fill method: $other")
+    }
+  }
+
+  /** Drop leading null observations per key (reference trimLeading: UnivariateTimeSeries.scala:101-110). */
+  def trimLeading(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    val w = wKey(key, ts).rowsBetween(Window.unboundedPreceding, 0)
+    df.withColumn("__seen", count(col(value)).over(w))
+      .filter(col("__seen") > 0).drop("__seen")
+  }
+
+  /** Drop trailing null observations per key (reference trimTrailing: UnivariateTimeSeries.scala:112-120). */
+  def trimTrailing(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    val w = wKey(key, ts).rowsBetween(0, Window.unboundedFollowing)
+    df.withColumn("__ahead", count(col(value)).over(w))
+      .filter(col("__ahead") > 0).drop("__ahead")
+  }
+
+  // ---------------------------------------------------------------- slicing / decimation
+
+  /** Keep observations with start <= ts <= end — pure pushdown-friendly predicate
+    * (reference slice: TimeSeriesRDD.scala:218-233). */
+  def slice(df: DataFrame, startNanos: Long, endNanos: Long,
+      ts: String = "ts_nanos"): DataFrame =
+    df.filter(col(ts) >= startNanos && col(ts) <= endNanos)
+
+  /** Every-nth-observation decimation with phase (reference downsample:
+    * UnivariateTimeSeries.scala:332-348). */
+  def downsample(df: DataFrame, n: Int, phase: Int = 0, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    val w = wKey(key, ts)
+    df.withColumn("__loc", row_number().over(w) - 1)
+      .filter(pmod(col("__loc"), lit(n)) === phase)
+      .drop("__loc")
+  }
+
+  // ---------------------------------------------------------------- cross-series instant filters
+
+  /**
+   * Drop every timestamp at which any series is null/missing, across all keys
+   * present (reference removeInstantsWithNaNs: TimeSeriesRDD.scala:189-210).
+   * One distributed aggregation over ts — no driver-collected mask.
+   */
+  def removeInstantsWithNaNs(df: DataFrame, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    val nKeys = df.select(key).distinct().count()
+    val bad = df.groupBy(col(ts))
+      .agg(sum(when(col(value).isNull || isnan(col(value)), 1).otherwise(0)).as("__nmiss"),
+        count(lit(1)).as("__n"))
+      .filter(col("__nmiss") > 0 || col("__n") < nKeys)
+      .select(col(ts))
+    df.join(broadcast(bad), Seq(ts), "left_anti")
+  }
+
+  /**
+   * Keep only timestamps where `predicate` holds for the value of every key in
+   * `filterKeys` (reference filterByInstant: TimeSeriesRDD.scala:158-184).
+   */
+  def filterByInstant(df: DataFrame, predicate: Column => Column,
+      filterKeys: Seq[String], key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    val bad = df.filter(col(key).isin(filterKeys: _*))
+      .filter(!predicate(col(value)))
+      .select(col(ts)).distinct()
+    df.join(broadcast(bad), Seq(ts), "left_anti")
+  }
+
+  // ---------------------------------------------------------------- stats
+
+  /** Per-series count/mean/stdev/min/max (reference seriesStats: TimeSeriesRDD.scala:265-267). */
+  def seriesStats(df: DataFrame, key: String = "key", value: String = "value"): DataFrame =
+    df.groupBy(col(key)).agg(
+      count(col(value)).as("n"),
+      avg(col(value)).as("mean"),
+      stddev_samp(col(value)).as("stdev"),
+      min(col(value)).as("min"),
+      max(col(value)).as("max"))
+
+  /** Sample autocorrelation of each series at the given lags, computed
+    * relationally: corr(x_t, x_{t-lag}) per key (reference autocorr:
+    * UnivariateTimeSeries.scala:70-96 computes the textbook ACF; the
+    * relational form here is the Pearson correlation of the lagged pairs). */
+  def autocorr(df: DataFrame, lagsWanted: Seq[Int], key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    val w = wKey(key, ts)
+    val withLags = lagsWanted.foldLeft(df) { (d, l) =>
+      d.withColumn(s"__lag_$l", lag(col(value), l).over(w))
+    }
+    val aggs = lagsWanted.map(l => corr(col(value), col(s"__lag_$l")).as(s"acf_$l"))
+    withLags.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  // ---------------------------------------------------------------- alignment / rebase
+
+  /**
+   * Conform all series to a target index: every key gets exactly one row per
+   * index instant; observations off the index are dropped, missing instants
+   * are null (then optionally filled). This is the reference's rebase /
+   * withIndex (TimeSeriesUtils.scala:63-221, TimeSeriesRDD.scala:560-563)
+   * expressed as a broadcast left join — the index is driver-small by design
+   * (reference design doc src/site/markdown/index.md:35-40).
+   */
+  def align(df: DataFrame, index: DateTimeIndex, fillMethod: Option[String] = None,
+      key: String = "key", ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idxDf = index.toNanosArray.toSeq.toDF(ts)
+    val keys = df.select(col(key)).distinct()
+    val grid = keys.crossJoin(broadcast(idxDf))
+    val aligned = grid.join(df, Seq(key, ts), "left")
+    fillMethod.map(m => fill(aligned, m, key = key, ts = ts, value = value))
+      .getOrElse(aligned)
+  }
+
+  /**
+   * As-of join: for each left row, the latest right value with
+   * right.ts <= left.ts (within an optional tolerance), per key.
+   * The reference's `locAtOrBefore` probe pattern (DateTimeIndex.scala:215-243)
+   * re-expressed as a union + window — shuffles once on (key), no per-element
+   * binary search, scales to any right-side size.
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, valueOut: String = "asof_value",
+      toleranceNanos: Long = Long.MaxValue, key: String = "key",
+      ts: String = "ts_nanos", rightValue: String = "value"): DataFrame = {
+    val l = left.withColumn("__side", lit(0)).withColumn("__rv", lit(null).cast("double"))
+    val r = right.select(col(key), col(ts), col(rightValue))
+      .withColumn("__side", lit(1)).withColumn("__rv", col(rightValue))
+    val lCols = left.columns
+    val unioned = l.select((lCols.map(col) ++ Seq(col("__side"), col("__rv"))): _*)
+      .unionByName(r.select((col(key) +: col(ts) +: lCols.filter(c => c != key && c != ts)
+        .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__side") :+ col("__rv")): _*))
+    // right rows sort before left rows at equal ts so "at or before" includes equal ts
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val filled = unioned
+      .withColumn(valueOut, last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("__rts", last(when(col("__side") === 1, col(ts)), ignoreNulls = true).over(w))
+      .filter(col("__side") === 0)
+      .withColumn(valueOut, when(col(ts) - col("__rts") <= toleranceNanos, col(valueOut)))
+      .drop("__side", "__rv", "__rts")
+    filled
+  }
+
+  // ---------------------------------------------------------------- resample
+
+  /**
+   * Downsample to fixed-duration buckets with the reference's four
+   * closedRight x stampRight boundary modes (Resample.scala:47-121).
+   * Aggregation is a caller-supplied relational aggregate (codegen'd builtin
+   * for sum/mean/min/max — no per-window closure).
+   */
+  def resample(df: DataFrame, widthNanos: Long, aggFn: Column => Column,
+      closedRight: Boolean = false, stampRight: Boolean = false,
+      originNanos: Long = 0L, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    // All arithmetic stays in LONG — nanos exceed 2^53 so double math would
+    // corrupt bucket boundaries. pmod keeps it exact for any sign of (ts-origin).
+    val m = pmod(col(ts) - originNanos, lit(widthNanos))
+    // bucket start s such that ts in [s, s+w) (closed-left) or (s, s+w] (closed-right)
+    val bucketStart = if (!closedRight) {
+      col(ts) - m
+    } else {
+      when(m === 0, col(ts) - widthNanos).otherwise(col(ts) - m)
+    }
+    val stamp = if (stampRight) bucketStart + widthNanos else bucketStart
+    df.withColumn("__bucket", stamp.cast("long"))
+      .groupBy(col(key), col("__bucket").as(ts))
+      .agg(aggFn(col(value)).as(value))
+  }
+
+  /** Calendar resample: bucket by date_trunc unit on a derived timestamp.
+    * `tickNanos` = nanoseconds per unit of the ts column (1 for nanos ts,
+    * 1000 for micros ts) — unit bugs here silently collapse all buckets,
+    * so the tick size is an explicit parameter. */
+  def resampleCalendar(df: DataFrame, unit: String, aggFn: Column => Column,
+      key: String = "key", ts: String = "ts_nanos", value: String = "value",
+      tickNanos: Long = 1L): DataFrame = {
+    val tsCol = timestamp_micros((col(ts) * tickNanos / 1000L).cast("long"))
+    df.withColumn("__bucket", date_trunc(unit, tsCol))
+      .groupBy(col(key), col("__bucket").as("bucket_ts"))
+      .agg(aggFn(col(value)).as(value))
+  }
+
+  // ---------------------------------------------------------------- layout converters
+
+  /**
+   * observations -> instants: one row per ts, one column per key
+   * (reference toInstantsDataFrame: TimeSeriesRDD.scala:399-413). The entire
+   * custom chunked-transpose machinery of the reference (276-391) reduces to
+   * one pivot whose shuffle Catalyst plans.
+   */
+  def toInstants(df: DataFrame, keys: Seq[String], key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame =
+    df.groupBy(col(ts)).pivot(key, keys).agg(first(col(value)))
+
+  /**
+   * observations -> series layout `(key, series ARRAY<DOUBLE>)` conformed to
+   * `index`: scatter each observation to its index location
+   * (reference timeSeriesRDDFromObservations: TimeSeriesRDD.scala:694-745).
+   * NaN marks missing inside the array payload, like the reference.
+   */
+  def toSeries(df: DataFrame, index: DateTimeIndex, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idxDf = index.toNanosArray.zipWithIndex.toSeq.toDF(ts, "__loc")
+    df.join(broadcast(idxDf), Seq(ts))
+      .groupBy(col(key))
+      .agg(sort_array(collect_list(struct(col("__loc"), col(value)))).as("__pairs"))
+      .withColumn("series",
+        // dense NaN-initialized array scattered from (loc, value) pairs
+        expr(s"""transform(sequence(0, ${index.size - 1}, 1), i ->
+          coalesce(element_at(map_from_entries(__pairs), i), cast('NaN' as double)))"""))
+      .select(col(key), col("series"))
+  }
+
+  /** series layout -> observations (reference toObservationsDataFrame:
+    * TimeSeriesRDD.scala:419-443 — NaN observations dropped, like the reference). */
+  def fromSeries(df: DataFrame, index: DateTimeIndex, key: String = "key",
+      seriesCol: String = "series"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idxDf = index.toNanosArray.zipWithIndex.map(_.swap).toSeq.toDF("__loc", "ts_nanos")
+    df.select(col(key), posexplode(col(seriesCol)).as(Seq("__loc", "value")))
+      .filter(!isnan(col("value")))
+      .join(broadcast(idxDf), Seq("__loc"))
+      .select(col(key), col("ts_nanos"), col("value"))
+  }
+}
