@@ -143,7 +143,42 @@ object SparkEntry {
         length(col("text")).cast("long").as("n_chars_c"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"))
-    })
+    }),
+
+    // ---------------- model fits (SURVEY §2.8/2.9; not SQL-expressible,
+    // driver records rows-only checks) ----------------
+    "m01_arima_fit" -> ((s, dir) =>
+      graft.models.ModelOps.fitArima(obs(s, dir), 1, 0, 1,
+        key = "user_id", ts = "ts_us", value = "value").toDF()),
+    "m02_ewma_fit" -> ((s, dir) =>
+      graft.models.ModelOps.fitEwma(obs(s, dir),
+        key = "user_id", ts = "ts_us", value = "value").toDF()),
+    "m03_ar_fit" -> ((s, dir) =>
+      graft.models.ModelOps.fitAr(obs(s, dir), 2,
+        key = "user_id", ts = "ts_us", value = "value").toDF()),
+    "m04_arima_forecast" -> ((s, dir) =>
+      graft.models.ModelOps.forecastArima(obs(s, dir), 1, 0, 1, h = 5,
+        key = "user_id", ts = "ts_us", value = "value").toDF()),
+    "m05_kpss" -> ((s, dir) =>
+      graft.models.ModelOps.kpssAll(obs(s, dir),
+        key = "user_id", ts = "ts_us", value = "value").toDF()),
+    "m06_holtwinters_fit" -> ((s, dir) => {
+      // weekly-seasonal HW on the per-user daily mean series
+      val daily = TS.resampleCalendar(obs(s, dir), "DAY", avg,
+        key = "user_id", ts = "ts_us", value = "value", tickNanos = 1000L)
+        .withColumn("day_us", unix_micros(col("bucket_ts")))
+      graft.models.ModelOps.fitHoltWinters(daily, period = 7,
+        key = "user_id", ts = "day_us", value = "value").toDF()
+    }),
+    "m07_garch_fit" -> ((s, dir) => {
+      val rets = TS.returnRates(obs(s, dir),
+        key = "user_id", ts = "ts_us", value = "value")
+      graft.models.ModelOps.fitGarch(rets,
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+    }),
+    "m08_ljungbox" -> ((s, dir) =>
+      graft.models.ModelOps.ljungBoxAll(obs(s, dir), lags = 10,
+        key = "user_id", ts = "ts_us", value = "value").toDF())
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

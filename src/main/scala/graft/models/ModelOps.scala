@@ -1,0 +1,185 @@
+package graft.models
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Row shapes for the per-key model lifts (stable Encoders). */
+case class KeyedPoint(key: String, ts: Long, value: Double)
+case class ArimaFit(key: String, p: Int, d: Int, q: Int,
+    coefficients: Seq[Double], logLikelihood: Double, aic: Double,
+    stationary: Boolean, invertible: Boolean)
+case class EwmaFit(key: String, smoothing: Double, sse: Double)
+case class GarchFit(key: String, omega: Double, alpha: Double, beta: Double,
+    logLikelihood: Double)
+case class ArFit(key: String, c: Double, coefficients: Seq[Double])
+case class HoltWintersFit(key: String, period: Int, alpha: Double, beta: Double,
+    gamma: Double, sse: Double)
+case class ForecastPoint(key: String, step: Int, ts: Long, value: Double)
+case class TestResult(key: String, statistic: Double, pValue: Double)
+
+/**
+ * DataFrame lift of the model kernels: every fit is embarrassingly parallel
+ * per key, so it runs as one `groupByKey(key).mapGroups` — a single shuffle
+ * on the series key, whole fits executor-local, no driver involvement
+ * (SURVEY §2.8's "per-series iterative estimation" pattern; at 100 TB each
+ * task carries one series, matching the reference's design assumption that a
+ * single series fits in memory).
+ */
+object ModelOps {
+
+  /** Gather (key, ts, value) rows into per-key time-ordered value arrays. */
+  private def grouped(df: DataFrame, key: String, ts: String, value: String)
+      : Dataset[(String, Array[Double])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(key).cast("string").as("key"), col(ts).cast("long").as("ts"),
+        col(value).cast("double").as("value"))
+      .as[KeyedPoint]
+      .groupByKey(_.key)
+      .mapGroups { (k, it) =>
+        val arr = it.toArray.sortBy(_.ts).map(_.value)
+        (k, arr)
+      }
+  }
+
+  /** Per-key (ts, value) pairs preserving timestamps (for forecasts). */
+  private def groupedWithTs(df: DataFrame, key: String, ts: String, value: String)
+      : Dataset[(String, Array[Long], Array[Double])] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(key).cast("string").as("key"), col(ts).cast("long").as("ts"),
+        col(value).cast("double").as("value"))
+      .as[KeyedPoint]
+      .groupByKey(_.key)
+      .mapGroups { (k, it) =>
+        val pts = it.toArray.sortBy(_.ts)
+        (k, pts.map(_.ts), pts.map(_.value))
+      }
+  }
+
+  def fitArima(df: DataFrame, p: Int, d: Int, q: Int, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value",
+      includeIntercept: Boolean = true): Dataset[ArimaFit] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    grouped(df, key, ts, value).flatMap { case (k, arr) =>
+      try {
+        val m = ARIMA.fitModel(p, d, q, arr, includeIntercept)
+        Some(ArimaFit(k, p, d, q, m.coefficients.toSeq, m.logLikelihood(arr),
+          m.approxAIC(arr), m.isStationary, m.isInvertible))
+      } catch { case _: Throwable => None } // a degenerate series must not kill the job
+    }
+  }
+
+  def autoFitArima(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): Dataset[ArimaFit] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    grouped(df, key, ts, value).flatMap { case (k, arr) =>
+      try {
+        val m = ARIMA.autoFit(arr)
+        Some(ArimaFit(k, m.p, m.d, m.q, m.coefficients.toSeq, m.logLikelihood(arr),
+          m.approxAIC(arr), m.isStationary, m.isInvertible))
+      } catch { case _: Throwable => None }
+    }
+  }
+
+  /** Fit + h-step forecast per key; future ts extrapolated from the median step. */
+  def forecastArima(df: DataFrame, p: Int, d: Int, q: Int, h: Int,
+      key: String = "key", ts: String = "ts_nanos", value: String = "value")
+      : Dataset[ForecastPoint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    groupedWithTs(df, key, ts, value).flatMap { case (k, tss, arr) =>
+      try {
+      val m = ARIMA.fitModel(p, d, q, arr)
+      val fc = m.forecast(arr, h).takeRight(h)
+      val step = if (tss.length > 1) {
+        val steps = tss.sliding(2).map(w => w(1) - w(0)).toArray.sorted
+        steps(steps.length / 2)
+      } else 1L
+      val lastTs = tss.last
+      fc.zipWithIndex.map { case (v, i) =>
+        ForecastPoint(k, i + 1, lastTs + step * (i + 1), v)
+      }
+      } catch { case _: Throwable => Nil }
+    }
+  }
+
+  def fitEwma(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): Dataset[EwmaFit] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    grouped(df, key, ts, value).flatMap { case (k, arr) =>
+      try { val m = EWMA.fitModel(arr); Some(EwmaFit(k, m.smoothing, m.sse(arr))) }
+      catch { case _: Throwable => None }
+    }
+  }
+
+  def fitGarch(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): Dataset[GarchFit] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    grouped(df, key, ts, value).flatMap { case (k, arr) =>
+      try {
+        val m = GARCH.fitModel(arr)
+        Some(GarchFit(k, m.omega, m.alpha, m.beta, m.logLikelihood(arr)))
+      } catch { case _: Throwable => None }
+    }
+  }
+
+  def fitAr(df: DataFrame, p: Int, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): Dataset[ArFit] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    grouped(df, key, ts, value).flatMap { case (k, arr) =>
+      try {
+        val m = Autoregression.fitModel(arr, p)
+        Some(ArFit(k, m.c, m.coefficients.toSeq))
+      } catch { case _: Throwable => None }
+    }
+  }
+
+  def fitHoltWinters(df: DataFrame, period: Int, modelType: String = "additive",
+      key: String = "key", ts: String = "ts_nanos", value: String = "value")
+      : Dataset[HoltWintersFit] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    grouped(df, key, ts, value).flatMap { case (k, arr) =>
+      try {
+        val m = HoltWinters.fitModel(arr, period, modelType)
+        Some(HoltWintersFit(k, period, m.alpha, m.beta, m.gamma, m.sse(arr)))
+      } catch { case _: Throwable => None } // e.g. fewer than 2 full periods
+    }
+  }
+
+  def kpssAll(df: DataFrame, regression: String = "c", key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): Dataset[TestResult] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    grouped(df, key, ts, value).map { case (k, arr) =>
+      val (s, p) = graft.stats.StatTests.kpss(arr, regression)
+      TestResult(k, s, p)
+    }
+  }
+
+  def adfAll(df: DataFrame, regression: String = "c", key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): Dataset[TestResult] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    grouped(df, key, ts, value).map { case (k, arr) =>
+      val (s, p) = graft.stats.StatTests.adf(arr, regression = regression)
+      TestResult(k, s, p)
+    }
+  }
+
+  def ljungBoxAll(df: DataFrame, lags: Int = 10, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): Dataset[TestResult] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    grouped(df, key, ts, value).map { case (k, arr) =>
+      val (s, p) = graft.stats.StatTests.ljungBox(arr, lags)
+      TestResult(k, s, p)
+    }
+  }
+}

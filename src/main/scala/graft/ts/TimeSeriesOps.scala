@@ -322,20 +322,21 @@ object TimeSeriesOps {
   def asofJoin(left: DataFrame, right: DataFrame, valueOut: String = "asof_value",
       toleranceNanos: Long = Long.MaxValue, key: String = "key",
       ts: String = "ts_nanos", rightValue: String = "value"): DataFrame = {
-    val l = left.withColumn("__side", lit(0)).withColumn("__rv", lit(null).cast("double"))
+    // right rows get the smaller side tag so they sort BEFORE left rows at
+    // equal ts — "at or before" is inclusive of an equal-timestamp right row
+    val l = left.withColumn("__side", lit(1)).withColumn("__rv", lit(null).cast("double"))
     val r = right.select(col(key), col(ts), col(rightValue))
-      .withColumn("__side", lit(1)).withColumn("__rv", col(rightValue))
+      .withColumn("__side", lit(0)).withColumn("__rv", col(rightValue))
     val lCols = left.columns
     val unioned = l.select((lCols.map(col) ++ Seq(col("__side"), col("__rv"))): _*)
       .unionByName(r.select((col(key) +: col(ts) +: lCols.filter(c => c != key && c != ts)
         .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__side") :+ col("__rv")): _*))
-    // right rows sort before left rows at equal ts so "at or before" includes equal ts
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
     val filled = unioned
       .withColumn(valueOut, last(col("__rv"), ignoreNulls = true).over(w))
-      .withColumn("__rts", last(when(col("__side") === 1, col(ts)), ignoreNulls = true).over(w))
-      .filter(col("__side") === 0)
+      .withColumn("__rts", last(when(col("__side") === 0, col(ts)), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
       .withColumn(valueOut, when(col(ts) - col("__rts") <= toleranceNanos, col(valueOut)))
       .drop("__side", "__rv", "__rts")
     filled

@@ -1,0 +1,107 @@
+package graft.core
+
+import java.time._
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+class DateTimeIndexSpec extends AnyFunSuite with Matchers {
+
+  private val utc = ZoneOffset.UTC
+  private def dt(s: String): ZonedDateTime =
+    LocalDate.parse(s).atStartOfDay(utc)
+
+  test("uniform index loc/time round trip, daily frequency") {
+    val idx = DateTimeIndex.uniform(dt("2024-01-01"), 30, Frequency.days(1))
+    idx.size shouldBe 30
+    idx.dateTimeAtLoc(0) shouldBe dt("2024-01-01")
+    idx.dateTimeAtLoc(29) shouldBe dt("2024-01-30")
+    idx.locAtDateTime(dt("2024-01-15")) shouldBe 14
+    idx.locAtDateTime(dt("2024-02-15")) shouldBe -1
+    idx.locAtOrBeforeNanos(TimeUtils.toNanos(dt("2024-01-15").plusHours(5))) shouldBe 14
+    idx.locAtOrAfterNanos(TimeUtils.toNanos(dt("2024-01-15").plusHours(5))) shouldBe 15
+  }
+
+  test("uniform index slicing") {
+    val idx = DateTimeIndex.uniform(dt("2024-01-01"), 30, Frequency.days(1))
+    val s = idx.slice(dt("2024-01-10"), dt("2024-01-20"))
+    s.size shouldBe 11
+    s.first shouldBe dt("2024-01-10")
+    s.last shouldBe dt("2024-01-20")
+  }
+
+  test("irregular index binary search semantics") {
+    val instants = Array("2024-01-01", "2024-01-03", "2024-01-07", "2024-01-20").map(s =>
+      TimeUtils.toNanos(dt(s)))
+    val idx = DateTimeIndex.irregular(instants)
+    idx.locAtNanos(instants(2)) shouldBe 2
+    idx.locAtNanos(instants(2) + 1) shouldBe -1
+    idx.locAtOrBeforeNanos(instants(2) + 1) shouldBe 2
+    idx.locAtOrBeforeNanos(instants(0) - 1) shouldBe -1
+    idx.locAtOrAfterNanos(instants(2) + 1) shouldBe 3
+    idx.sliceNanos(instants(1), instants(2)).size shouldBe 2
+  }
+
+  test("hybrid index spans segments") {
+    val a = DateTimeIndex.uniform(dt("2024-01-01"), 10, Frequency.days(1))
+    val b = DateTimeIndex.uniform(dt("2024-02-01"), 10, Frequency.days(1))
+    val h = DateTimeIndex.hybrid(Array(a, b))
+    h.size shouldBe 20
+    h.dateTimeAtLoc(0) shouldBe dt("2024-01-01")
+    h.dateTimeAtLoc(10) shouldBe dt("2024-02-01")
+    h.locAtDateTime(dt("2024-02-05")) shouldBe 14
+    h.locAtOrBeforeNanos(TimeUtils.toNanos(dt("2024-01-25"))) shouldBe 9
+    h.locAtOrAfterNanos(TimeUtils.toNanos(dt("2024-01-25"))) shouldBe 10
+  }
+
+  test("index tag codec round-trips") {
+    val u = DateTimeIndex.uniform(dt("2024-01-01"), 30, Frequency.days(1))
+    DateTimeIndex.parse(u.tag) shouldBe u
+    val i = DateTimeIndex.irregular(Array(1L, 5L, 9L))
+    DateTimeIndex.parse(i.tag) shouldBe i
+    val h = DateTimeIndex.hybrid(Array[DateTimeIndex](u, i))
+    DateTimeIndex.parse(h.tag) shouldBe h
+    val bd = DateTimeIndex.uniform(dt("2024-01-01"), 10, Frequency.businessDays(1))
+    DateTimeIndex.parse(bd.tag) shouldBe bd
+  }
+
+  test("business-day frequency skips weekends") {
+    val fri = dt("2024-01-05") // Friday
+    val bd = Frequency.businessDays(1)
+    bd.advance(fri, 1).getDayOfWeek shouldBe DayOfWeek.MONDAY
+    bd.advance(fri, 1) shouldBe dt("2024-01-08")
+    bd.advance(fri, 5) shouldBe dt("2024-01-12") // next Friday
+    bd.difference(fri, dt("2024-01-12")) shouldBe 5
+    bd.advance(dt("2024-01-08"), -1) shouldBe fri
+  }
+
+  test("business-day uniform index contains only weekdays") {
+    val idx = DateTimeIndex.uniform(dt("2024-01-01"), 10, Frequency.businessDays(1))
+    idx.toZonedDateTimeArray.foreach { d =>
+      d.getDayOfWeek should not be DayOfWeek.SATURDAY
+      d.getDayOfWeek should not be DayOfWeek.SUNDAY
+    }
+    idx.locAtDateTime(dt("2024-01-06")) shouldBe -1 // Saturday
+    idx.locAtDateTime(dt("2024-01-08")) shouldBe 5
+  }
+
+  test("month/year frequencies use calendar arithmetic") {
+    val mf = Frequency.months(1)
+    mf.advance(dt("2024-01-31"), 1) shouldBe dt("2024-02-29") // leap clamp
+    mf.difference(dt("2024-01-15"), dt("2024-04-15")) shouldBe 3
+    Frequency.years(1).advance(dt("2024-02-29"), 1) shouldBe dt("2025-02-28")
+  }
+
+  test("union of indices is sorted-distinct") {
+    val a = DateTimeIndex.irregular(Array(1L, 5L, 9L))
+    val b = DateTimeIndex.irregular(Array(3L, 5L, 11L))
+    val u = DateTimeIndex.union(Seq(a, b))
+    u.toNanosArray shouldBe Array(1L, 3L, 5L, 9L, 11L)
+  }
+
+  test("zone changes preserve instants") {
+    val idx = DateTimeIndex.uniform(dt("2024-01-01"), 5, Frequency.days(1))
+    val ny = idx.atZone(ZoneId.of("America/New_York"))
+    ny.nanosAtLoc(3) shouldBe idx.nanosAtLoc(3)
+  }
+}
