@@ -178,7 +178,69 @@ object SparkEntry {
     }),
     "m08_ljungbox" -> ((s, dir) =>
       graft.models.ModelOps.ljungBoxAll(obs(s, dir), lags = 10,
-        key = "user_id", ts = "ts_us", value = "value").toDF())
+        key = "user_id", ts = "ts_us", value = "value").toDF()),
+
+    // ---------------- dedup / similarity / text (LLM-pipeline extensions) ----------------
+    "dd02_dedup_canonical" -> ((s, dir) =>
+      graft.text.Dedup.exact(Tables.documents(s, dir), canonical = true)),
+    "dd03_minhash_neardup" -> ((s, dir) =>
+      graft.text.Dedup.minhashNearDuplicates(Tables.documents(s, dir),
+        k = 3, numHashes = 64, bands = 16, threshold = 0.3)),
+    "dd04_simhash_neardup" -> ((s, dir) =>
+      graft.text.Dedup.simhashNearDuplicates(Tables.documents(s, dir), maxHamming = 6)),
+    "dd05_ngram_jaccard" -> ((s, dir) => {
+      val t = Tables.documents(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val a = t.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+      val b = t.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("jaccard",
+          size(array_intersect(col("ta"), col("tb"))).cast("double") /
+            size(array_union(col("ta"), col("tb"))).cast("double"))
+        .filter(col("jaccard") >= 0.65)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    "dd06_embedding_neardup" -> ((s, dir) =>
+      // synthetic embeddings are unclustered (max cosine ~0.3), so the
+      // "near-dup" threshold is set low to exercise the pipeline end-to-end
+      graft.text.Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir),
+        threshold = 0.2, planes = 4)),
+    "sm01_knn_bruteforce" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
+    "sm02_knn_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        planes = 4, probeBits = 2)
+    }),
+    "tx02_quality" -> ((s, dir) =>
+      graft.text.TextFunctions.qualityScore(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"),
+          col("quality_score"))),
+    "tx03_langid" -> ((s, dir) =>
+      graft.text.TextFunctions.langId(Tables.documents(s, dir))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === col("lang_pred"), 1L).otherwise(0L)).as("n_correct"))),
+    "tx04_bpeish_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.text.TextFunctions.bpeishTokenCount(col("text")).as("n_subtokens"))),
+    "tx05_rolling_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        graft.text.TextFunctions.rollingHash(col("text")).as("fingerprint"))),
+    "mm01_multimodal_meta" -> ((s, dir) =>
+      graft.multimodal.Multimodal.assetsFromDocuments(Tables.documents(s, dir))
+        .select(col("asset_id"), col("modality"),
+          length(col("payload")).cast("long").as("n_bytes"), col("meta_duration_ms"))),
+    "mm02_multimodal_features" -> ((s, dir) =>
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.assetsFromDocuments(Tables.documents(s, dir)))
+        .select(col("asset_id"), col("modality"), col("n_bytes"),
+          round(col("byte_mean"), 6).as("byte_mean"),
+          round(col("byte_entropy"), 6).as("byte_entropy"), col("frames_sampled")))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -275,6 +337,82 @@ object SparkEntry {
       """SELECT doc_id, length(text) AS n_chars_c,
          len(string_split(text, ' ')) AS n_tokens,
          len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
-         FROM documents"""
+         FROM documents""",
+    "dd02_dedup_canonical" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS fingerprint,
+         min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY 1""",
+    "dd05_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks
+                    FROM documents WHERE doc_id < 60),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE
+               / len(list_distinct(a.toks || b.toks)) AS j
+           FROM t a, t b WHERE a.doc_id < b.doc_id)
+         SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.65""",
+    "tx02_quality" ->
+      """WITH s AS (
+           SELECT doc_id,
+             length(text)::DOUBLE AS n_chars,
+             len(string_split(text,' '))::DOUBLE AS n_tokens,
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / length(text) AS punct_ratio,
+             (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text) AS digit_ratio,
+             len(list_filter(string_split(text,' '), x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','that','it','on','for','with','as','this')))::DOUBLE
+               / len(string_split(text,' ')) AS stopword_ratio
+           FROM documents)
+         SELECT doc_id, n_tokens::BIGINT AS n_tokens,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(stopword_ratio, 6) AS stopword_ratio,
+           round(greatest(0.0, least(1.0,
+             0.25 * least(n_tokens / 20.0, 1.0) +
+             0.25 * least(stopword_ratio * 5.0, 1.0) +
+             0.25 * (1.0 - least(punct_ratio * 4.0, 1.0)) +
+             0.25 * (1.0 - least(digit_ratio * 4.0, 1.0)))), 6) AS quality_score
+         FROM s""",
+    "tx03_langid" ->
+      """WITH h AS (
+           SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+         c AS (
+           SELECT doc_id, lang,
+             len(list_filter(toks, x -> x IN ('der','die','das','und','oder','von','zu','in','ist','sind','ein','eine','dass','mit','auf','für','sich'))) AS h_de,
+             len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','that','it','on','for','with','as','this'))) AS h_en,
+             len(list_filter(toks, x -> x IN ('el','la','los','las','de','del','y','o','en','es','un','una','que','por','con','para','su','se'))) AS h_es,
+             len(list_filter(toks, x -> x IN ('le','la','les','de','des','et','ou','en','est','sont','un','une','que','pour','avec','sur','dans','ce'))) AS h_fr,
+             len(list_filter(toks, x -> x IN ('的','了','和','是','在','我','有','他','这','中','大','来','上','国','个','到','说','们'))) AS h_zh
+           FROM h),
+         p AS (
+           SELECT doc_id, lang,
+             CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                  WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                  WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                  WHEN h_fr >= h_zh THEN 'fr'
+                  ELSE 'zh' END AS lang_pred
+           FROM c)
+         SELECT lang, count(*) AS n_docs,
+           sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS n_correct
+         FROM p GROUP BY lang""",
+    "tx04_bpeish_tokens" ->
+      """SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
+         FROM documents""",
+    "mm01_multimodal_meta" ->
+      """SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+         octet_length(encode(text)) AS n_bytes,
+         n_chars * 10 AS meta_duration_ms
+         FROM documents""",
+    "sm01_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+           FROM embeddings c, q WHERE c.vec_id <> q.vec_id),
+         ranked AS (
+           SELECT query_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rank <= 5"""
   )
 }

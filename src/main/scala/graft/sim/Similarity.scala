@@ -1,0 +1,113 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/**
+ * Similarity search over an embedding column (`ARRAY<FLOAT>`): brute-force
+ * cosine top-k as the exact baseline, random-hyperplane LSH buckets as the
+ * approximate scale path.
+ *
+ * Scale design: queries are a small broadcast side crossed against the full
+ * table (per-row codegen'd dot products via SQL higher-order functions, no
+ * UDF in the hot path); the LSH variant replaces the cross join with a
+ * bucket equi-join so candidate count — not corpus size — drives cost.
+ */
+object Similarity {
+
+  /** Dot product of two double arrays via zip_with + aggregate (codegen'd). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(aggregate(
+    transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Cast float array to double and scale to unit norm (cosine ≡ dot). */
+  def normalized(a: Column): Column = {
+    val d = transform(a, x => x.cast("double"))
+    val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, x) => acc + x))
+    transform(d, x => x / n)
+  }
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact brute-force top-k: for every query vector (small set — broadcast),
+   * the k nearest corpus vectors by cosine. Ties broken by neighbor id.
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // cosine = dot/(|a||b|) on double-cast arrays — the exact formula the
+    // DuckDB oracle uses on ::DOUBLE[] lists, so results are bit-comparable
+    val toD = (c: Column) => transform(c, x => x.cast("double"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toD(col(vecCol)).as("nv"))
+      .withColumn("nn", norm(col("nv")))
+    val q = queries.select(col(idCol).as("query_id"), toD(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("nv"), col("qv")) / (col("nn") * col("qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for (plane, dim). */
+  private def planeComponent(plane: Int, dim: Int, seed: Int): Double = {
+    val h = MurmurHash3.productHash((plane, dim, seed))
+    // uniform in [-1, 1) from the 32-bit hash — adequate for sign tests
+    h.toDouble / Int.MaxValue.toDouble
+  }
+
+  /** Random-hyperplane signature: one sign bit per plane, packed in a LONG.
+    * Vectors with equal signatures land in the same LSH bucket. */
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Int = 7): Column = {
+    require(planes <= 63)
+    val f = udf { (v: Seq[Double]) =>
+      var sig = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0.0
+        var i = 0
+        while (i < v.length) { s += v(i) * planeComponent(p, i, seed); i += 1 }
+        if (s > 0) sig |= (1L << p)
+        p += 1
+      }
+      sig
+    }
+    f(vec)
+  }
+
+  /**
+   * Approximate top-k: probe only the query's LSH bucket (plus optionally
+   * neighboring buckets via multi-probe on `probeBits` single-bit flips),
+   * then rank candidates by exact cosine.
+   */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int = 12,
+      probeBits: Int = 2, idCol: String = "vec_id", vecCol: String = "embedding")
+      : DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), normalized(col(vecCol)).as("nv"))
+      .withColumn("bucket", hyperplaneSignature(col("nv"), planes))
+    val qBase = queries.select(col(idCol).as("query_id"), normalized(col(vecCol)).as("qv"))
+      .withColumn("sig", hyperplaneSignature(col("qv"), planes))
+    // multi-probe: the exact bucket plus every single-bit flip of the lowest probeBits planes
+    val probes = explode(array(
+      (col("sig") +: (0 until probeBits).map(b => col("sig").bitwiseXOR(lit(1L << b)))): _*))
+    val q = qBase.withColumn("bucket", probes)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("nv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

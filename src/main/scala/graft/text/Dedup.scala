@@ -1,0 +1,189 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.util.hashing.MurmurHash3
+
+/**
+ * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+ * SimHash, n-gram Jaccard verification, embedding-cosine near-dup.
+ *
+ * Scale design: signatures are computed as a narrow map (one pass over the
+ * scan, per-doc local work); candidate generation shuffles once on
+ * (band, bucket-hash); verification joins only candidate pairs — never the
+ * full n² cross product. Bucket-join + verify is the standard MinHash-LSH
+ * layout and survives a 1000-executor scale-up because every stage is keyed.
+ */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup on a canonical form: keep the smallest id per group. */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+      canonical: Boolean = false): DataFrame = {
+    val keyExpr = if (canonical) TextFunctions.canonicalFingerprint(col(textCol))
+    else md5(col(textCol).cast("binary"))
+    df.withColumn("__fp", keyExpr)
+      .groupBy("__fp")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
+      .withColumnRenamed("__fp", "fingerprint")
+  }
+
+  // ---------------------------------------------------------------- shingles & minhash
+
+  /** Word k-shingles of a text (distinct). */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = split(text, " ")
+    array_distinct(filter(
+      transform(sequence(lit(0), size(toks) - k),
+        i => array_join(slice(toks, i + 1, lit(k)), " ")),
+      s => s.isNotNull))
+  }
+
+  private val Prime = 2038074743L // large 31-bit prime for the hash family
+
+  /** MinHash signature of a shingle array: numHashes permutation minima.
+    * Implemented as a deterministic (a_i·h + b_i) mod p family over a murmur
+    * base hash, computed per-row in a UDF (per-doc local work, no shuffle). */
+  def minhashSignature(shingleCol: Column, numHashes: Int, seed: Int = 42): Column = {
+    val rng = new java.util.Random(seed)
+    val as = Array.fill(numHashes)(1 + rng.nextInt(Int.MaxValue - 1).toLong)
+    val bs = Array.fill(numHashes)(rng.nextInt(Int.MaxValue).toLong)
+    val f = udf { (sh: Seq[String]) =>
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      sh.foreach { s =>
+        val base = (MurmurHash3.stringHash(s).toLong & 0xffffffffL)
+        var i = 0
+        while (i < numHashes) {
+          val h = (as(i) * base + bs(i)) % Prime
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+      }
+      sig
+    }
+    f(shingleCol)
+  }
+
+  /**
+   * MinHash-LSH candidate pairs: band the signature, bucket-join on
+   * (band index, band hash), emit distinct (id_a < id_b) pairs.
+   */
+  def minhashCandidates(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int): DataFrame = {
+    val rowsPerBand = expr(s"size($sigCol) div $bands")
+    val banded = df.select(col(idCol).as("id"), posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)))
+    ).as(Seq("band", "bucket")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of two distinct-element arrays. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /**
+   * Full MinHash near-dup pipeline: shingle → sign → band → candidates →
+   * verify with exact Jaccard ≥ threshold.
+   */
+  def minhashNearDuplicates(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val withSig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val cands = minhashCandidates(withSig, "id", "sig", bands)
+    val sh = withSh.select(col("id"), col("sh"))
+    cands
+      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens (per-doc local UDF). */
+  def simhash(text: Column): Column = {
+    val f = udf { (s: String) =>
+      val counts = new java.util.HashMap[String, Int]()
+      s.split(" ").foreach(t => counts.merge(t, 1, Integer.sum))
+      val acc = new Array[Int](64)
+      counts.forEach { (tok, cnt) =>
+        val h1 = MurmurHash3.stringHash(tok, 0x9747b28c).toLong & 0xffffffffL
+        val h2 = MurmurHash3.stringHash(tok, 0x85ebca6b).toLong & 0xffffffffL
+        val h = (h1 << 32) | h2
+        var bit = 0
+        while (bit < 64) {
+          if (((h >>> bit) & 1L) == 1L) acc(bit) += cnt else acc(bit) -= cnt
+          bit += 1
+        }
+      }
+      var out = 0L
+      var bit = 0
+      while (bit < 64) { if (acc(bit) > 0) out |= (1L << bit); bit += 1 }
+      out
+    }
+    f(text)
+  }
+
+  /** Hamming distance between two 64-bit signatures. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /**
+   * SimHash near-dup pairs: band the 64 bits into 4 x 16-bit chunks (any pair
+   * within Hamming distance 3 shares at least one exact chunk), bucket-join,
+   * verify with the exact Hamming distance.
+   */
+  def simhashNearDuplicates(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val chunks = array((0 until 4).map(b =>
+      shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(chunks).as(Seq("band", "chunk")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .withColumn("hamming", hamming(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // ---------------------------------------------------------------- embedding near-dup
+
+  /**
+   * Embedding-cosine near-duplicate pairs above a similarity threshold.
+   * Candidate generation via random-hyperplane LSH buckets (see
+   * [[graft.sim.Similarity.hyperplaneSignature]]); verification by exact
+   * cosine on candidates only.
+   */
+  def embeddingNearDuplicates(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", threshold: Double = 0.95,
+      planes: Int = 16): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      graft.sim.Similarity.normalized(col(vecCol)).as("v"))
+      .withColumn("bucket", graft.sim.Similarity.hyperplaneSignature(col("v"), planes))
+    val a = sigs.as("a")
+    val b = sigs.as("b")
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cosine", graft.sim.Similarity.dot(col("a.v"), col("b.v")))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+}

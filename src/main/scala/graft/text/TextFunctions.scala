@@ -1,0 +1,97 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * statistics, quality scoring, n-gram language identification, document
+ * fingerprinting. All column-expression based (whole-stage codegen) — no
+ * Python, no driver loops; every operator is a narrow map over the scan.
+ */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space split, matching the DuckDB oracle). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword segmentation: letter runs, digit runs, single other
+    * non-space chars. Same regex semantics in Java and RE2 (DuckDB). */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeishTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpeishPattern), lit(0))).cast("long")
+
+  /** Character-level quality signals (SURVEY north-star: quality scoring). */
+  def qualitySignals(df: DataFrame, text: String = "text"): DataFrame = {
+    val t = col(text)
+    val toks = tokens(t)
+    val nChars = length(t).cast("double")
+    val nTokens = size(toks).cast("double")
+    df.withColumn("n_chars", nChars.cast("long"))
+      .withColumn("n_tokens", nTokens.cast("long"))
+      .withColumn("mean_token_len", nChars / nTokens)
+      .withColumn("punct_ratio",
+        (nChars - length(regexp_replace(t, "[^A-Za-z0-9 ]", ""))) / nChars)
+      .withColumn("digit_ratio",
+        (nChars - length(regexp_replace(t, "[0-9]", ""))) / nChars)
+      .withColumn("stopword_ratio",
+        size(filter(toks, x => x.isin(StopWords.en: _*))).cast("double") / nTokens)
+  }
+
+  /**
+   * Composite quality score in [0,1]: favors medium-length documents with
+   * normal punctuation and some stopwords (boilerplate/garbage score low).
+   */
+  def qualityScore(df: DataFrame, text: String = "text"): DataFrame = {
+    val withSignals = qualitySignals(df, text)
+    withSignals.withColumn("quality_score",
+      round(greatest(lit(0.0), least(lit(1.0),
+        lit(0.25) * least(col("n_tokens").cast("double") / 20.0, lit(1.0)) +
+          lit(0.25) * least(col("stopword_ratio") * 5.0, lit(1.0)) +
+          lit(0.25) * (lit(1.0) - least(col("punct_ratio") * 4.0, lit(1.0))) +
+          lit(0.25) * (lit(1.0) - least(col("digit_ratio") * 4.0, lit(1.0))))), 6))
+  }
+
+  /**
+   * Stopword-profile language identification: score each candidate language
+   * by its stopword hit count over the token set; argmax wins, ties broken
+   * by language code. Pure expressions — scales as a narrow map.
+   */
+  def langId(df: DataFrame, text: String = "text", out: String = "lang_pred"): DataFrame = {
+    val toks = tokens(col(text))
+    val scored = StopWords.profiles.map { case (lang, words) =>
+      struct(size(filter(toks, x => x.isin(words: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // greatest(struct...) picks max hits then max lang; to break ties by
+    // *smallest* lang code invert via negative hits and least()
+    val best = scored.reduce((a, b) =>
+      when(a.getField("hits") >= b.getField("hits"), a).otherwise(b))
+    df.withColumn(out, best.getField("lang"))
+      .withColumn(s"${out}_hits", best.getField("hits").cast("long"))
+  }
+
+  /** Canonical fingerprint: md5 of lowercased, punctuation-stripped,
+    * whitespace-collapsed text — near-dup resilient to formatting noise. */
+  def canonicalFingerprint(text: Column): Column =
+    md5(trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "),
+      " +", " ")).cast("binary"))
+
+  /** Rolling polynomial hash (custom Catalyst expression with codegen). */
+  def rollingHash(text: Column): Column = RollingHash.ofColumn(text)
+}
+
+/** Minimal stopword profiles for the language-ID heuristic (public lists). */
+object StopWords {
+  val en: Seq[String] = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "are", "was", "that", "it", "on", "for", "with", "as", "this")
+  val es: Seq[String] = Seq("el", "la", "los", "las", "de", "del", "y", "o",
+    "en", "es", "un", "una", "que", "por", "con", "para", "su", "se")
+  val de: Seq[String] = Seq("der", "die", "das", "und", "oder", "von", "zu",
+    "in", "ist", "sind", "ein", "eine", "dass", "mit", "auf", "für", "sich")
+  val fr: Seq[String] = Seq("le", "la", "les", "de", "des", "et", "ou", "en",
+    "est", "sont", "un", "une", "que", "pour", "avec", "sur", "dans", "ce")
+  val zh: Seq[String] = Seq("的", "了", "和", "是", "在", "我", "有", "他",
+    "这", "中", "大", "来", "上", "国", "个", "到", "说", "们")
+  val profiles: Seq[(String, Seq[String])] =
+    Seq("de" -> de, "en" -> en, "es" -> es, "fr" -> fr, "zh" -> zh)
+}

@@ -1,0 +1,161 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+import graft.sim.Similarity
+
+/** Specs for the LLM-pipeline extensions: dedup, similarity, text, multimodal, io. */
+class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"), // near-dup of 0
+      (2L, "completely different content about spark engines and data"),
+      (3L, "the quick brown fox jumps over the lazy dog"), // exact dup of 0
+      (4L, "el zorro marron salta sobre el perro perezoso en la casa")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts") {
+    val out = Dedup.exact(docs).collect()
+    out.length shouldBe 4 // 0 and 3 merge
+    val dup = out.find(_.getAs[Long]("dup_count") == 2L).get
+    dup.getAs[Long]("keep_id") shouldBe 0L
+  }
+
+  test("minhash near-duplicates finds the near pair and skips unrelated docs") {
+    val pairs = Dedup.minhashNearDuplicates(docs, k = 2, numHashes = 64,
+      bands = 32, threshold = 0.5).collect()
+    val ids = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    ids should contain(0L -> 3L) // exact dup always survives
+    ids should contain(0L -> 1L) // near dup
+    ids.exists { case (a, b) => a == 2L || b == 2L } shouldBe false
+    ids.exists { case (a, b) => a == 4L || b == 4L } shouldBe false
+  }
+
+  test("simhash: identical docs have distance 0, near docs small, unrelated large") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs(0L) shouldBe sigs(3L)
+    java.lang.Long.bitCount(sigs(0L) ^ sigs(1L)) should be < 16
+    java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) should be > 10
+  }
+
+  test("jaccard column matches hand computation") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    df.select(Dedup.jaccard(col("x"), col("y"))).collect()(0).getDouble(0) shouldBe 0.5
+  }
+
+  test("brute-force knn returns correct neighbors on a hand-built corpus") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 2)
+      .orderBy("rank").collect()
+    out(0).getAs[Long]("neighbor_id") shouldBe 1L
+    out(1).getAs[Long]("neighbor_id") shouldBe 2L
+    out(0).getAs[Double]("cosine") should be > 0.99
+  }
+
+  test("hyperplane LSH buckets identical vectors together") {
+    val s = spark
+    import s.implicits._
+    val vecs = Seq((0L, Seq(1.0, 2.0, 3.0)), (1L, Seq(1.0, 2.0, 3.0)),
+      (2L, Seq(-1.0, -2.0, -3.0))).toDF("id", "v")
+    val sigs = vecs.select(col("id"),
+      Similarity.hyperplaneSignature(col("v"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    sigs(0L) shouldBe sigs(1L)
+    sigs(0L) should not be sigs(2L) // antipodal: all bits flip
+  }
+
+  test("language id picks the right stopword profile") {
+    val out = TextFunctions.langId(docs).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out(0L) shouldBe "en"
+    out(4L) shouldBe "es"
+  }
+
+  test("quality score is higher for normal prose than for garbage") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (0L, "this is a perfectly normal sentence with some of the usual words in it and a few more tokens to reach length"),
+      (1L, "!!! ### $$$ 123 456 789 @@@ %%%")
+    ).toDF("doc_id", "text")
+    val scores = TextFunctions.qualityScore(df).select("doc_id", "quality_score")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    scores(0L) should be > scores(1L) + 0.3
+  }
+
+  test("rolling hash expression: deterministic, string-typed only, codegen-safe") {
+    val out = docs.select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out(0L) shouldBe out(3L) // same text, same hash
+    out(0L) should not be out(1L)
+    // matches the reference scalar implementation
+    val expected = "the quick brown fox jumps over the lazy dog".getBytes("UTF-8")
+      .foldLeft(0L)((h, b) => h * RollingHash.Base + (b & 0xff))
+    out(0L) shouldBe expected
+  }
+
+  test("multimodal feature extraction produces deterministic stub features") {
+    import graft.multimodal.Multimodal
+    val assets = Multimodal.assetsFromDocuments(docs.withColumn("n_chars",
+      org.apache.spark.sql.functions.length(col("text")).cast("long")))
+    val feats = Multimodal.extractFeatures(assets).collect()
+    feats.length shouldBe 5
+    val f0 = feats.find(_.getAs[Long]("asset_id") == 0L).get
+    f0.getAs[Long]("n_bytes") shouldBe 43L
+    f0.getAs[Double]("byte_entropy") should be > 0.0
+    f0.getAs[scala.collection.Seq[Double]]("feature").length shouldBe 8
+  }
+
+  test("series parquet + index sidecar round trip") {
+    import graft.core.IrregularDateTimeIndex
+    import graft.io.TimeSeriesIO
+    val s = spark
+    import s.implicits._
+    val idx = IrregularDateTimeIndex(Array(10L, 20L, 30L))
+    val df = Seq(("a", Seq(1.0, 2.0, 3.0)), ("b", Seq(4.0, 5.0, 6.0)))
+      .toDF("key", "series")
+    val path = java.nio.file.Files.createTempDirectory("graft-io").toString + "/series"
+    TimeSeriesIO.writeSeriesParquet(df, idx, path)
+    val (back, idx2) = TimeSeriesIO.readSeriesParquet(spark, path)
+    idx2 shouldBe idx
+    back.count() shouldBe 2
+  }
+
+  test("streaming EWMA matches the batch kernel on the same data") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingResample
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val smoothed = StreamingResample.streamingEwma(
+      input.toDF().toDF("key", "value"), alpha = 0.3)
+    val query = smoothed.writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 1.0), ("a", 2.0), ("a", 3.0))
+      query.processAllAvailable()
+      val got = s.sql("SELECT smoothed FROM ewma_out ORDER BY smoothed DESC LIMIT 1")
+        .collect()(0).getDouble(0)
+      val expect = graft.models.EWMAModel(0.3)
+        .addTimeDependentEffects(Array(1.0, 2.0, 3.0)).last
+      got shouldBe expect +- 1e-9
+    } finally query.stop()
+  }
+}
