@@ -254,12 +254,15 @@ object ARIMA {
 
   /**
    * Fit ARIMA(p,d,q) by maximizing the CSS likelihood.
-   * method: "css-bobyqa" (default, derivative-free) or "css-cgd"
-   * (conjugate gradient with finite-difference gradient).
+   * method: "css-nm" (default — Nelder-Mead with penalty bounds; strictly
+   * bounded work per fit, which matters when thousands of fits run inside
+   * one Spark stage), "css-bobyqa" (commons-math BOBYQA; can spin in trsbox
+   * on rare series), or "css-cgd" (conjugate gradient, finite-difference
+   * gradient).
    */
   def fitModel(p: Int, d: Int, q: Int, ts: Array[Double],
       includeIntercept: Boolean = true,
-      method: String = "css-bobyqa"): ARIMAModel = {
+      method: String = "css-nm"): ARIMAModel = {
     val z = ArrayOps.diffOfOrder(ts, d).drop(d)
     val nParams = (if (includeIntercept) 1 else 0) + p + q
     if (nParams == 0) return ARIMAModel(p, d, q, Array.empty, includeIntercept)
@@ -325,14 +328,34 @@ object ARIMA {
           start(i) = math.min(math.max(start(i), lower(i) + 1e-6), upper(i) - 1e-6)
           i += 1
         }
-        val opt = new BOBYQAOptimizer(2 * nParams + 1)
-        try {
-          opt.optimize(new ObjectiveFunction(new MultivariateFunction {
-            override def value(params: Array[Double]): Double = negLL(params)
-          }), GoalType.MINIMIZE, new InitialGuess(start),
-            new SimpleBounds(lower, upper), new MaxEval(30000), new MaxIter(30000))
-            .getPoint
-        } catch { case _: Throwable => init }
+        if (method == "css-bobyqa") {
+          val opt = new BOBYQAOptimizer(2 * nParams + 1)
+          try {
+            opt.optimize(new ObjectiveFunction(new MultivariateFunction {
+              override def value(params: Array[Double]): Double = negLL(params)
+            }), GoalType.MINIMIZE, new InitialGuess(start),
+              new SimpleBounds(lower, upper), new MaxEval(30000), new MaxIter(30000))
+              .getPoint
+          } catch { case _: Throwable => init }
+        } else { // css-nm: Nelder-Mead with out-of-bounds penalty
+          import org.apache.commons.math3.optim.nonlinear.scalar.noderiv.{NelderMeadSimplex, SimplexOptimizer}
+          def penalized(params: Array[Double]): Double = {
+            var i = 0
+            while (i < params.length) {
+              if (params(i) < lower(i) || params(i) > upper(i)) return 1e12
+              i += 1
+            }
+            negLL(params)
+          }
+          val opt = new SimplexOptimizer(1e-10, 1e-12)
+          try {
+            opt.optimize(new ObjectiveFunction(new MultivariateFunction {
+              override def value(params: Array[Double]): Double = penalized(params)
+            }), GoalType.MINIMIZE, new InitialGuess(start),
+              new NelderMeadSimplex(nParams, 0.1), new MaxEval(20000),
+              new MaxIter(20000)).getPoint
+          } catch { case _: Throwable => init }
+        }
       }
     ARIMAModel(p, d, q, fitted, includeIntercept)
   }

@@ -141,19 +141,26 @@ case class ARGARCHModel(c: Double, phi: Double, alpha: Double, beta: Double,
 }
 
 object GARCH {
-  /** Fit GARCH(1,1) by bounded BOBYQA on the log-likelihood. */
+  /** Fit GARCH(1,1) by Nelder-Mead on the log-likelihood with penalty
+    * bounds (strictly bounded work per fit — see HoltWinters.fitModel on
+    * why BOBYQA is avoided in per-series stages). */
   def fitModel(ts: Array[Double]): GARCHModel = {
     val v = ArrayOps.variance(ts)
-    val objective = new ObjectiveFunction(new MultivariateFunction {
-      override def value(p: Array[Double]): Double =
-        GARCHModel(p(0), p(1), p(2)).logLikelihood(ts)
-    })
-    val opt = new BOBYQAOptimizer(7)
-    val res = opt.optimize(objective, GoalType.MAXIMIZE,
-      new InitialGuess(Array(v * 0.2, 0.2, 0.5)),
-      new SimpleBounds(Array(1e-10, 0.0, 0.0), Array(v * 10 + 1e-6, 0.999, 0.999)),
-      new MaxEval(10000), new MaxIter(10000))
-    val p = res.getPoint
+    def negLL(p: Array[Double]): Double = {
+      if (p(0) < 1e-10 || p(0) > v * 10 + 1e-6 ||
+        p(1) < 0.0 || p(1) > 0.999 || p(2) < 0.0 || p(2) > 0.999) return 1e12
+      val ll = GARCHModel(p(0), p(1), p(2)).logLikelihood(ts)
+      if (ll.isNaN || ll.isInfinite) 1e12 else -ll
+    }
+    import org.apache.commons.math3.optim.nonlinear.scalar.noderiv.{NelderMeadSimplex, SimplexOptimizer}
+    val opt = new SimplexOptimizer(1e-10, 1e-12)
+    val p = try {
+      opt.optimize(new ObjectiveFunction(new MultivariateFunction {
+        override def value(pm: Array[Double]): Double = negLL(pm)
+      }), GoalType.MINIMIZE, new InitialGuess(Array(v * 0.2, 0.2, 0.5)),
+        new NelderMeadSimplex(3, 0.05), new MaxEval(10000), new MaxIter(10000))
+        .getPoint
+    } catch { case _: Throwable => Array(v * 0.2, 0.2, 0.5) }
     GARCHModel(p(0), p(1), p(2))
   }
 }

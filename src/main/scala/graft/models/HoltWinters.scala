@@ -206,22 +206,41 @@ object HoltWinters {
     (inter, slope, figure)
   }
 
-  /** Fit (α,β,γ) on [0,1]³ by BOBYQA minimizing the filter SSE. */
+  /**
+   * Fit (α,β,γ) on [0,1]³ minimizing the filter SSE: coarse grid scan, then
+   * Nelder-Mead refinement with an out-of-bounds penalty. (BOBYQA was the
+   * first choice but commons-math's trsbox can spin without consuming
+   * evaluations on some series — a stuck optimizer must never hang a 1000-
+   * executor job, so the fit uses strictly-bounded-work methods.)
+   */
   def fitModel(ts: Array[Double], period: Int, modelType: String = "additive",
-      method: String = "BOBYQA"): HoltWintersModel = {
+      method: String = "grid-nm"): HoltWintersModel = {
     val additive = modelType.toLowerCase.startsWith("add")
+    def sseOf(a: Double, b: Double, g: Double): Double = {
+      if (a < 1e-8 || a > 1.0 || b < 0.0 || b > 1.0 || g < 0.0 || g > 1.0) return 1e18
+      val s = HoltWintersModel(period, a, b, g, additive).sse(ts)
+      if (s.isNaN || s.isInfinite) 1e18 else s
+    }
+    // coarse grid: 0.1 steps (plus the boundary-hugging 0.999/0.001 corners)
+    val gridPts = (0.02 +: (1 to 9).map(_ / 10.0) :+ 0.999)
+    var best = (0.3, 0.1, 0.1)
+    var bestSse = sseOf(0.3, 0.1, 0.1)
+    for (a <- gridPts; b <- gridPts; g <- gridPts) {
+      val s = sseOf(a, b, g)
+      if (s < bestSse) { bestSse = s; best = (a, b, g) }
+    }
+    // Nelder-Mead refinement (bounded work, penalty keeps it inside the cube)
+    import org.apache.commons.math3.optim.nonlinear.scalar.noderiv.{NelderMeadSimplex, SimplexOptimizer}
     val objective = new ObjectiveFunction(new MultivariateFunction {
-      override def value(pm: Array[Double]): Double = {
-        val s = HoltWintersModel(period, pm(0), pm(1), pm(2), additive).sse(ts)
-        if (s.isNaN || s.isInfinite) 1e18 else s
-      }
+      override def value(pm: Array[Double]): Double = sseOf(pm(0), pm(1), pm(2))
     })
-    val opt = new BOBYQAOptimizer(7)
-    val res = opt.optimize(objective, GoalType.MINIMIZE,
-      new InitialGuess(Array(0.3, 0.1, 0.1)),
-      new SimpleBounds(Array(1e-8, 1e-8, 1e-8), Array(1.0, 1.0, 1.0)),
-      new MaxEval(30000), new MaxIter(30000))
-    val pm = res.getPoint
-    HoltWintersModel(period, pm(0), pm(1), pm(2), additive)
+    val opt = new SimplexOptimizer(1e-10, 1e-12)
+    val pm = try {
+      opt.optimize(objective, GoalType.MINIMIZE,
+        new InitialGuess(Array(best._1, best._2, best._3)),
+        new NelderMeadSimplex(3, 0.05), new MaxEval(5000), new MaxIter(5000)).getPoint
+    } catch { case _: Throwable => Array(best._1, best._2, best._3) }
+    val clamp = (v: Double) => math.min(math.max(v, 1e-8), 1.0)
+    HoltWintersModel(period, clamp(pm(0)), clamp(pm(1)), clamp(pm(2)), additive)
   }
 }
