@@ -145,6 +145,85 @@ object SparkEntry {
         size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct_tokens"))
     }),
 
+    // ---------------- more §2 operators, oracle-checked ----------------
+    "ts11_fill_linear" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("v").as("value"))
+      TS.fill(ev, "linear", key = "user_id", ts = "ts_us", value = "value")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value").as("filled"))
+    }),
+    "ts12_fill_nearest" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("v", when(col("event_type") === "error", lit(null)).otherwise(col("value")))
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("v").as("value"))
+      TS.fill(ev, "nearest", key = "user_id", ts = "ts_us", value = "value")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value").as("filled"))
+    }),
+    "ts13_rollsum_center" -> ((s, dir) => {
+      TS.rollSum(obs(s, dir), 5, RollAlign.Center, key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("ts_us"), round(col("value"), 4).as("roll_sum"))
+    }),
+    "ts14_slice" -> ((s, dir) => {
+      // 2024-01-10T00:00Z .. 2024-01-20T00:00Z in micros
+      TS.slice(obs(s, dir), 1704844800000000L, 1705708800000000L, ts = "ts_us")
+        .select("event_id", "user_id", "ts_us", "value")
+    }),
+    "ts15_instants" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("ts_us"),
+        col("event_type").as("key"), col("value"))
+      TS.toInstants(ev, Seq("click", "error", "purchase", "signup", "view"),
+        key = "key", ts = "ts_us", value = "value")
+    }),
+    "ts16_align_locf" -> ((s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), unix_micros(date_trunc("DAY",
+          timestamp_micros(col("ts_us")))).as("day_us"))
+        .agg(round(avg("value"), 6).as("value"))
+      val Array(minUs, maxUs) = daily.agg(min("day_us"), max("day_us"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val index = graft.core.IrregularDateTimeIndex(
+        (minUs to maxUs by 86400000000L).toArray)
+      TS.align(daily, index, Some("previous"), key = "user_id", ts = "day_us",
+        value = "value")
+    }),
+    "ts17_autocorr" -> ((s, dir) => {
+      TS.autocorr(obs(s, dir), Seq(1, 2), key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), round(col("acf_1"), 6).as("acf_1"),
+          round(col("acf_2"), 6).as("acf_2"))
+    }),
+    "ts18_complete_days" -> ((s, dir) => {
+      // restricted to 8 keys so complete instants actually exist in the data
+      val daily = Tables.events(s, dir).filter(col("user_id") < 8)
+        .groupBy(col("user_id"), unix_micros(date_trunc("DAY",
+          timestamp_micros(col("ts_us")))).as("day_us"))
+        .agg(round(avg("value"), 6).as("value"))
+      TS.removeInstantsWithNaNs(daily, key = "user_id", ts = "day_us", value = "value")
+    }),
+    "ts19_resample_2h_closedright" -> ((s, dir) => {
+      TS.resample(obs(s, dir), 7200000000L, sum, closedRight = true,
+        stampRight = true, key = "user_id", ts = "ts_us", value = "value")
+        .groupBy(col("ts_us")) // collapse per-user buckets for a compact result
+        .agg(count(lit(1)).as("n_series"), round(sum("value"), 4).as("total"))
+    }),
+    "bd01_business_days" -> ((s, dir) => {
+      import graft.core.{DateTimeIndex, Frequency, TimeUtils}
+      val s2 = s
+      import s2.implicits._
+      val ev = Tables.events(s, dir)
+        .withColumn("day_us", unix_micros(date_trunc("DAY", timestamp_micros(col("ts_us")))))
+      val Array(minUs, maxUs) = ev.agg(min("day_us"), max("day_us"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val start = TimeUtils.fromNanos(minUs * 1000L, java.time.ZoneOffset.UTC)
+      val end = TimeUtils.fromNanos(maxUs * 1000L, java.time.ZoneOffset.UTC)
+      val bd = Frequency.businessDays(1)
+      val index = DateTimeIndex.uniformFromInterval(start, end, bd)
+      val idxDf = index.toNanosArray.map(_ / 1000L).toSeq.toDF("day_us")
+      ev.join(broadcast(idxDf), Seq("day_us"))
+        .groupBy(col("day_us"))
+        .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total"))
+    }),
+
     // ---------------- model fits (SURVEY §2.8/2.9; not SQL-expressible,
     // driver records rows-only checks) ----------------
     "m01_arima_fit" -> ((s, dir) =>
@@ -338,6 +417,121 @@ object SparkEntry {
          len(string_split(text, ' ')) AS n_tokens,
          len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
          FROM documents""",
+    "ts11_fill_linear" ->
+      """SELECT event_id, user_id, ts_us,
+         CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NOT NULL AND nv IS NOT NULL
+                THEN pv + (nv - pv) * (rn0 - ploc) / (nloc - ploc)
+              ELSE NULL END AS filled
+         FROM (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, v, rn0,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN rn0 END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ploc,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN rn0 END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nloc
+           FROM (
+             SELECT event_id, user_id, ts,
+               CASE WHEN event_type='error' THEN NULL ELSE value END AS v,
+               row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn0
+             FROM events)
+         ) t""",
+    "ts12_fill_nearest" ->
+      """SELECT event_id, user_id, ts_us,
+         CASE WHEN v IS NOT NULL THEN v
+              WHEN pv IS NOT NULL AND (nv IS NULL OR (rn0 - ploc) <= (nloc - rn0)) THEN pv
+              ELSE nv END AS filled
+         FROM (
+           SELECT event_id, user_id, epoch_us(ts) AS ts_us, v, rn0,
+             last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+             last_value(CASE WHEN v IS NOT NULL THEN rn0 END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ploc,
+             first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+             first_value(CASE WHEN v IS NOT NULL THEN rn0 END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nloc
+           FROM (
+             SELECT event_id, user_id, ts,
+               CASE WHEN event_type='error' THEN NULL ELSE value END AS v,
+               row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn0
+             FROM events)
+         ) t""",
+    "ts13_rollsum_center" ->
+      """SELECT user_id, ts_us, round(sm, 4) AS roll_sum FROM (
+         SELECT user_id, epoch_us(ts) AS ts_us,
+           sum(value) OVER w AS sm, count(value) OVER w AS c
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+         ) t WHERE c = 5""",
+    "ts14_slice" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events
+         WHERE epoch_us(ts) >= 1704844800000000 AND epoch_us(ts) <= 1705708800000000""",
+    "ts15_instants" ->
+      """SELECT epoch_us(ts) AS ts_us,
+         max(CASE WHEN event_type='click' THEN value END) AS click,
+         max(CASE WHEN event_type='error' THEN value END) AS error,
+         max(CASE WHEN event_type='purchase' THEN value END) AS purchase,
+         max(CASE WHEN event_type='signup' THEN value END) AS signup,
+         max(CASE WHEN event_type='view' THEN value END) AS "view"
+         FROM events GROUP BY 1""",
+    "ts16_align_locf" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             round(avg(value), 6) AS value
+           FROM events GROUP BY 1, 2),
+         grid AS (
+           SELECT u.user_id, epoch_us(g.d) AS day_us
+           FROM (SELECT DISTINCT user_id FROM events) u
+           CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+             TIMESTAMP '2024-01-30', INTERVAL 1 DAY)) AS d) g),
+         joined AS (
+           SELECT g.user_id, g.day_us, daily.value AS v
+           FROM grid g LEFT JOIN daily
+             ON g.user_id = daily.user_id AND g.day_us = daily.day_us)
+         SELECT user_id, day_us,
+           last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day_us
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+         FROM joined""",
+    "ts17_autocorr" ->
+      """SELECT user_id, round(corr(value, l1), 6) AS acf_1,
+         round(corr(value, l2), 6) AS acf_2 FROM (
+         SELECT user_id, value, lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+         ) t GROUP BY user_id""",
+    "ts18_complete_days" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             round(avg(value), 6) AS value
+           FROM events WHERE user_id < 8 GROUP BY 1, 2),
+         full_days AS (
+           SELECT day_us FROM daily GROUP BY day_us
+           HAVING count(*) = (SELECT count(DISTINCT user_id) FROM events WHERE user_id < 8))
+         SELECT d.user_id, d.day_us, d.value FROM daily d
+         JOIN full_days f ON d.day_us = f.day_us""",
+    "ts19_resample_2h_closedright" ->
+      """WITH b AS (
+           SELECT user_id,
+             CASE WHEN epoch_us(ts) % 7200000000 = 0 THEN epoch_us(ts)
+                  ELSE epoch_us(ts) - (epoch_us(ts) % 7200000000) + 7200000000 END AS ts_us,
+             value
+           FROM events),
+         per_user AS (
+           SELECT user_id, ts_us, sum(value) AS v FROM b GROUP BY 1, 2)
+         SELECT ts_us, count(*) AS n_series, round(sum(v), 4) AS total
+         FROM per_user GROUP BY 1""",
+    "bd01_business_days" ->
+      """SELECT epoch_us(date_trunc('day', ts)) AS day_us, count(*) AS n_events,
+         round(sum(value), 4) AS total
+         FROM events WHERE dayofweek(ts) BETWEEN 1 AND 5
+         GROUP BY 1""",
     "dd02_dedup_canonical" ->
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS fingerprint,
          min(doc_id) AS keep_id, count(*) AS dup_count
