@@ -206,6 +206,21 @@ object SparkEntry {
         .groupBy(col("ts_us")) // collapse per-user buckets for a compact result
         .agg(count(lit(1)).as("n_series"), round(sum("value"), 4).as("total"))
     }),
+    "ts20_filter_instant" -> ((s, dir) => {
+      // drop every timestamp bucket where any watched key breaches value>180
+      val daily = Tables.events(s, dir).filter(col("user_id") < 8)
+        .groupBy(col("user_id"), unix_micros(date_trunc("DAY",
+          timestamp_micros(col("ts_us")))).as("day_us"))
+        .agg(round(max("value"), 4).as("value"))
+      TS.filterByInstant(daily, v => v <= 180.0, Seq(0L, 1L, 2L),
+        key = "user_id", ts = "day_us", value = "value")
+    }),
+    "ts21_interval_diff" -> ((s, dir) => {
+      // value minus the latest value at least 1 hour older, per user
+      TS.differencesByInterval(obs(s, dir), 3600000000L,
+        key = "user_id", ts = "ts_us", value = "value")
+        .select(col("event_id"), col("user_id"), col("ts_us"), col("value").as("diff_1h"))
+    }),
     "bd01_business_days" -> ((s, dir) => {
       import graft.core.{DateTimeIndex, Frequency, TimeUtils}
       val s2 = s
@@ -258,6 +273,37 @@ object SparkEntry {
     "m08_ljungbox" -> ((s, dir) =>
       graft.models.ModelOps.ljungBoxAll(obs(s, dir), lags = 10,
         key = "user_id", ts = "ts_us", value = "value").toDF()),
+    "m09_adf" -> ((s, dir) =>
+      graft.models.ModelOps.adfAll(obs(s, dir),
+        key = "user_id", ts = "ts_us", value = "value").toDF()),
+    "m10_arima_autofit" -> ((s, dir) =>
+      // stepwise order search is ~10 fits per key; bounded key set keeps the
+      // query a constant-cost smoke of the capability at any SF
+      graft.models.ModelOps.autoFitArima(
+        obs(s, dir).filter(col("user_id") < 20),
+        key = "user_id", ts = "ts_us", value = "value").toDF()),
+    "m11_cochrane_orcutt" -> ((s, dir) => {
+      // regression of each user's daily mean on the day rank, AR(1) errors
+      val s2 = s
+      import s2.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), unix_micros(date_trunc("DAY",
+          timestamp_micros(col("ts_us")))).as("day_us"))
+        .agg(avg("value").as("value"))
+      daily.select(col("user_id").cast("string").as("key"),
+          col("day_us").as("ts"), col("value"))
+        .as[graft.models.KeyedPoint]
+        .groupByKey(_.key)
+        .flatMapGroups { (k, it) =>
+          val pts = it.toArray.sortBy(_.ts)
+          try {
+            val y = pts.map(_.value)
+            val x = Array.tabulate(y.length)(i => Array(i.toDouble))
+            val m = graft.models.RegressionARIMA.fitCochraneOrcutt(y, x)
+            Iterator.single((k, m.beta(0), m.beta(1), m.rho))
+          } catch { case _: Throwable => Iterator.empty }
+        }.toDF("key", "intercept", "slope", "rho")
+    }),
 
     // ---------------- dedup / similarity / text (LLM-pipeline extensions) ----------------
     "dd02_dedup_canonical" -> ((s, dir) =>
@@ -527,6 +573,22 @@ object SparkEntry {
            SELECT user_id, ts_us, sum(value) AS v FROM b GROUP BY 1, 2)
          SELECT ts_us, count(*) AS n_series, round(sum(v), 4) AS total
          FROM per_user GROUP BY 1""",
+    "ts20_filter_instant" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             round(max(value), 4) AS value
+           FROM events WHERE user_id < 8 GROUP BY 1, 2),
+         bad AS (
+           SELECT DISTINCT day_us FROM daily
+           WHERE user_id IN (0, 1, 2) AND NOT (value <= 180.0))
+         SELECT d.user_id, d.day_us, d.value FROM daily d
+         LEFT JOIN bad b ON d.day_us = b.day_us WHERE b.day_us IS NULL""",
+    "ts21_interval_diff" ->
+      """SELECT event_id, user_id, ts_us, value - base AS diff_1h FROM (
+         SELECT event_id, user_id, epoch_us(ts) AS ts_us, value,
+           last_value(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 3600000000 PRECEDING) AS base
+         FROM events) t""",
     "bd01_business_days" ->
       """SELECT epoch_us(date_trunc('day', ts)) AS day_us, count(*) AS n_events,
          round(sum(value), 4) AS total

@@ -234,6 +234,74 @@ object TimeSeriesOps {
       .drop("__loc")
   }
 
+  /** Expand each series onto a denser index; new instants are null (then
+    * optionally filled) — reference upsample semantics
+    * (UnivariateTimeSeries.scala:350-373) expressed as align to the denser
+    * grid. */
+  def upsample(df: DataFrame, denseIndex: DateTimeIndex,
+      fillMethod: Option[String] = None, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame =
+    align(df, denseIndex, fillMethod, key, ts, value)
+
+  /**
+   * x_t minus the latest value at or before t - interval, per key — the
+   * reference's differencesByFrequency as-of pattern (TimeSeries.scala:
+   * 200-235, locAtOrBefore probe) as one RANGE window: no self-join, one
+   * shuffle on the key.
+   */
+  def differencesByInterval(df: DataFrame, intervalTicks: Long,
+      key: String = "key", ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+      .rangeBetween(Window.unboundedPreceding, -intervalTicks)
+    df.withColumn("__base", last(col(value), ignoreNulls = true).over(w))
+      .withColumn(value, col(value) - col("__base"))
+      .drop("__base")
+  }
+
+  /** Point lookup of one series (reference findSeries: TimeSeriesRDD.scala:105-107). */
+  def findSeries(df: DataFrame, keyValue: String, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): Array[(Long, Double)] =
+    df.filter(col(key) === keyValue).orderBy(col(ts))
+      .select(col(ts).cast("long"), col(value).cast("double"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+
+  /** Per-series whole-vector transform on the series layout (reference
+    * mapSeries: TimeSeriesRDD.scala:249-260): each key's ARRAY<DOUBLE> is
+    * passed through `f` executor-locally. */
+  def mapSeries(df: DataFrame, f: Array[Double] => Array[Double],
+      key: String = "key", seriesCol: String = "series"): DataFrame = {
+    val fn = udf { (v: Seq[Double]) => f(v.toArray).toSeq }
+    df.withColumn(seriesCol, fn(col(seriesCol)))
+  }
+
+  /** MLlib interop: instants layout -> RowMatrix / IndexedRowMatrix
+    * (reference toRowMatrix/toIndexedRowMatrix: TimeSeriesRDD.scala:456-486). */
+  def toRowMatrix(instants: DataFrame, ts: String = "ts_nanos")
+      : org.apache.spark.mllib.linalg.distributed.RowMatrix = {
+    val valueCols = instants.columns.filter(_ != ts)
+    val rows = instants.select(valueCols.map(c => coalesce(col(c), lit(Double.NaN))): _*)
+      .rdd.map(r => org.apache.spark.mllib.linalg.Vectors.dense(
+        Array.tabulate(valueCols.length)(i => r.getDouble(i))))
+    new org.apache.spark.mllib.linalg.distributed.RowMatrix(rows)
+  }
+
+  def toIndexedRowMatrix(instants: DataFrame, index: DateTimeIndex,
+      ts: String = "ts_nanos")
+      : org.apache.spark.mllib.linalg.distributed.IndexedRowMatrix = {
+    val valueCols = instants.columns.filter(_ != ts)
+    val bcast = instants.sparkSession.sparkContext.broadcast(index)
+    val rows = instants
+      .select((col(ts).cast("long") +: valueCols.map(c => coalesce(col(c), lit(Double.NaN)))): _*)
+      .rdd.map { r =>
+        val loc = bcast.value.locAtNanos(r.getLong(0))
+        org.apache.spark.mllib.linalg.distributed.IndexedRow(loc.toLong,
+          org.apache.spark.mllib.linalg.Vectors.dense(
+            Array.tabulate(valueCols.length)(i => r.getDouble(i + 1))))
+      }
+    new org.apache.spark.mllib.linalg.distributed.IndexedRowMatrix(rows, index.size.toLong,
+      valueCols.length)
+  }
+
   // ---------------------------------------------------------------- cross-series instant filters
 
   /**
@@ -257,7 +325,7 @@ object TimeSeriesOps {
    * `filterKeys` (reference filterByInstant: TimeSeriesRDD.scala:158-184).
    */
   def filterByInstant(df: DataFrame, predicate: Column => Column,
-      filterKeys: Seq[String], key: String = "key", ts: String = "ts_nanos",
+      filterKeys: Seq[Any], key: String = "key", ts: String = "ts_nanos",
       value: String = "value"): DataFrame = {
     val bad = df.filter(col(key).isin(filterKeys: _*))
       .filter(!predicate(col(value)))
