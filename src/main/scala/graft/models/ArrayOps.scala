@@ -124,4 +124,24 @@ object ArrayOps {
     while (i < x.length) { s += x(i) * x(i); i += 1 }
     s
   }
+
+  /**
+   * Natural-cubic-spline fill over the non-NaN knots; only positions inside
+   * the knot range are interpolated (reference fillSpline semantics,
+   * UnivariateTimeSeries.scala:292-321 — whole-series kernel, used through
+   * TimeSeriesOps.mapSeries since splines need global knots).
+   */
+  def fillSpline(x: Array[Double]): Array[Double] = {
+    val knots = x.zipWithIndex.filter(!_._1.isNaN)
+    if (knots.length < 3) return x.clone() // spline needs >= 3 knots
+    val interp = new org.apache.commons.math3.analysis.interpolation.SplineInterpolator()
+    val f = interp.interpolate(knots.map(_._2.toDouble), knots.map(_._1))
+    val lo = knots.head._2
+    val hi = knots.last._2
+    Array.tabulate(x.length) { i =>
+      if (!x(i).isNaN) x(i)
+      else if (i >= lo && i <= hi) f.value(i.toDouble)
+      else x(i)
+    }
+  }
 }

@@ -200,6 +200,32 @@ object TimeSeriesOps {
     }
   }
 
+  /** Keep only series whose first non-null observation is at or before t
+    * (reference filterStartingBefore: TimeSeriesRDD.scala:140-145). */
+  def filterStartingBefore(df: DataFrame, tTicks: Long, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    val keep = df.filter(col(value).isNotNull)
+      .groupBy(col(key)).agg(min(col(ts)).as("__first"))
+      .filter(col("__first") <= tTicks).select(col(key))
+    df.join(broadcast(keep), Seq(key), "left_semi")
+  }
+
+  /** Keep only series whose last non-null observation is at or after t
+    * (reference filterEndingAfter: TimeSeriesRDD.scala:147-151). */
+  def filterEndingAfter(df: DataFrame, tTicks: Long, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    val keep = df.filter(col(value).isNotNull)
+      .groupBy(col(key)).agg(max(col(ts)).as("__last"))
+      .filter(col("__last") >= tTicks).select(col(key))
+    df.join(broadcast(keep), Seq(key), "left_semi")
+  }
+
+  /** Spline fill on the series (array) layout — whole-series kernel via
+    * mapSeries, since natural cubic splines need global knots. */
+  def fillSpline(df: DataFrame, key: String = "key",
+      seriesCol: String = "series"): DataFrame =
+    mapSeries(df, graft.models.ArrayOps.fillSpline, key, seriesCol)
+
   /** Drop leading null observations per key (reference trimLeading: UnivariateTimeSeries.scala:101-110). */
   def trimLeading(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
       value: String = "value"): DataFrame = {

@@ -45,6 +45,31 @@ class IoAndLayoutSpec extends AnyFunSuite with Matchers with SparkTestSession {
     out.toSeq shouldBe Seq(None, None, Some(20.0), Some(21.0))
   }
 
+  test("spline fill interpolates interior NaNs on the series layout") {
+    val s = spark
+    import s.implicits._
+    // x^2 at knots 0,1,2,4 — natural cubic spline through them recovers ~x^2 at 3
+    val df = Seq(("a", Seq(0.0, 1.0, 4.0, Double.NaN, 16.0, Double.NaN)))
+      .toDF("key", "series")
+    val out = TS.fillSpline(df).collect()(0).getAs[scala.collection.Seq[Double]]("series")
+    out(3) shouldBe 9.0 +- 1.5
+    out(5).isNaN shouldBe true // outside knot range stays NaN
+    // kernel-level check too
+    val filled = graft.models.ArrayOps.fillSpline(Array(0.0, 1.0, 4.0, Double.NaN, 16.0))
+    filled(3) shouldBe 9.0 +- 1.5
+  }
+
+  test("filterStartingBefore / filterEndingAfter keep covering series") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 10L, 1.0), ("a", 50L, 2.0), ("b", 30L, 3.0), ("b", 40L, 4.0))
+      .toDF("key", "ts_nanos", "value")
+    TS.filterStartingBefore(df, 20L).select("key").distinct()
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("a")
+    TS.filterEndingAfter(df, 45L).select("key").distinct()
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("a")
+  }
+
   test("mapSeries applies a whole-series kernel per key") {
     val s = spark
     import s.implicits._
