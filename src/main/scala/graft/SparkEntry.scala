@@ -15,9 +15,10 @@ object SparkEntry {
 
   /**
    * Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-   * End-to-end slice per SURVEY §7.2: events → daily resample per user →
-   * align to the full daily index (nulls where a user had no events) →
-   * linear fill → 7-day rolling mean.
+   * End-to-end slice per SURVEY §7.2, every layer touched: events → daily
+   * resample per user → align to the full daily index (nulls where a user
+   * had no events) → linear fill → 7-day rolling mean → per-key
+   * ARIMA(1,0,1) fit + 10-step forecast (mapGroups) → forecast observations.
    */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
@@ -31,7 +32,10 @@ object SparkEntry {
       (minUs to maxUs by dayUs).toArray) // micros units; index is unit-agnostic
     val aligned = TS.align(daily.select(col("user_id"), col("day_us"), col("value")),
       index, fillMethod = Some("linear"), key = "user_id", ts = "day_us", value = "value")
-    TS.rollMean(aligned, 7, RollAlign.Right, key = "user_id", ts = "day_us", value = "value")
+    val smoothed = TS.rollMean(aligned, 7, RollAlign.Right,
+      key = "user_id", ts = "day_us", value = "value")
+    graft.models.ModelOps.forecastArima(smoothed, 1, 0, 1, h = 10,
+      key = "user_id", ts = "day_us", value = "value").toDF()
   }
 
   /** One per implemented operator from SURVEY.md §2. */
