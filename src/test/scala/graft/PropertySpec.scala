@@ -1,0 +1,89 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.core._
+import graft.models.{ArrayOps, EWMAModel}
+
+/** ScalaCheck invariants for the Spark-free layers (index algebra,
+  * differencing, smoothing) — the property-based leg of the test strategy. */
+object PropertySpec extends Properties("graft") {
+
+  private val series: Gen[Array[Double]] =
+    Gen.nonEmptyListOf(Gen.choose(-1e6, 1e6)).map(_.toArray)
+
+  private def approxEq(a: Array[Double], b: Array[Double], tol: Double): Boolean =
+    a.length == b.length && a.zip(b).forall { case (x, y) =>
+      math.abs(x - y) <= tol + math.abs(y) * 1e-9
+    }
+
+  property("diffAtLag/inverse round-trip") =
+    forAll(series, Gen.choose(1, 5)) { (x, lag) =>
+      approxEq(ArrayOps.inverseDiffAtLag(ArrayOps.diffAtLag(x, lag), lag), x, 1e-6)
+    }
+
+  property("diffOfOrder/inverse round-trip") =
+    forAll(series, Gen.choose(0, 3)) { (x, d) =>
+      approxEq(ArrayOps.inverseDiffOfOrder(ArrayOps.diffOfOrder(x, d), d), x, 1e-4)
+    }
+
+  property("EWMA add/remove inverse") =
+    forAll(series, Gen.choose(0.05, 0.95)) { (x, a) =>
+      val m = EWMAModel(a)
+      approxEq(m.removeTimeDependentEffects(m.addTimeDependentEffects(x)), x, 1e-6)
+    }
+
+  private val sortedInstants: Gen[Array[Long]] =
+    Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))
+      .map(_.distinct.sorted.toArray).suchThat(_.nonEmpty)
+
+  property("irregular locAtOrBefore/After bracket every probe") =
+    forAll(sortedInstants, Gen.choose(-10L, 1000010L)) { (instants, probe) =>
+      val idx = IrregularDateTimeIndex(instants)
+      val before = idx.locAtOrBeforeNanos(probe)
+      val after = idx.locAtOrAfterNanos(probe)
+      val beforeOk = (before < 0 || instants(before) <= probe) &&
+        (before + 1 >= instants.length || instants(before + 1) > probe)
+      val afterOk = (after >= instants.length || instants(after) >= probe) &&
+        (after - 1 < 0 || instants(after - 1) < probe)
+      val hitOk = idx.locAtNanos(probe) < 0 || before == after
+      beforeOk && afterOk && hitOk
+    }
+
+  property("irregular slice = in-range instants") =
+    forAll(sortedInstants, Gen.choose(0L, 1000000L), Gen.choose(0L, 1000000L)) {
+      (instants, a, b) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        val expected = instants.filter(t => t >= lo && t <= hi)
+        expected.isEmpty ||
+          IrregularDateTimeIndex(instants).sliceNanos(lo, hi)
+            .toNanosArray.sameElements(expected)
+    }
+
+  property("uniform index loc->time->loc identity") =
+    forAll(Gen.choose(0L, 4102444800L), Gen.choose(1, 200), Gen.choose(1, 48)) {
+      (startSec, periods, hours) =>
+        val start = java.time.Instant.ofEpochSecond(startSec)
+          .atZone(java.time.ZoneOffset.UTC)
+        val idx = DateTimeIndex.uniform(start, periods, Frequency.hours(hours.toLong))
+        Seq(0, periods / 2, periods - 1).forall(l => idx.locAtNanos(idx.nanosAtLoc(l)) == l)
+    }
+
+  property("business-day advance/difference inverse") =
+    forAll(Gen.choose(19700, 21900), Gen.choose(1, 60)) { (epochDay, n) =>
+      val bd = Frequency.businessDays(1)
+      val start0 = java.time.LocalDate.ofEpochDay(epochDay.toLong)
+        .atStartOfDay(java.time.ZoneOffset.UTC)
+      val start = if (bd.isBusinessDay(start0)) start0 else bd.advance(start0, 1)
+      val end = bd.advance(start, n)
+      bd.isBusinessDay(end) && bd.difference(start, end) == n &&
+        bd.advance(end, -n) == start
+    }
+
+  property("index tag codec round-trips") =
+    forAll(sortedInstants) { instants =>
+      val idx = IrregularDateTimeIndex(instants)
+      DateTimeIndex.parse(idx.tag) == idx
+    }
+}
