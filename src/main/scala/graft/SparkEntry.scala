@@ -286,6 +286,47 @@ object SparkEntry {
       graft.models.ModelOps.autoFitArima(
         obs(s, dir).filter(col("user_id") < 20),
         key = "user_id", ts = "ts_us", value = "value").toDF()),
+    "m12_arimax" -> ((s, dir) => {
+      // per-user daily mean value with the daily event count as an
+      // exogenous regressor: ARIMAX(1,0,0; xLag=1)
+      val s2 = s
+      import s2.implicits._
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), unix_micros(date_trunc("DAY",
+          timestamp_micros(col("ts_us")))).as("day_us"))
+        .agg(avg("value").as("value"), count(lit(1)).cast("double").as("n_events"))
+      daily.select(col("user_id").cast("string").as("key"), col("day_us"),
+          col("value"), col("n_events"))
+        .as[(String, Long, Double, Double)]
+        .groupByKey(_._1)
+        .flatMapGroups { (k, it) =>
+          val pts = it.toArray.sortBy(_._2)
+          try {
+            val y = pts.map(_._3)
+            val x = pts.map(p => Array(p._4))
+            val m = graft.models.ARIMAX.fitModel(1, 0, 0, y, x, xLag = 1)
+            Iterator.single((k, m.intercept, m.arCoefs.headOption.getOrElse(0.0),
+              m.xCoefs(0)(0), m.xCoefs(0)(1)))
+          } catch { case _: Throwable => Iterator.empty }
+        }.toDF("key", "intercept", "ar1", "beta_x0", "beta_x1")
+    }),
+    "sp01_spline_series" -> ((s, dir) => {
+      // series-layout pipeline: daily obs -> conform to index (NaN gaps) ->
+      // spline fill kernel -> melt back to observations
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id").cast("string").as("key"),
+          unix_micros(date_trunc("DAY", timestamp_micros(col("ts_us")))).as("day_us"))
+        .agg(avg("value").as("value"))
+      val Array(minUs, maxUs) = daily.agg(min("day_us"), max("day_us"))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val index = graft.core.IrregularDateTimeIndex(
+        (minUs to maxUs by 86400000000L).toArray)
+      val series = TS.toSeries(daily, index, key = "key", ts = "day_us", value = "value")
+      val filled = TS.fillSpline(series)
+      TS.fromSeries(filled, index, key = "key")
+        .select(col("key"), col("ts_nanos").as("day_us"),
+          round(col("value"), 6).as("value"))
+    }),
     "m11_cochrane_orcutt" -> ((s, dir) => {
       // regression of each user's daily mean on the day rank, AR(1) errors
       val s2 = s

@@ -98,8 +98,12 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
+    // the shingle frame feeds three plan branches (signatures + both sides
+    // of the verify join) — persist it so the scan + shingling + signature
+    // UDF run once, not three times
     val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val withSig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
     val cands = minhashCandidates(withSig, "id", "sig", bands)
     val sh = withSh.select(col("id"), col("sh"))
