@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  test("tumbling streaming resample aggregates per key and event-time window") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingResample.tumbling(
+      input.toDF().toDF("key", "ts", "value"), "10 minutes", "5 minutes", sum)
+    val query = out.writeStream.format("memory").queryName("tumble_out")
+      .outputMode("update").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData(("a", t(1), 1.0), ("a", t(5), 2.0), ("a", t(12), 4.0),
+        ("b", t(3), 10.0))
+      query.processAllAvailable()
+      // late-but-in-watermark data merges into its window
+      input.addData(("a", t(8), 100.0))
+      query.processAllAvailable()
+      val rows = s.sql(
+        """SELECT key, bucket_start, max(value) AS v FROM tumble_out
+           GROUP BY key, bucket_start ORDER BY key, bucket_start""").collect()
+      val byKey = rows.map(r => (r.getString(0), r.getTimestamp(1).toString, r.getDouble(2)))
+      byKey should contain(("a", "2024-01-01 10:00:00.0", 103.0)) // 1+2+100
+      byKey should contain(("a", "2024-01-01 10:10:00.0", 4.0))
+      byKey should contain(("b", "2024-01-01 10:00:00.0", 10.0))
+    } finally query.stop()
+  }
+
+  test("sliding streaming windows produce overlapping buckets") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingResample.sliding(
+      input.toDF().toDF("key", "ts", "value"), "10 minutes", "5 minutes", "5 minutes")
+    val query = out.writeStream.format("memory").queryName("slide_out")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", Timestamp.valueOf("2024-01-01 10:07:00"), 6.0))
+      query.processAllAvailable()
+      // one event falls into two sliding windows: [10:00,10:10) and [10:05,10:15)
+      val starts = s.sql("SELECT DISTINCT bucket_start FROM slide_out").collect()
+        .map(_.getTimestamp(0).toString).sorted
+      starts.toSeq shouldBe Seq("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0")
+    } finally query.stop()
+  }
+}
