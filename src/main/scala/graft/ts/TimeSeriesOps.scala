@@ -395,15 +395,34 @@ object TimeSeriesOps {
    * (reference design doc src/site/markdown/index.md:35-40).
    */
   def align(df: DataFrame, index: DateTimeIndex, fillMethod: Option[String] = None,
-      key: String = "key", ts: String = "ts_nanos", value: String = "value"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val idxDf = index.toNanosArray.toSeq.toDF(ts)
-    val keys = df.select(col(key)).distinct()
-    val grid = keys.crossJoin(broadcast(idxDf))
-    val aligned = grid.join(df, Seq(key, ts), "left")
-    fillMethod.map(m => fill(aligned, m, key = key, ts = ts, value = value))
-      .getOrElse(aligned)
+      key: String = "key", ts: String = "ts_nanos", value: String = "value",
+      strategy: String = "series"): DataFrame = strategy match {
+    case "series" =>
+      // One shuffle total: group observations per key (hash on key), scatter
+      // into an index-sized array map-side, melt back with the index mapped
+      // through an embedded literal (the index is driver-small by design),
+      // then fill — the fill window's partitionBy(key) is satisfied by the
+      // groupBy's hash partitioning, so Catalyst plans NO further exchange.
+      val idxLit = typedlit(index.toNanosArray.toSeq)
+      val melted = toSeries(df, index, key, ts, value)
+        .select(col(key), posexplode(col("series")).as(Seq("__loc", value)))
+        .withColumn(value, when(isnan(col(value)), lit(null)).otherwise(col(value)))
+        .withColumn(ts, element_at(idxLit, col("__loc") + 1))
+        .drop("__loc")
+      fillMethod.map(m => fill(melted, m, key = key, ts = ts, value = value))
+        .getOrElse(melted)
+    case "join" =>
+      // Relational formulation: key-grid left join (shuffles on (key, ts),
+      // and a fill would re-shuffle on key). Kept for comparison/debugging.
+      val spark = df.sparkSession
+      import spark.implicits._
+      val idxDf = index.toNanosArray.toSeq.toDF(ts)
+      val keys = df.select(col(key)).distinct()
+      val grid = keys.crossJoin(broadcast(idxDf))
+      val aligned = grid.join(df, Seq(key, ts), "left")
+      fillMethod.map(m => fill(aligned, m, key = key, ts = ts, value = value))
+        .getOrElse(aligned)
+    case other => throw new IllegalArgumentException(s"unknown align strategy: $other")
   }
 
   /**
