@@ -520,12 +520,8 @@ object TimeSeriesOps {
     val idxDf = index.toNanosArray.zipWithIndex.toSeq.toDF(ts, "__loc")
     df.join(broadcast(idxDf), Seq(ts))
       .groupBy(col(key))
-      .agg(sort_array(collect_list(struct(col("__loc"), col(value)))).as("__pairs"))
-      .withColumn("series",
-        // dense NaN-initialized array scattered from (loc, value) pairs
-        expr(s"""transform(sequence(0, ${index.size - 1}, 1), i ->
-          coalesce(element_at(map_from_entries(__pairs), i), cast('NaN' as double)))"""))
-      .select(col(key), col("series"))
+      .agg(graft.plans.ScatterToSeries(col("__loc"), col(value), index.size)
+        .as("series"))
   }
 
   /** series layout -> observations (reference toObservationsDataFrame:
