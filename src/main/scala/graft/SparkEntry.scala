@@ -384,6 +384,11 @@ object SparkEntry {
       graft.sim.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
         planes = 4, probeBits = 2)
     }),
+    "sm03_knn_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nlist = 8, nprobe = 4)
+    }),
     "tx02_quality" -> ((s, dir) =>
       graft.text.TextFunctions.qualityScore(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_tokens"),

@@ -85,6 +85,52 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k: a coarse k-means quantizer
+   * (spark.ml KMeans) assigns every corpus vector to one of `nlist` cells;
+   * each query probes its `nprobe` nearest centroids and ranks only those
+   * cells' members by exact cosine. The scale path for clustered embedding
+   * spaces: cost ~ corpus/nlist * nprobe per query instead of the full scan.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
+      nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val toD = (c: Column) => transform(c, x => x.cast("double"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), toD(col(vecCol)).as("nv"))
+      .withColumn("nn", norm(col("nv")))
+      .withColumn("features", array_to_vector(col("nv")))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+    val model = km.fit(c)
+    val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
+      .select("neighbor_id", "nv", "nn", "cell")
+    // query -> its nprobe nearest centroids (centroid list is tiny: driver math)
+    val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
+    val spark = corpus.sparkSession
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+    val probeCells = udf { (v: Seq[Double]) =>
+      bcCentroids.value.map { case (ctr, cell) =>
+        var d = 0.0
+        var i = 0
+        while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+        (d, cell)
+      }.sortBy(_._1).take(nprobe).map(_._2)
+    }
+    val q = queries.select(col(idCol).as("query_id"), toD(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+      .withColumn("cell", explode(probeCells(col("qv"))))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    assigned.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dot(col("nv"), col("qv")) / (col("nn") * col("qn")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /**
    * Approximate top-k: probe only the query's LSH bucket (plus optionally
    * neighboring buckets via multi-probe on `probeBits` single-bit flips),
    * then rank candidates by exact cosine.

@@ -185,6 +185,17 @@ class ModelKernelsSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("ARIMA autoFit chooses d=0 on stationary data, d>=1 on a random walk") {
+    val m1 = ARIMA.autoFit(rArimaData, maxP = 2, maxQ = 2)
+    m1.d shouldBe 0
+    m1.isStationary shouldBe true
+    val rand = new MersenneTwister(21L)
+    var s = 0.0
+    val walk = Array.fill(400) { s += rand.nextGaussian(); s }
+    val m2 = ARIMA.autoFit(walk, maxP = 2, maxQ = 2)
+    m2.d should be >= 1
+  }
+
   // ---------------------------------------------------------------- ARX / ARIMAX / Cochrane-Orcutt
 
   test("ARX recovers a known linear + lag structure") {

@@ -68,6 +68,24 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     out(0).getAs[Double]("cosine") should be > 0.99
   }
 
+  test("IVF top-k recalls the true nearest neighbors on clustered vectors") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    // two tight clusters far apart: IVF must find same-cluster neighbors
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0.0f, 0.0f, 0.0f) else Array(0.0f, 10.0f, 0.0f, 0.0f)
+      (i.toLong, base.map(v => v + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), 5)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val ivf = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") === 0), 5,
+      nlist = 2, nprobe = 1)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    ivf shouldBe exact // same cluster -> full recall with 1 probe
+    ivf.foreach(n => n % 2 shouldBe 0) // all neighbors from the even cluster
+  }
+
   test("hyperplane LSH buckets identical vectors together") {
     val s = spark
     import s.implicits._
