@@ -171,6 +171,13 @@ class TimeSeriesOpsSpec extends AnyFunSuite with Matchers with SparkTestSession 
     out(1).isNullAt(2) shouldBe true
   }
 
+  test("fluent syntax chains operators with the declared column roles") {
+    import graft.ts.syntax._
+    val df = obs(("a", 1L, 1.0), ("a", 2L, null), ("a", 3L, 3.0), ("a", 4L, 4.0))
+    val out = df.asTimeSeries().fill("linear").differences().df
+    values(out, "a") shouldBe Seq(Some(1.0), Some(1.0), Some(1.0))
+  }
+
   test("seriesStats per key") {
     val df = obs(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0))
     val r = TS.seriesStats(df).collect()(0)
