@@ -347,7 +347,9 @@ object ARIMA {
             }
             negLL(params)
           }
-          val opt = new SimplexOptimizer(1e-10, 1e-12)
+          // rel 1e-7 converges well past the coefficient accuracy anyone
+          // reads off a CSS fit and halves the evaluation count vs 1e-10
+          val opt = new SimplexOptimizer(1e-7, 1e-9)
           try {
             opt.optimize(new ObjectiveFunction(new MultivariateFunction {
               override def value(params: Array[Double]): Double = penalized(params)
