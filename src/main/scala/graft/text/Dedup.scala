@@ -42,22 +42,22 @@ object Dedup {
       s => s.isNotNull))
   }
 
-  private val Prime = 2038074743L // large 31-bit prime for the hash family
-
   /** MinHash signature of a shingle array: numHashes permutation minima.
-    * Implemented as a deterministic (a_i·h + b_i) mod p family over a murmur
-    * base hash, computed per-row in a UDF (per-doc local work, no shuffle). */
+    * Deterministic multiply-add-mask family (odd multipliers over a murmur
+    * base hash — modulo-free: the signature stage only needs a uniform hash
+    * family, exactness comes from the Jaccard verification stage), computed
+    * per-row in a UDF (per-doc local work, no shuffle). */
   def minhashSignature(shingleCol: Column, numHashes: Int, seed: Int = 42): Column = {
     val rng = new java.util.Random(seed)
-    val as = Array.fill(numHashes)(1 + rng.nextInt(Int.MaxValue - 1).toLong)
-    val bs = Array.fill(numHashes)(rng.nextInt(Int.MaxValue).toLong)
+    val as = Array.fill(numHashes)(rng.nextLong() | 1L) // odd multipliers
+    val bs = Array.fill(numHashes)(rng.nextLong())
     val f = udf { (sh: Seq[String]) =>
       val sig = Array.fill(numHashes)(Long.MaxValue)
       sh.foreach { s =>
         val base = (MurmurHash3.stringHash(s).toLong & 0xffffffffL)
         var i = 0
         while (i < numHashes) {
-          val h = (as(i) * base + bs(i)) % Prime
+          val h = (as(i) * base + bs(i)) & Long.MaxValue
           if (h < sig(i)) sig(i) = h
           i += 1
         }
@@ -65,6 +65,47 @@ object Dedup {
       sig
     }
     f(shingleCol)
+  }
+
+  /**
+   * MinHash signature straight from the text: shingle hashes are combined
+   * from per-token murmur hashes, so no shingle strings are ever
+   * materialized (profiled: shingle-string construction dominated the whole
+   * pipeline). Duplicate shingles re-minimize harmlessly — minhash over a
+   * multiset equals minhash over the set.
+   */
+  def minhashSignatureFromText(textCol: Column, k: Int, numHashes: Int,
+      seed: Int = 42): Column = {
+    val rng = new java.util.Random(seed)
+    val as = Array.fill(numHashes)(rng.nextLong() | 1L)
+    val bs = Array.fill(numHashes)(rng.nextLong())
+    val f = udf { (text: String) =>
+      val toks = text.split(' ')
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      if (toks.length >= k) {
+        val th = new Array[Long](toks.length)
+        var t = 0
+        while (t < toks.length) {
+          th(t) = MurmurHash3.stringHash(toks(t)).toLong & 0xffffffffL
+          t += 1
+        }
+        var i = 0
+        while (i + k <= toks.length) {
+          var base = th(i)
+          var j = 1
+          while (j < k) { base = base * 1000003L + th(i + j); j += 1 }
+          var m = 0
+          while (m < numHashes) {
+            val h = (as(m) * base + bs(m)) & Long.MaxValue
+            if (h < sig(m)) sig(m) = h
+            m += 1
+          }
+          i += 1
+        }
+      }
+      sig
+    }
+    f(textCol)
   }
 
   /**
@@ -98,20 +139,26 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
-    // the shingle frame feeds three plan branches (signatures + both sides
-    // of the verify join) — persist it so the scan + shingling + signature
-    // UDF run once, not three times
-    val withSh = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val withSig = withSh.withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val cands = minhashCandidates(withSig, "id", "sig", bands)
-    val sh = withSh.select(col("id"), col("sh"))
+    // signatures come straight from token hashes (no shingle strings) over
+    // the whole corpus; real shingle arrays are only materialized for the
+    // candidate docs during exact-Jaccard verification. Repartition first: a
+    // small input file arrives as one scan partition, which would serialize
+    // the per-doc hashing onto a single core.
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.repartition(parallelism)
+      .select(col(idCol).as("id"), col(textCol).as("__text"))
+    val withSig = base.withColumn("sig",
+      minhashSignatureFromText(col("__text"), k, numHashes))
+    val cands = minhashCandidates(withSig.select(col("id"), col("sig")), "id", "sig", bands)
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val candSh = base.join(broadcast(candIds), "id")
+      .select(col("id"), shingles(col("__text"), k).as("sh"))
     cands
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(candSh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(candSh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
-      .filter(col("jaccard") >= threshold)
+      .filter(col("jaccard") >= threshold && size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
