@@ -198,7 +198,8 @@ object Dedup {
    */
   def simhashNearDuplicates(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val sigs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val chunks = array((0 until 4).map(b =>
       shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)
     val banded = sigs.select(col("id"), col("sig"),
@@ -226,7 +227,8 @@ object Dedup {
   def embeddingNearDuplicates(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.95,
       planes: Int = 16): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .select(col(idCol).as("id"),
       graft.sim.Similarity.normalized(col(vecCol)).as("v"))
       .withColumn("bucket", graft.sim.Similarity.hyperplaneSignature(col("v"), planes))
     val a = sigs.as("a")
