@@ -12,17 +12,36 @@ object Bench {
     // timed query doesn't absorb ~10s of one-time startup cost
     Tables.lineitem(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
+    // a crashed query must fail LOUDLY: its error is recorded per-query in
+    // the JSON (never a silent time-to-crash masquerading as a fast pass)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val err: Option[String] =
+        try { fn(spark, sfDir).count(); None }
+        catch { case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
       val secs = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $secs%8.2f s")
-      name -> secs
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      val tag = if (err.isDefined) " FAILED" else ""
+      System.err.println(f"[bench] $name%-28s $secs%8.2f s$tag")
+      (name, secs, err)
+    }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":${jstr(e)}" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._3.isDefined)
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed > 0) {
+      System.err.println(s"[bench] $failed quer${if (failed == 1) "y" else "ies"} FAILED")
+      sys.exit(1)
+    }
   }
 }

@@ -112,8 +112,10 @@ object SparkEntry {
           round(col("stdev"), 6).as("stdev"), col("min"), col("max"))
     }),
     "ts07_returnrates" -> ((s, dir) => {
+      // no rounding: IEEE division is bit-identical in Spark and DuckDB,
+      // while round() ties on dyadic quotients differ (HALF_UP vs half-even)
       TS.returnRates(obs(s, dir), key = "user_id", ts = "ts_us", value = "value")
-        .select(col("user_id"), col("ts_us"), round(col("value"), 8).as("ret"))
+        .select(col("user_id"), col("ts_us"), col("value").as("ret"))
     }),
     "ts08_asof" -> ((s, dir) => {
       val ev = Tables.events(s, dir)
@@ -131,7 +133,7 @@ object SparkEntry {
     }),
     "ts10_quotients" -> ((s, dir) => {
       TS.quotients(obs(s, dir), 1, key = "user_id", ts = "ts_us", value = "value")
-        .select(col("user_id"), col("ts_us"), round(col("value"), 8).as("quot"))
+        .select(col("user_id"), col("ts_us"), col("value").as("quot"))
     }),
 
     // ---------------- LLM-pipeline extensions ----------------
@@ -246,14 +248,24 @@ object SparkEntry {
     // ---------------- model fits (SURVEY §2.8/2.9; not SQL-expressible,
     // driver records rows-only checks) ----------------
     "m01_arima_fit" -> ((s, dir) =>
+      // coefficients flattened to scalar columns: the driver's pandas
+      // comparator cannot sort array cells
       graft.models.ModelOps.fitArima(obs(s, dir), 1, 0, 1,
-        key = "user_id", ts = "ts_us", value = "value").toDF()),
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key"), col("p"), col("d"), col("q"),
+          try_element_at(col("coefficients"), lit(1)).as("intercept"),
+          try_element_at(col("coefficients"), lit(2)).as("ar_1"),
+          try_element_at(col("coefficients"), lit(3)).as("ma_1"),
+          col("logLikelihood"), col("aic"), col("stationary"), col("invertible"))),
     "m02_ewma_fit" -> ((s, dir) =>
       graft.models.ModelOps.fitEwma(obs(s, dir),
         key = "user_id", ts = "ts_us", value = "value").toDF()),
     "m03_ar_fit" -> ((s, dir) =>
       graft.models.ModelOps.fitAr(obs(s, dir), 2,
-        key = "user_id", ts = "ts_us", value = "value").toDF()),
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key"), col("c"),
+          try_element_at(col("coefficients"), lit(1)).as("ar_1"),
+          try_element_at(col("coefficients"), lit(2)).as("ar_2"))),
     "m04_arima_forecast" -> ((s, dir) =>
       graft.models.ModelOps.forecastArima(obs(s, dir), 1, 0, 1, h = 5,
         key = "user_id", ts = "ts_us", value = "value").toDF()),
@@ -285,7 +297,12 @@ object SparkEntry {
       // query a constant-cost smoke of the capability at any SF
       graft.models.ModelOps.autoFitArima(
         obs(s, dir).filter(col("user_id") < 20),
-        key = "user_id", ts = "ts_us", value = "value").toDF()),
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key"), col("p"), col("d"), col("q"),
+          try_element_at(col("coefficients"), lit(1)).as("coef_1"),
+          try_element_at(col("coefficients"), lit(2)).as("coef_2"),
+          try_element_at(col("coefficients"), lit(3)).as("coef_3"),
+          col("logLikelihood"), col("aic"))),
     "m12_arimax" -> ((s, dir) => {
       // per-user daily mean value with the daily event count as an
       // exogenous regressor: ARIMAX(1,0,0; xLag=1)
@@ -365,16 +382,17 @@ object SparkEntry {
       val b = t.select(col("doc_id").as("id_b"), col("toks").as("tb"))
       a.join(b, col("id_a") < col("id_b"))
         .withColumn("jaccard",
-          size(array_intersect(col("ta"), col("tb"))).cast("double") /
-            size(array_union(col("ta"), col("tb"))).cast("double"))
+          try_divide(size(array_intersect(col("ta"), col("tb"))).cast("double"),
+            size(array_union(col("ta"), col("tb"))).cast("double")))
         .filter(col("jaccard") >= 0.65)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
     "dd06_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are unclustered (max cosine ~0.3), so the
-      // "near-dup" threshold is set low to exercise the pipeline end-to-end
+      // "near-dup" threshold is set low and the bands short (4 bits) to
+      // exercise the banded-LSH pipeline end-to-end with non-empty output
       graft.text.Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir),
-        threshold = 0.2, planes = 4)),
+        threshold = 0.2, bands = 8, planesPerBand = 4)),
     "sm01_knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.sim.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -481,7 +499,7 @@ object SparkEntry {
          round(stddev_samp(value),6) AS stdev, min(value) AS min, max(value) AS max
          FROM events GROUP BY user_id""",
     "ts07_returnrates" ->
-      """SELECT user_id, ts_us, round(r,8) AS ret FROM (
+      """SELECT user_id, ts_us, r AS ret FROM (
          SELECT user_id, epoch_us(ts) AS ts_us,
            value / lag(value,1) OVER w - 1.0 AS r, row_number() OVER w AS rn
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
@@ -500,7 +518,7 @@ object SparkEntry {
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
          ) t WHERE (rn - 1) % 10 = 0""",
     "ts10_quotients" ->
-      """SELECT user_id, ts_us, round(q,8) AS quot FROM (
+      """SELECT user_id, ts_us, q AS quot FROM (
          SELECT user_id, epoch_us(ts) AS ts_us,
            value / lag(value,1) OVER w AS q, row_number() OVER w AS rn
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))

@@ -29,6 +29,10 @@ object Verify {
       case '\r' => "\\r"
       case '\t' => "\\t"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
+      // \u-escape everything non-ASCII too: stopword literals like 'für' or
+      // Chinese chars must survive any encoding the driver's oracle harness
+      // reads the JSON with (surrogate halves escape to valid JSON pairs)
+      case c if c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql

@@ -1,0 +1,223 @@
+package graft.api.java
+
+import java.{lang => jl, util => ju}
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.DateTimeIndex
+import graft.models.ModelOps
+import graft.ts.{RollAlign, TimeSeriesOps => TS}
+
+/**
+ * Java-friendly facade over the engine (reference parity surface:
+ * api/java/JavaTimeSeriesRDD.scala:1-303 wraps the RDD API for Java
+ * callers). graft is DataFrame-first, so most of the library is already
+ * Java-usable; this facade removes the remaining Scala-isms — default
+ * arguments, `Option`, `Map[..,(..,..)]` tuples, `Enumeration` values and
+ * `Column => Column` lambdas — behind explicit-argument methods taking
+ * plain strings and `java.util` collections. Compiled-from-Java usage is
+ * proven by [[graft.api.java.JavaApiExample]] (a .java source).
+ */
+object JavaTimeSeriesOps {
+
+  private def alignOf(name: String): RollAlign.Value = name.toLowerCase match {
+    case "left" => RollAlign.Left
+    case "center" => RollAlign.Center
+    case "right" => RollAlign.Right
+    case other => throw new IllegalArgumentException(s"no such alignment: $other")
+  }
+
+  private def aggOf(name: String): Column => Column = name.toLowerCase match {
+    case "sum" => sum(_)
+    case "mean" | "avg" => avg(_)
+    case "min" => min(_)
+    case "max" => max(_)
+    case "count" => count(_)
+    case "first" => first(_)
+    case "last" => last(_)
+    case other => throw new IllegalArgumentException(s"no such aggregate: $other")
+  }
+
+  def lags(df: DataFrame, maxLag: Int, trim: Boolean,
+      key: String, ts: String, value: String): DataFrame =
+    TS.lags(df, maxLag, trim, key, ts, value)
+
+  /** Per-key lag spec; each key maps to [keepOriginal, maxLag]. */
+  def lagsPerKey(df: DataFrame, spec: ju.Map[String, Array[AnyRef]],
+      key: String, ts: String, value: String): DataFrame = {
+    val sSpec = scala.collection.immutable.Map.newBuilder[String, (Boolean, Int)]
+    spec.forEach { (k, v) =>
+      sSpec += k -> (v(0).asInstanceOf[jl.Boolean].booleanValue(),
+        v(1).asInstanceOf[jl.Number].intValue())
+    }
+    TS.lags(df, sSpec.result(), key, ts, value)
+  }
+
+  def differences(df: DataFrame, n: Int, key: String, ts: String, value: String): DataFrame =
+    TS.differences(df, n, key, ts, value)
+
+  def quotients(df: DataFrame, n: Int, key: String, ts: String, value: String): DataFrame =
+    TS.quotients(df, n, key, ts, value)
+
+  def returnRates(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    TS.returnRates(df, key, ts, value)
+
+  /** alignment: "left" | "center" | "right". */
+  def rollSum(df: DataFrame, n: Int, alignment: String,
+      key: String, ts: String, value: String): DataFrame =
+    TS.rollSum(df, n, alignOf(alignment), key, ts, value)
+
+  def rollMean(df: DataFrame, n: Int, alignment: String,
+      key: String, ts: String, value: String): DataFrame =
+    TS.rollMean(df, n, alignOf(alignment), key, ts, value)
+
+  /** method: previous|next|nearest|linear|value|zero|linearTime. */
+  def fill(df: DataFrame, method: String, fillValue: Double,
+      key: String, ts: String, value: String): DataFrame =
+    TS.fill(df, method, fillValue, key, ts, value)
+
+  def slice(df: DataFrame, startNanos: Long, endNanos: Long, ts: String): DataFrame =
+    TS.slice(df, startNanos, endNanos, ts)
+
+  def downsample(df: DataFrame, n: Int, phase: Int,
+      key: String, ts: String, value: String): DataFrame =
+    TS.downsample(df, n, phase, key, ts, value)
+
+  def trimLeading(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    TS.trimLeading(df, key, ts, value)
+
+  def trimTrailing(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    TS.trimTrailing(df, key, ts, value)
+
+  def filterStartingBefore(df: DataFrame, tTicks: Long,
+      key: String, ts: String, value: String): DataFrame =
+    TS.filterStartingBefore(df, tTicks, key, ts, value)
+
+  def filterEndingAfter(df: DataFrame, tTicks: Long,
+      key: String, ts: String, value: String): DataFrame =
+    TS.filterEndingAfter(df, tTicks, key, ts, value)
+
+  def removeInstantsWithNaNs(df: DataFrame,
+      key: String, ts: String, value: String): DataFrame =
+    TS.removeInstantsWithNaNs(df, key, ts, value)
+
+  def seriesStats(df: DataFrame, key: String, value: String): DataFrame =
+    TS.seriesStats(df, key, value)
+
+  def autocorr(df: DataFrame, lagsWanted: ju.List[jl.Integer],
+      key: String, ts: String, value: String): DataFrame = {
+    val s = scala.collection.mutable.ArrayBuffer.empty[Int]
+    lagsWanted.forEach(i => s += i.intValue())
+    TS.autocorr(df, s.toSeq, key, ts, value)
+  }
+
+  /** aggregate: sum|mean|min|max|count|first|last. */
+  def resample(df: DataFrame, widthNanos: Long, aggregate: String,
+      closedRight: Boolean, stampRight: Boolean, originNanos: Long,
+      key: String, ts: String, value: String): DataFrame =
+    TS.resample(df, widthNanos, aggOf(aggregate), closedRight, stampRight,
+      originNanos, key, ts, value)
+
+  /** fillMethod may be null for no fill. */
+  def align(df: DataFrame, index: DateTimeIndex, fillMethod: String,
+      key: String, ts: String, value: String): DataFrame =
+    TS.align(df, index, Option(fillMethod), key, ts, value)
+
+  def asofJoin(left: DataFrame, right: DataFrame, valueOut: String,
+      toleranceNanos: Long, key: String, ts: String, rightValue: String): DataFrame =
+    TS.asofJoin(left, right, valueOut, toleranceNanos, key, ts, rightValue)
+
+  def toInstants(df: DataFrame, keys: ju.List[String],
+      key: String, ts: String, value: String): DataFrame = {
+    val s = scala.collection.mutable.ArrayBuffer.empty[String]
+    keys.forEach(k => s += k)
+    TS.toInstants(df, s.toSeq, key, ts, value)
+  }
+
+  def toSeries(df: DataFrame, index: DateTimeIndex,
+      key: String, ts: String, value: String): DataFrame =
+    TS.toSeries(df, index, key, ts, value)
+
+  def fromSeries(df: DataFrame, index: DateTimeIndex,
+      key: String, seriesCol: String): DataFrame =
+    TS.fromSeries(df, index, key, seriesCol)
+}
+
+/** Java facade over the per-key model fits (all results as DataFrames). */
+object JavaModelOps {
+
+  def fitArima(df: DataFrame, p: Int, d: Int, q: Int,
+      key: String, ts: String, value: String): DataFrame =
+    ModelOps.fitArima(df, p, d, q, key, ts, value).toDF()
+
+  def autoFitArima(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    ModelOps.autoFitArima(df, key, ts, value).toDF()
+
+  def forecastArima(df: DataFrame, p: Int, d: Int, q: Int, h: Int,
+      key: String, ts: String, value: String): DataFrame =
+    ModelOps.forecastArima(df, p, d, q, h, key, ts, value).toDF()
+
+  def fitEwma(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    ModelOps.fitEwma(df, key, ts, value).toDF()
+
+  def fitAr(df: DataFrame, p: Int, key: String, ts: String, value: String): DataFrame =
+    ModelOps.fitAr(df, p, key, ts, value).toDF()
+
+  def fitGarch(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    ModelOps.fitGarch(df, key, ts, value).toDF()
+
+  def fitHoltWinters(df: DataFrame, period: Int,
+      key: String, ts: String, value: String): DataFrame =
+    ModelOps.fitHoltWinters(df, period, key, ts, value).toDF()
+
+  def adf(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    ModelOps.adfAll(df, key, ts, value).toDF()
+
+  def kpss(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    ModelOps.kpssAll(df, key, ts, value).toDF()
+
+  def ljungBox(df: DataFrame, lags: Int,
+      key: String, ts: String, value: String): DataFrame =
+    ModelOps.ljungBoxAll(df, lags, key, ts, value).toDF()
+}
+
+/** Java facade over dedup / similarity / text analysis. */
+object JavaPipelineOps {
+
+  def dedupExact(df: DataFrame, textCol: String, idCol: String,
+      canonical: Boolean): DataFrame =
+    graft.text.Dedup.exact(df, textCol, idCol, canonical)
+
+  def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      k: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame =
+    graft.text.Dedup.minhashNearDuplicates(df, textCol, idCol, k, numHashes,
+      bands, threshold)
+
+  def simhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int): DataFrame =
+    graft.text.Dedup.simhashNearDuplicates(df, textCol, idCol, maxHamming)
+
+  def embeddingNearDuplicates(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int, planesPerBand: Int): DataFrame =
+    graft.text.Dedup.embeddingNearDuplicates(df, idCol, vecCol, threshold,
+      bands, planesPerBand)
+
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String, vecCol: String): DataFrame =
+    graft.sim.Similarity.bruteForceTopK(corpus, queries, k, idCol, vecCol)
+
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, planes: Int,
+      probeBits: Int, idCol: String, vecCol: String): DataFrame =
+    graft.sim.Similarity.lshTopK(corpus, queries, k, planes, probeBits, idCol, vecCol)
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int,
+      nprobe: Int, idCol: String, vecCol: String): DataFrame =
+    graft.sim.Similarity.ivfTopK(corpus, queries, k, nlist, nprobe, idCol, vecCol)
+
+  def qualityScore(df: DataFrame, textCol: String): DataFrame =
+    graft.text.TextFunctions.qualityScore(df, textCol)
+
+  def langId(df: DataFrame, textCol: String, outCol: String): DataFrame =
+    graft.text.TextFunctions.langId(df, textCol, outCol)
+}

@@ -32,7 +32,11 @@ object ModelOps {
       : Dataset[(String, Array[Double])] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(key).cast("string").as("key"), col(ts).cast("long").as("ts"),
+    // null observations (e.g. a try_divide-null return rate on a zero base)
+    // are dropped: a missing point cannot participate in a per-series fit,
+    // and the non-nullable KeyedPoint encoder would throw on it
+    df.filter(col(value).isNotNull)
+      .select(col(key).cast("string").as("key"), col(ts).cast("long").as("ts"),
         col(value).cast("double").as("value"))
       .as[KeyedPoint]
       .groupByKey(_.key)
@@ -47,7 +51,8 @@ object ModelOps {
       : Dataset[(String, Array[Long], Array[Double])] = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(key).cast("string").as("key"), col(ts).cast("long").as("ts"),
+    df.filter(col(value).isNotNull)
+      .select(col(key).cast("string").as("key"), col(ts).cast("long").as("ts"),
         col(value).cast("double").as("value"))
       .as[KeyedPoint]
       .groupByKey(_.key)

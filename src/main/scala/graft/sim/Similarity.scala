@@ -25,14 +25,16 @@ object Similarity {
   def norm(a: Column): Column = sqrt(aggregate(
     transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
 
-  /** Cast float array to double and scale to unit norm (cosine ≡ dot). */
+  /** Cast float array to double and scale to unit norm (cosine ≡ dot).
+    * A zero-norm vector stays all-zero (no ANSI divide-by-zero throw). */
   def normalized(a: Column): Column = {
     val d = transform(a, x => x.cast("double"))
     val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, x) => acc + x))
-    transform(d, x => x / n)
+    when(n === 0.0, d).otherwise(transform(d, x => x / n))
   }
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity; null (not an ANSI throw) when either norm is zero. */
+  def cosine(a: Column, b: Column): Column = try_divide(dot(a, b), norm(a) * norm(b))
 
   /**
    * Exact brute-force top-k: for every query vector (small set — broadcast),
@@ -49,7 +51,7 @@ object Similarity {
       .withColumn("qn", norm(col("qv")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("nv"), col("qv")) / (col("nn") * col("qn")))
+      .withColumn("cosine", try_divide(dot(col("nv"), col("qv")), col("nn") * col("qn")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -85,6 +87,36 @@ object Similarity {
   }
 
   /**
+   * Banded hyperplane signatures: `bands` independent signatures of
+   * `planesPerBand` sign bits each (plane families disjoint by construction).
+   * The AND-OR amplification mirrors MinHash banding: a pair collides if ANY
+   * band matches, so per-band buckets stay small (2^planesPerBand per band)
+   * while recall for high-cosine pairs compounds across bands — the
+   * all-pairs-within-one-bucket blowup of a single wide bucket never forms.
+   * One UDF pass computes every band (single scan over the vector per plane).
+   */
+  def hyperplaneBandSignatures(vec: Column, bands: Int, planesPerBand: Int,
+      seed: Int = 7): Column = {
+    require(planesPerBand <= 63)
+    val f = udf { (v: Seq[Double]) =>
+      Array.tabulate(bands) { b =>
+        var sig = 0L
+        var p = 0
+        while (p < planesPerBand) {
+          val plane = b * planesPerBand + p
+          var s = 0.0
+          var i = 0
+          while (i < v.length) { s += v(i) * planeComponent(plane, i, seed); i += 1 }
+          if (s > 0) sig |= (1L << p)
+          p += 1
+        }
+        sig
+      }
+    }
+    f(vec)
+  }
+
+  /**
    * IVF (inverted-file) approximate top-k: a coarse k-means quantizer
    * (spark.ml KMeans) assigns every corpus vector to one of `nlist` cells;
    * each query probes its `nprobe` nearest centroids and ranks only those
@@ -93,7 +125,7 @@ object Similarity {
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
       nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, quantizerMaxRows: Int = 100000): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val toD = (c: Column) => transform(c, x => x.cast("double"))
@@ -101,7 +133,10 @@ object Similarity {
       .withColumn("nn", norm(col("nv")))
       .withColumn("features", array_to_vector(col("nv")))
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-    val model = km.fit(c)
+    // the coarse quantizer only needs a bounded sample: limit() caps the
+    // iterative KMeans input so the fit cost is constant in corpus size
+    // (below the cap the input is the full corpus — results unchanged)
+    val model = km.fit(c.select("features").limit(quantizerMaxRows))
     val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
       .select("neighbor_id", "nv", "nn", "cell")
     // query -> its nprobe nearest centroids (centroid list is tiny: driver math)
@@ -123,7 +158,7 @@ object Similarity {
       .orderBy(col("cosine").desc, col("neighbor_id"))
     assigned.join(broadcast(q), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dot(col("nv"), col("qv")) / (col("nn") * col("qn")))
+      .withColumn("cosine", try_divide(dot(col("nv"), col("qv")), col("nn") * col("qn")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),

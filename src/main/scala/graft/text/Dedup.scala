@@ -127,10 +127,11 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard similarity of two distinct-element arrays. */
+  /** Exact Jaccard similarity of two distinct-element arrays; null (not an
+    * ANSI throw) when both are empty. */
   def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+    try_divide(size(array_intersect(a, b)).cast("double"),
+      size(array_union(a, b)).cast("double"))
 
   /**
    * Full MinHash near-dup pipeline: shingle → sign → band → candidates →
@@ -220,23 +221,35 @@ object Dedup {
 
   /**
    * Embedding-cosine near-duplicate pairs above a similarity threshold.
-   * Candidate generation via random-hyperplane LSH buckets (see
-   * [[graft.sim.Similarity.hyperplaneSignature]]); verification by exact
-   * cosine on candidates only.
+   * Candidate generation via BANDED random-hyperplane LSH (see
+   * [[graft.sim.Similarity.hyperplaneBandSignatures]]): `bands` independent
+   * bucket tables of `planesPerBand` sign bits, joined per band exactly like
+   * MinHash banding — within-bucket pair counts stay ~n²/(bands·2^r) per band
+   * instead of one wide bucket's n²/2^r, and recall for pairs at cosine c
+   * compounds to 1-(1-(1-θ(c)/π)^r)^b. Verification is exact cosine on the
+   * distinct candidate pairs only.
    */
   def embeddingNearDuplicates(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.95,
-      planes: Int = 16): DataFrame = {
+      bands: Int = 8, planesPerBand: Int = 8, seed: Int = 7): DataFrame = {
     val sigs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
       .select(col(idCol).as("id"),
-      graft.sim.Similarity.normalized(col(vecCol)).as("v"))
-      .withColumn("bucket", graft.sim.Similarity.hyperplaneSignature(col("v"), planes))
-    val a = sigs.as("a")
-    val b = sigs.as("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", graft.sim.Similarity.dot(col("a.v"), col("b.v")))
+        graft.sim.Similarity.normalized(col(vecCol)).as("v"))
+      .withColumn("__sigs", graft.sim.Similarity.hyperplaneBandSignatures(
+        col("v"), bands, planesPerBand, seed))
+    val banded = sigs.select(col("id"), posexplode(col("__sigs")).as(Seq("band", "bucket")))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cands = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val vecs = sigs.select(col("id"), col("v"))
+    cands
+      .join(vecs.withColumnRenamed("id", "id_a").withColumnRenamed("v", "v_a"), "id_a")
+      .join(vecs.withColumnRenamed("id", "id_b").withColumnRenamed("v", "v_b"), "id_b")
+      .withColumn("cosine", graft.sim.Similarity.dot(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        round(col("cosine"), 6).as("cosine"))
+      .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
 }

@@ -26,15 +26,17 @@ object TextFunctions {
     val toks = tokens(t)
     val nChars = length(t).cast("double")
     val nTokens = size(toks).cast("double")
+    // try_divide: empty text (n_chars = 0) yields null ratios instead of an
+    // ANSI divide-by-zero throw (DuckDB double x/0 is null too)
     df.withColumn("n_chars", nChars.cast("long"))
       .withColumn("n_tokens", nTokens.cast("long"))
-      .withColumn("mean_token_len", nChars / nTokens)
+      .withColumn("mean_token_len", try_divide(nChars, nTokens))
       .withColumn("punct_ratio",
-        (nChars - length(regexp_replace(t, "[^A-Za-z0-9 ]", ""))) / nChars)
+        try_divide(nChars - length(regexp_replace(t, "[^A-Za-z0-9 ]", "")), nChars))
       .withColumn("digit_ratio",
-        (nChars - length(regexp_replace(t, "[0-9]", ""))) / nChars)
+        try_divide(nChars - length(regexp_replace(t, "[0-9]", "")), nChars))
       .withColumn("stopword_ratio",
-        size(filter(toks, x => x.isin(StopWords.en: _*))).cast("double") / nTokens)
+        try_divide(size(filter(toks, x => x.isin(StopWords.en: _*))).cast("double"), nTokens))
   }
 
   /**

@@ -66,6 +66,37 @@ object TimeSeriesOps {
     out
   }
 
+  /**
+   * Per-key lag specification (reference TimeSeries.scala:58-158 /
+   * Lag.scala:25-129: `lagsPerColumn` maps each series to its own
+   * (keepOriginal, maxLag)). In the observations layout each key k gets
+   * columns lag_1..lag_(spec(k)._2) populated (null beyond its own max),
+   * rows with an incomplete lag window for THAT key are trimmed, and keys
+   * with keepOriginal=false get a null value column. Keys absent from the
+   * spec pass through untouched (no lags, no trimming) — matching the
+   * reference, where unlisted columns are simply copied.
+   * The spec is embedded as a literal map (driver-small by contract), so the
+   * whole operator stays one window over the key partitioning — no join.
+   */
+  def lags(df: DataFrame, lagSpec: Map[String, (Boolean, Int)],
+      key: String, ts: String, value: String): DataFrame = {
+    require(lagSpec.nonEmpty, "lagSpec must not be empty")
+    val globalMax = lagSpec.values.map(_._2).max
+    val maxByKey = typedlit(lagSpec.map { case (k, (_, m)) => k -> m })
+    val keepByKey = typedlit(lagSpec.map { case (k, (keep, _)) => k -> keep })
+    val w = wKey(key, ts)
+    val myMax = coalesce(element_at(maxByKey, col(key)), lit(0))
+    var out = df.withColumn("__max", myMax)
+    for (i <- 1 to globalMax)
+      out = out.withColumn(s"lag_$i",
+        when(lit(i) <= col("__max"), lag(col(value), i).over(w)))
+    out.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > col("__max"))
+      .withColumn(value,
+        when(coalesce(element_at(keepByKey, col(key)), lit(true)), col(value)))
+      .drop("__rn", "__max")
+  }
+
   /** x_t - x_{t-n} per key; first n rows dropped (reference differences: TimeSeriesRDD.scala:113-119). */
   def differences(df: DataFrame, n: Int = 1, key: String = "key",
       ts: String = "ts_nanos", value: String = "value"): DataFrame = {
@@ -75,21 +106,24 @@ object TimeSeriesOps {
       .filter(col("__rn") > n).drop("__rn")
   }
 
-  /** x_t / x_{t-n} per key (reference quotients: TimeSeriesRDD.scala:121-127). */
+  /** x_t / x_{t-n} per key (reference quotients: TimeSeriesRDD.scala:121-127).
+    * try_divide: a zero lagged value yields null (matching non-ANSI Spark and
+    * the DuckDB double x/0 semantics) instead of throwing under ANSI mode. */
   def quotients(df: DataFrame, n: Int = 1, key: String = "key",
       ts: String = "ts_nanos", value: String = "value"): DataFrame = {
     val w = wKey(key, ts)
     df.withColumn("__rn", row_number().over(w))
-      .withColumn(value, col(value) / lag(col(value), n).over(w))
+      .withColumn(value, try_divide(col(value), lag(col(value), n).over(w)))
       .filter(col("__rn") > n).drop("__rn")
   }
 
-  /** x_t / x_{t-1} - 1 (reference returnRates: TimeSeriesRDD.scala:129-131). */
+  /** x_t / x_{t-1} - 1 (reference returnRates: TimeSeriesRDD.scala:129-131).
+    * try_divide: null on a zero base value rather than an ANSI-mode throw. */
   def returnRates(df: DataFrame, key: String = "key",
       ts: String = "ts_nanos", value: String = "value"): DataFrame = {
     val w = wKey(key, ts)
     df.withColumn("__rn", row_number().over(w))
-      .withColumn(value, col(value) / lag(col(value), 1).over(w) - 1.0)
+      .withColumn(value, try_divide(col(value), lag(col(value), 1).over(w)) - 1.0)
       .filter(col("__rn") > 1).drop("__rn")
   }
 
@@ -175,8 +209,8 @@ object TimeSeriesOps {
             ignoreNulls = true).over(wNext))
           .withColumn(value, when(col(value).isNotNull, col(value))
             .when(col("__pv").isNotNull && col("__nv").isNotNull,
-              col("__pv") + (col("__nv") - col("__pv")) *
-                (col("__loc") - col("__ploc")) / (col("__nloc") - col("__ploc"))))
+              col("__pv") + try_divide((col("__nv") - col("__pv")) *
+                (col("__loc") - col("__ploc")), col("__nloc") - col("__ploc"))))
           .drop("__loc", "__pv", "__ploc", "__nv", "__nloc")
       case "value" =>
         df.withColumn(value, coalesce(col(value), lit(fillValue)))
@@ -192,9 +226,9 @@ object TimeSeriesOps {
             ignoreNulls = true).over(wNext))
           .withColumn(value, when(col(value).isNotNull, col(value))
             .when(col("__pv").isNotNull && col("__nv").isNotNull,
-              col("__pv") + (col("__nv") - col("__pv")) *
-                (col(ts) - col("__pts")).cast("double") /
-                (col("__nts") - col("__pts")).cast("double")))
+              col("__pv") + try_divide((col("__nv") - col("__pv")) *
+                (col(ts) - col("__pts")).cast("double"),
+                (col("__nts") - col("__pts")).cast("double"))))
           .drop("__pv", "__pts", "__nv", "__nts")
       case other => throw new IllegalArgumentException(s"no such fill method: $other")
     }
@@ -337,13 +371,19 @@ object TimeSeriesOps {
    */
   def removeInstantsWithNaNs(df: DataFrame, key: String = "key",
       ts: String = "ts_nanos", value: String = "value"): DataFrame = {
-    val nKeys = df.select(key).distinct().count()
+    // the total-key count is folded in as a windowless aggregate joined by a
+    // cross of one row — no separate driver count() job; the bad-instant set
+    // is unbounded on a sparse panel, so no broadcast hint either (AQE picks
+    // the join strategy from the actual size at runtime)
+    val nKeys = df.groupBy().agg(
+      count_distinct(col(key)).as("__nkeys"))
     val bad = df.groupBy(col(ts))
       .agg(sum(when(col(value).isNull || isnan(col(value)), 1).otherwise(0)).as("__nmiss"),
         count(lit(1)).as("__n"))
-      .filter(col("__nmiss") > 0 || col("__n") < nKeys)
+      .crossJoin(nKeys)
+      .filter(col("__nmiss") > 0 || col("__n") < col("__nkeys"))
       .select(col(ts))
-    df.join(broadcast(bad), Seq(ts), "left_anti")
+    df.join(bad, Seq(ts), "left_anti")
   }
 
   /**
@@ -353,10 +393,12 @@ object TimeSeriesOps {
   def filterByInstant(df: DataFrame, predicate: Column => Column,
       filterKeys: Seq[Any], key: String = "key", ts: String = "ts_nanos",
       value: String = "value"): DataFrame = {
+    // no broadcast hint: the offending-instant set is unbounded (a predicate
+    // failing everywhere selects every ts) — AQE chooses the join strategy
     val bad = df.filter(col(key).isin(filterKeys: _*))
       .filter(!predicate(col(value)))
       .select(col(ts)).distinct()
-    df.join(broadcast(bad), Seq(ts), "left_anti")
+    df.join(bad, Seq(ts), "left_anti")
   }
 
   // ---------------------------------------------------------------- stats

@@ -1,0 +1,39 @@
+package graft.api
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+/** Executes the javac-compiled JavaApiExample against a live session —
+  * the Java parity surface both compiles from Java AND runs correctly. */
+class JavaApiSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  test("Java API facade drives the engine end-to-end") {
+    val s = spark
+    import s.implicits._
+    val obs = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0), ("a", 5L, 5.0),
+      ("b", 1L, 10.0), ("b", 2L, 20.0), ("b", 3L, 30.0), ("b", 4L, 40.0), ("b", 5L, 50.0)
+    ).toDF("key", "ts_nanos", "value")
+    val counts = graft.api.java.JavaApiExample.run(obs)
+    counts(0) shouldBe 6L  // lags(2, trim): 3 rows per key
+    counts(1) shouldBe 8L  // per-key spec: a trimmed to 3, b untouched (5)
+    counts(2) shouldBe 6L  // rollMean(3): full windows only
+    counts(3) shouldBe 10L // fill keeps every row
+    counts(4) shouldBe 2L  // one stats row per key
+    counts(5) shouldBe 2L  // one acf row per key
+    counts(6) shouldBe 6L  // 2-tick buckets: 3 per key
+  }
+
+  test("Java model facade returns flat DataFrames") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val obs = (0 until 60).map(i => ("a", i.toLong, 10.0 + rnd.nextGaussian()))
+      .toDF("key", "ts_nanos", "value")
+    val fit = graft.api.java.JavaModelOps.fitEwma(obs, "key", "ts_nanos", "value")
+    fit.count() shouldBe 1L
+    fit.columns should contain("smoothing")
+  }
+}

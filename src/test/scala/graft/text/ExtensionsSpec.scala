@@ -98,6 +98,31 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     sigs(0L) should not be sigs(2L) // antipodal: all bits flip
   }
 
+  test("banded embedding LSH recalls clustered near-dups, skips far pairs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    // 30 tight near-dup variants of one base vector (pairwise cosine ~1) and
+    // 30 scattered vectors: banded LSH must recover the clustered pairs and
+    // emit none of the scattered ones above the threshold
+    val dim = 16
+    val base = Array.fill(dim)(rnd.nextFloat() * 2f - 1f)
+    val clustered = (0 until 30).map { i =>
+      (i.toLong, base.map(v => v + rnd.nextFloat() * 0.01f))
+    }
+    val scattered = (30 until 60).map { i =>
+      (i.toLong, Array.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }
+    val vecs = (clustered ++ scattered).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDuplicates(vecs, threshold = 0.99,
+      bands = 8, planesPerBand = 8).collect()
+    val ids = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // every emitted pair is within the cluster, and recall is near-total:
+    // P(band match) ~ (1-theta/pi)^8 with theta ~ 0 => ~1 per band
+    ids.foreach { case (a, b) => a should be < 30L; b should be < 30L }
+    ids.size should be >= 400 // of the 435 clustered pairs
+  }
+
   test("language id picks the right stopword profile") {
     val out = TextFunctions.langId(docs).select("doc_id", "lang_pred")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

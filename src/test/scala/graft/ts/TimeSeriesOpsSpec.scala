@@ -62,6 +62,34 @@ class TimeSeriesOpsSpec extends AnyFunSuite with Matchers with SparkTestSession 
     out(1).getAs[Double]("lag_1") shouldBe 3.0
   }
 
+  test("per-key lag spec: own maxLag, own trim, keepOriginal, pass-through") {
+    val df = obs(("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0), ("a", 4L, 4.0),
+      ("b", 1L, 10.0), ("b", 2L, 20.0), ("b", 3L, 30.0),
+      ("c", 1L, 7.0), ("c", 2L, 8.0))
+    // a: 2 lags, keep original; b: 1 lag, drop original; c: unlisted
+    val out = TS.lags(df, Map("a" -> (true, 2), "b" -> (false, 1)),
+      "key", "ts_nanos", "value").orderBy("key", "ts_nanos").collect()
+    val aRows = out.filter(_.getString(0) == "a")
+    aRows.length shouldBe 2 // trimmed by a's own maxLag=2
+    aRows(0).getAs[Double]("value") shouldBe 3.0
+    aRows(0).getAs[Double]("lag_1") shouldBe 2.0
+    aRows(0).getAs[Double]("lag_2") shouldBe 1.0
+    val bRows = out.filter(_.getString(0) == "b")
+    bRows.length shouldBe 2 // trimmed by b's maxLag=1
+    bRows(0).isNullAt(bRows(0).fieldIndex("value")) shouldBe true // keepOriginal=false
+    bRows(0).getAs[Double]("lag_1") shouldBe 10.0
+    bRows(0).isNullAt(bRows(0).fieldIndex("lag_2")) shouldBe true // beyond b's max
+    val cRows = out.filter(_.getString(0) == "c")
+    cRows.length shouldBe 2 // unlisted key: untouched, untrimmed
+    cRows.map(_.getAs[Double]("value")).toSeq shouldBe Seq(7.0, 8.0)
+  }
+
+  test("quotients/returnRates yield null (not ANSI error) on zero base") {
+    val df = obs(("a", 1L, 0.0), ("a", 2L, 4.0), ("a", 3L, 8.0))
+    values(TS.quotients(df, 1), "a") shouldBe Seq(None, Some(2.0))
+    values(TS.returnRates(df), "a") shouldBe Seq(None, Some(1.0))
+  }
+
   test("differences and quotients") {
     val df = obs(("a", 1L, 2.0), ("a", 2L, 4.0), ("a", 3L, 8.0))
     values(TS.differences(df, 1), "a") shouldBe Seq(Some(2.0), Some(4.0))
