@@ -429,11 +429,52 @@ object SparkEntry {
         .select(col("asset_id"), col("modality"),
           length(col("payload")).cast("long").as("n_bytes"), col("meta_duration_ms"))),
     "mm02_multimodal_features" -> ((s, dir) =>
+      // byte_mean is an integer-sum / count ratio — bit-exact vs the oracle
+      // unrounded (rounding would reintroduce round-half-tie mismatches);
+      // entropy sums in a different order, so it IS rounded
       graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.assetsFromDocuments(Tables.documents(s, dir)))
         .select(col("asset_id"), col("modality"), col("n_bytes"),
-          round(col("byte_mean"), 6).as("byte_mean"),
-          round(col("byte_entropy"), 6).as("byte_entropy"), col("frames_sampled")))
+          col("byte_mean"),
+          round(col("byte_entropy"), 6).as("byte_entropy"), col("frames_sampled"))),
+
+    // ---------------- round-2 additions: EWMA transform/forecast, coverage
+    // filters, serial-correlation + heteroskedasticity tests, HW forecast ----
+    "ts22_ewma_smoothed" -> ((s, dir) =>
+      // fixed-alpha smoothing: recurrence arithmetic mirrors the DuckDB
+      // recursive-CTE oracle exactly, so values are compared unrounded
+      graft.models.ModelOps.ewmaSmoothed(obs(s, dir), alpha = 0.3,
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key").cast("long").as("user_id"), col("ts").as("ts_us"),
+          col("smoothed"))),
+    "ts23_series_coverage" -> ((s, dir) =>
+      // keep series observed before Jan 2 AND after Jan 29 (both filters)
+      TS.filterEndingAfter(
+        TS.filterStartingBefore(obs(s, dir), 1704153600000000L,
+          key = "user_id", ts = "ts_us", value = "value"),
+        1706486400000000L, key = "user_id", ts = "ts_us", value = "value")
+        .select("user_id", "ts_us", "value")),
+    "m13_durbin_watson" -> ((s, dir) =>
+      graft.models.ModelOps.durbinWatsonAll(obs(s, dir),
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key").cast("long").as("user_id"),
+          round(col("dw"), 6).as("dw"))),
+    "m14_breusch_godfrey" -> ((s, dir) =>
+      graft.models.ModelOps.breuschGodfreyAll(obs(s, dir), lags = 2,
+        key = "user_id", ts = "ts_us", value = "value").toDF()),
+    "m15_breusch_pagan" -> ((s, dir) =>
+      graft.models.ModelOps.breuschPaganAll(obs(s, dir),
+        key = "user_id", ts = "ts_us", value = "value").toDF()),
+    "m16_hw_forecast" -> ((s, dir) => {
+      val daily = TS.resampleCalendar(obs(s, dir), "DAY", avg,
+        key = "user_id", ts = "ts_us", value = "value", tickNanos = 1000L)
+        .withColumn("day_us", unix_micros(col("bucket_ts")))
+      graft.models.ModelOps.forecastHoltWinters(daily, period = 7, h = 7,
+        key = "user_id", ts = "day_us", value = "value").toDF()
+    }),
+    "m17_ewma_forecast" -> ((s, dir) =>
+      graft.models.ModelOps.forecastEwma(obs(s, dir), h = 5,
+        key = "user_id", ts = "ts_us", value = "value").toDF())
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -737,6 +778,68 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            FROM scored)
          SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
-         FROM ranked WHERE rank <= 5"""
+         FROM ranked WHERE rank <= 5""",
+    "ts22_ewma_smoothed" ->
+      """WITH RECURSIVE s AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+           FROM events
+         ), r AS (
+           SELECT user_id, ts_us, rn, value AS smoothed FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.ts_us, s.rn,
+             0.3::DOUBLE * s.value + (1 - 0.3::DOUBLE) * r.smoothed
+           FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+         )
+         SELECT user_id, ts_us, smoothed FROM r""",
+    "ts23_series_coverage" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+         WHERE user_id IN (
+           SELECT user_id FROM events GROUP BY user_id
+           HAVING min(epoch_us(ts)) <= 1704153600000000
+              AND max(epoch_us(ts)) >= 1706486400000000)""",
+    "m13_durbin_watson" ->
+      """SELECT user_id, round(num/den, 6) AS dw FROM (
+           SELECT user_id,
+             sum(CASE WHEN pv IS NOT NULL THEN (value-pv)*(value-pv) END) AS num,
+             sum(value*value) AS den
+           FROM (SELECT user_id, value,
+                   lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS pv
+                 FROM events) t
+           GROUP BY user_id) x""",
+    "tx05_rolling_fingerprint" ->
+      """SELECT doc_id,
+         (CASE WHEN h >= 9223372036854775808::HUGEINT
+               THEN h - 18446744073709551616::HUGEINT ELSE h END)::BIGINT AS fingerprint
+         FROM (
+           SELECT doc_id, list_reduce(
+             list_prepend(0::HUGEINT,
+               list_transform(string_split(text,''), c -> ascii(c)::HUGEINT)),
+             (h, b) -> (h * 1000000007 + b) % 18446744073709551616::HUGEINT) AS h
+           FROM documents) t""",
+    "mm02_multimodal_features" ->
+      """WITH chars AS (
+           SELECT doc_id, ascii(c) AS b
+           FROM documents, unnest(string_split(text, '')) AS u(c)
+         ), cnt AS (
+           SELECT doc_id, b, count(*)::DOUBLE AS c FROM chars GROUP BY doc_id, b
+         ), tot AS (
+           SELECT doc_id, sum(c) AS n, sum(b * c) AS s FROM cnt GROUP BY doc_id
+         ), ent AS (
+           SELECT cnt.doc_id, any_value(tot.s / tot.n) AS byte_mean,
+             -sum((cnt.c / tot.n) * log2(cnt.c / tot.n)) AS byte_entropy
+           FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id
+           GROUP BY cnt.doc_id
+         )
+         SELECT d.doc_id AS asset_id,
+           CASE WHEN d.doc_id % 3 = 0 THEN 'image'
+                WHEN d.doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+           length(d.text)::BIGINT AS n_bytes,
+           e.byte_mean,
+           round(e.byte_entropy, 6) AS byte_entropy,
+           (CASE WHEN d.doc_id % 3 = 2 THEN greatest(1, (d.n_chars * 10) // 1000)
+                 WHEN d.doc_id % 3 = 1 THEN greatest(1, (d.n_chars * 10) // 5000)
+                 ELSE 1 END)::INT AS frames_sampled
+         FROM documents d JOIN ent e ON d.doc_id = e.doc_id"""
   )
 }

@@ -16,6 +16,8 @@ case class HoltWintersFit(key: String, period: Int, alpha: Double, beta: Double,
     gamma: Double, sse: Double)
 case class ForecastPoint(key: String, step: Int, ts: Long, value: Double)
 case class TestResult(key: String, statistic: Double, pValue: Double)
+case class SmoothedPoint(key: String, ts: Long, smoothed: Double)
+case class DwResult(key: String, dw: Double)
 
 /**
  * DataFrame lift of the model kernels: every fit is embarrassingly parallel
@@ -187,4 +189,96 @@ object ModelOps {
       TestResult(k, s, p)
     }
   }
+
+  /** Fixed-alpha exponential smoothing of every series (the reference's
+    * EWMA addTimeDependentEffects lifted per key — models/EWMA.scala). */
+  def ewmaSmoothed(df: DataFrame, alpha: Double, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): Dataset[SmoothedPoint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    groupedWithTs(df, key, ts, value).flatMap { case (k, tss, vals) =>
+      val sm = EWMAModel(alpha).addTimeDependentEffects(vals)
+      tss.indices.map(i => SmoothedPoint(k, tss(i), sm(i)))
+    }
+  }
+
+  /** h-step EWMA forecast: fit the smoothing parameter, then the flat
+    * SES forecast (every horizon = last smoothed level). */
+  def forecastEwma(df: DataFrame, h: Int, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): Dataset[ForecastPoint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    groupedWithTs(df, key, ts, value).flatMap { case (k, tss, vals) =>
+      try {
+        val m = EWMA.fitModel(vals)
+        val level = m.addTimeDependentEffects(vals).last
+        val step = medianStep(tss)
+        (1 to h).map(i => ForecastPoint(k, i, tss.last + step * i, level))
+      } catch { case _: Throwable => Nil }
+    }
+  }
+
+  /** h-step Holt-Winters forecast per key (reference HoltWinters forecast
+    * surface — models/HoltWinters.scala). */
+  def forecastHoltWinters(df: DataFrame, period: Int, h: Int,
+      modelType: String = "additive", key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): Dataset[ForecastPoint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    groupedWithTs(df, key, ts, value).flatMap { case (k, tss, vals) =>
+      try {
+        val m = HoltWinters.fitModel(vals, period, modelType)
+        val step = medianStep(tss)
+        m.forecast(vals, h).zipWithIndex.map { case (v, i) =>
+          ForecastPoint(k, i + 1, tss.last + step * (i + 1), v)
+        }
+      } catch { case _: Throwable => Nil }
+    }
+  }
+
+  /** Durbin-Watson statistic of every series (values treated as residuals). */
+  def durbinWatsonAll(df: DataFrame, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): Dataset[DwResult] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    grouped(df, key, ts, value).map { case (k, arr) =>
+      DwResult(k, graft.stats.StatTests.durbinWatson(arr))
+    }
+  }
+
+  /** Breusch-Godfrey serial-correlation test of each series regressed on a
+    * linear trend. */
+  def breuschGodfreyAll(df: DataFrame, lags: Int = 2, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): Dataset[TestResult] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    grouped(df, key, ts, value).flatMap { case (k, arr) =>
+      try {
+        val x = Array.tabulate(arr.length)(i => Array(i.toDouble))
+        val (s, p) = graft.stats.StatTests.breuschGodfrey(arr, x, lags)
+        Some(TestResult(k, s, p))
+      } catch { case _: Throwable => None }
+    }
+  }
+
+  /** Breusch-Pagan heteroskedasticity test of each series vs a linear trend. */
+  def breuschPaganAll(df: DataFrame, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): Dataset[TestResult] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    grouped(df, key, ts, value).flatMap { case (k, arr) =>
+      try {
+        val x = Array.tabulate(arr.length)(i => Array(i.toDouble))
+        val (s, p) = graft.stats.StatTests.breuschPagan(arr, x)
+        Some(TestResult(k, s, p))
+      } catch { case _: Throwable => None }
+    }
+  }
+
+  /** Median inter-observation gap (forecast timestamp extrapolation). */
+  private def medianStep(tss: Array[Long]): Long =
+    if (tss.length > 1) {
+      val steps = tss.sliding(2).map(w => w(1) - w(0)).toArray.sorted
+      steps(steps.length / 2)
+    } else 1L
 }
