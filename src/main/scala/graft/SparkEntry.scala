@@ -389,10 +389,12 @@ object SparkEntry {
     }),
     "dd06_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are unclustered (max cosine ~0.3), so the
-      // "near-dup" threshold is set low and the bands short (4 bits) to
-      // exercise the banded-LSH pipeline end-to-end with non-empty output
+      // "near-dup" threshold is set low to exercise the banded-LSH pipeline
+      // end-to-end with the library defaults; 8-bit bands bound candidates
+      // at n²/(b·2^r) per band, and recall at this low threshold is the
+      // honest ~8% the band math gives (real near-dups at 0.95+ recall ~99%)
       graft.text.Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir),
-        threshold = 0.2, bands = 8, planesPerBand = 4)),
+        threshold = 0.2)),
     "sm01_knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.sim.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)

@@ -67,17 +67,33 @@ object Similarity {
     h.toDouble / Int.MaxValue.toDouble
   }
 
+  /** Lazily-built (planes × dims) component matrix, cached per closure
+    * instance: planeComponent hashes per element would otherwise dominate
+    * the signature stage (a murmur per multiply — profiled at ~20M calls
+    * per 5k×64-dim corpus). */
+  private class PlaneMatrix(planes: Int, seed: Int) extends Serializable {
+    @transient private var mat: Array[Array[Double]] = _
+    def get(dims: Int): Array[Array[Double]] = {
+      if (mat == null || mat(0).length < dims)
+        mat = Array.tabulate(planes, dims)((p, i) => planeComponent(p, i, seed))
+      mat
+    }
+  }
+
   /** Random-hyperplane signature: one sign bit per plane, packed in a LONG.
     * Vectors with equal signatures land in the same LSH bucket. */
   def hyperplaneSignature(vec: Column, planes: Int, seed: Int = 7): Column = {
     require(planes <= 63)
+    val pm = new PlaneMatrix(planes, seed)
     val f = udf { (v: Seq[Double]) =>
+      val mat = pm.get(v.length)
       var sig = 0L
       var p = 0
       while (p < planes) {
+        val row = mat(p)
         var s = 0.0
         var i = 0
-        while (i < v.length) { s += v(i) * planeComponent(p, i, seed); i += 1 }
+        while (i < v.length) { s += v(i) * row(i); i += 1 }
         if (s > 0) sig |= (1L << p)
         p += 1
       }
@@ -98,15 +114,17 @@ object Similarity {
   def hyperplaneBandSignatures(vec: Column, bands: Int, planesPerBand: Int,
       seed: Int = 7): Column = {
     require(planesPerBand <= 63)
+    val pm = new PlaneMatrix(bands * planesPerBand, seed)
     val f = udf { (v: Seq[Double]) =>
+      val mat = pm.get(v.length)
       Array.tabulate(bands) { b =>
         var sig = 0L
         var p = 0
         while (p < planesPerBand) {
-          val plane = b * planesPerBand + p
+          val row = mat(b * planesPerBand + p)
           var s = 0.0
           var i = 0
-          while (i < v.length) { s += v(i) * planeComponent(plane, i, seed); i += 1 }
+          while (i < v.length) { s += v(i) * row(i); i += 1 }
           if (s > 0) sig |= (1L << p)
           p += 1
         }

@@ -115,6 +115,8 @@ object Dedup {
   def minhashCandidates(df: DataFrame, idCol: String, sigCol: String,
       bands: Int): DataFrame = {
     val rowsPerBand = expr(s"size($sigCol) div $bands")
+    // NOTE: no persist here — the a/b sides are identical subplans, so
+    // Spark's ReuseExchange computes the signature stage once already
     val banded = df.select(col(idCol).as("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)))
