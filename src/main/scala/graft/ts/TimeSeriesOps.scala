@@ -235,13 +235,15 @@ object TimeSeriesOps {
   }
 
   /** Keep only series whose first non-null observation is at or before t
-    * (reference filterStartingBefore: TimeSeriesRDD.scala:140-145). */
+    * (reference filterStartingBefore: TimeSeriesRDD.scala:140-145).
+    * No broadcast hint: the kept-key set is one row per series, which on a
+    * wide panel is unbounded — AQE picks the join strategy at runtime. */
   def filterStartingBefore(df: DataFrame, tTicks: Long, key: String = "key",
       ts: String = "ts_nanos", value: String = "value"): DataFrame = {
     val keep = df.filter(col(value).isNotNull)
       .groupBy(col(key)).agg(min(col(ts)).as("__first"))
       .filter(col("__first") <= tTicks).select(col(key))
-    df.join(broadcast(keep), Seq(key), "left_semi")
+    df.join(keep, Seq(key), "left_semi")
   }
 
   /** Keep only series whose last non-null observation is at or after t
@@ -251,7 +253,7 @@ object TimeSeriesOps {
     val keep = df.filter(col(value).isNotNull)
       .groupBy(col(key)).agg(max(col(ts)).as("__last"))
       .filter(col("__last") >= tTicks).select(col(key))
-    df.join(broadcast(keep), Seq(key), "left_semi")
+    df.join(keep, Seq(key), "left_semi")
   }
 
   /** Spline fill on the series (array) layout — whole-series kernel via
