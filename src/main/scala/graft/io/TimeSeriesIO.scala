@@ -56,6 +56,28 @@ object TimeSeriesIO {
    * per source file ("<prefix>Open", ...), like the reference's per-file
    * keying — but via input_file_name(), not wholeTextFiles.
    */
+  /**
+   * Bucketed-table sink for co-located joins at scale: hash-bucket the
+   * observations by series key (and sort within buckets) so every
+   * subsequent key-join or key-window against an identically-bucketed
+   * table plans WITHOUT an exchange — the shuffle is paid once at write
+   * time, not per query. This is the batch-layout half of the 100 TB
+   * story: persist the canonical observations bucketed by key, and the
+   * per-key operators (lags/fills/fits) read shuffle-free.
+   */
+  def writeBucketedObservations(df: DataFrame, table: String, buckets: Int,
+      key: String = "key", ts: String = "ts_nanos"): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(buckets, key)
+      .sortBy(key, ts)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Read a bucketed observations table (bucket metadata comes from the
+    * catalog, so Catalyst plans bucket-local joins/aggregations). */
+  def readBucketedObservations(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
   def readYahooCsv(spark: SparkSession, path: String): DataFrame = {
     val raw = spark.read.option("header", "true").csv(path)
       .withColumn("__file", regexp_extract(input_file_name(), "([^/]+)\\.csv$", 1))

@@ -1,22 +1,44 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.text.RollingHash
+import graft.text.{Dedup, RollingHash, TextFunctions}
 
 /**
  * Session extension entry point (the `SparkSessionExtensions` registration
  * path of SURVEY §7.3's custom-vs-builtin table): injects the engine's
- * custom Catalyst expressions into the SQL function registry so
- * `spark.sql("SELECT rolling_hash(text) ...")` works, in addition to the
- * typed Column API.
+ * functions into the SQL registry so pure-SQL users (and the Python/Java
+ * surfaces, via `spark.sql`) can run the text/dedup/similarity pipeline:
+ *
+ *   rolling_hash(text)            — custom codegen'd Catalyst expression
+ *   canonical_fingerprint(text)   — md5 of canonicalized text
+ *   bpeish_token_count(text)      — BPE-ish subword count
+ *   simhash64(text)               — 64-bit SimHash
+ *   hamming64(a, b)               — Hamming distance of two 64-bit signatures
+ *   cosine_similarity(a, b)       — cosine of two double arrays
+ *
+ * All but rolling_hash are composed from the Column API and rewritten to
+ * expressions through GraftSqlBridge — no parallel SQL implementations to
+ * keep in sync.
  *
  * Usage: SparkSession.builder().withExtensions(new GraftExtensions) ... or
  * spark.sql.extensions=graft.plans.GraftExtensions.
  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def inject(e: SparkSessionExtensions, name: String, arity: Int)
+      (build: Seq[Column] => Column): Unit =
+    e.injectFunction((
+      new FunctionIdentifier(name),
+      new ExpressionInfo(classOf[GraftExtensions].getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == arity,
+          s"$name takes exactly $arity argument(s)")
+        GraftSqlBridge.analyzableExpression(build(children.map(GraftSqlBridge.column)))
+      }))
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       new FunctionIdentifier("rolling_hash"),
@@ -25,5 +47,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "rolling_hash takes exactly one argument")
         RollingHash(children.head)
       }))
+    inject(e, "canonical_fingerprint", 1)(c => TextFunctions.canonicalFingerprint(c.head))
+    inject(e, "bpeish_token_count", 1)(c => TextFunctions.bpeishTokenCount(c.head))
+    inject(e, "simhash64", 1)(c => Dedup.simhash(c.head))
+    inject(e, "hamming64", 2)(c => Dedup.hamming(c(0), c(1)))
+    inject(e, "cosine_similarity", 2)(c => graft.sim.Similarity.cosine(c(0), c(1)))
   }
 }

@@ -12,4 +12,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Eagerly convert a functions-API Column into a catalyst expression tree
+    * (UnresolvedFunction nodes the analyzer then resolves). The plain
+    * `expression` wrapper defers conversion inside an opaque
+    * ColumnNodeExpression, which never resolves when returned from a
+    * FunctionRegistry builder. */
+  def analyzableExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

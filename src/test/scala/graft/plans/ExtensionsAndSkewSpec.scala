@@ -35,6 +35,44 @@ class ExtensionsAndSkewSpec extends AnyFunSuite with Matchers
     }
   }
 
+  test("SQL function surface: fingerprint/tokens/simhash/hamming/cosine") {
+    val spark = this.spark // shared session registers GraftExtensions via conf
+    import spark.implicits._
+    Seq(("The  Quick Fox!", Seq(1.0, 0.0), Seq(1.0, 1.0)))
+      .toDF("t", "va", "vb").createOrReplaceTempView("fx")
+    val row = spark.sql(
+      """SELECT canonical_fingerprint(t) AS fp, bpeish_token_count(t) AS n,
+                simhash64(t) AS sh, hamming64(simhash64(t), simhash64(t)) AS hd,
+                cosine_similarity(va, vb) AS cos
+         FROM fx""").collect()(0)
+    row.getAs[String]("fp") should have length 32
+    row.getAs[Long]("n") shouldBe 4L // The / Quick / Fox / !
+    row.getAs[Long]("hd") shouldBe 0L
+    row.getAs[Double]("cos") shouldBe (1.0 / math.sqrt(2)) +- 1e-12
+  }
+
+  test("bucketed tables join without an exchange") {
+    val spark = this.spark
+    import spark.implicits._
+    import graft.io.TimeSeriesIO
+    val obs = (1 to 400).map(i => ("k" + (i % 20), i.toLong, i.toDouble))
+      .toDF("key", "ts_nanos", "value")
+    val dims = (0 until 20).map(i => ("k" + i, s"name$i")).toDF("key", "name")
+    TimeSeriesIO.writeBucketedObservations(obs, "obs_bucketed", 4)
+    TimeSeriesIO.writeBucketedObservations(dims, "dims_bucketed", 4,
+      key = "key", ts = "name")
+    try {
+      // co-located join: both sides bucketed on the join key with the same
+      // bucket count — the plan must contain no shuffle exchange at all
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = TimeSeriesIO.readBucketedObservations(spark, "obs_bucketed")
+        .join(TimeSeriesIO.readBucketedObservations(spark, "dims_bucketed"), "key")
+      val physical = joined.queryExecution.executedPlan.toString
+      physical should not include "Exchange"
+      joined.count() shouldBe 400L
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
+
   test("saltedJoin matches a plain join under a hot key") {
     val spark = this.spark
     import spark.implicits._
