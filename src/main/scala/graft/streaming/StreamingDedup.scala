@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.{Dedup, TextFunctions}
+
+/**
+ * Streaming deduplication for document ingest pipelines — the streaming
+ * twin of [[graft.text.Dedup]]:
+ *
+ *  - exact dedup within a watermark window (dropDuplicatesWithinWatermark
+ *    over the canonical fingerprint — state bounded by the watermark, the
+ *    production shape for "don't ingest the same doc twice this hour");
+ *  - near-dup detection of a STREAM against a STATIC reference corpus
+ *    (stream-static join: each incoming doc's minhash band buckets probe the
+ *    corpus bucket table, candidates verify by exact Jaccard — no
+ *    stream-stream state, scales with candidates per micro-batch).
+ */
+object StreamingDedup {
+
+  /**
+   * Exact streaming dedup on the canonical fingerprint: the first document
+   * with a given fingerprint inside the watermark window passes, later
+   * copies are dropped. State is bounded by the watermark.
+   */
+  def streamingExactDedup(stream: DataFrame, textCol: String = "text",
+      tsCol: String = "event_time", watermark: String = "10 minutes"): DataFrame =
+    stream
+      .withColumn("fingerprint", TextFunctions.canonicalFingerprint(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+
+  /**
+   * Pre-compute the reference corpus's minhash band buckets — the static
+   * side of [[streamingNearDupAgainstCorpus]]. At scale this is written
+   * once (ideally bucketed by (band, bucket)) and reused by every stream.
+   */
+  def corpusBuckets(corpus: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3, numHashes: Int = 64,
+      bands: Int = 16): DataFrame = {
+    val sig = Dedup.minhashSignatureFromText(col(textCol), k, numHashes)
+    val rowsPerBand = numHashes / bands
+    corpus.select(col(idCol).as("corpus_id"), col(textCol).as("corpus_text"),
+        sig.as("__sig"))
+      .select(col("corpus_id"), col("corpus_text"), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+      ).as(Seq("band", "bucket")))
+  }
+
+  /**
+   * Near-duplicate pairs between a document stream and a static corpus:
+   * incoming docs are banded exactly like the corpus, candidates come from
+   * the (band, bucket) equi-join, and survive on exact word-shingle Jaccard
+   * ≥ threshold. Emits one row per (stream doc, matching corpus doc).
+   */
+  def streamingNearDupAgainstCorpus(stream: DataFrame, corpusBk: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      tsCol: String = "event_time", watermark: String = "10 minutes",
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val sig = Dedup.minhashSignatureFromText(col(textCol), k, numHashes)
+    val rowsPerBand = numHashes / bands
+    val banded = stream.select(col(idCol).as("stream_id"),
+        col(textCol).as("stream_text"), col(tsCol), sig.as("__sig"))
+      .select(col("stream_id"), col("stream_text"), col(tsCol), posexplode(
+        transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+      ).as(Seq("band", "bucket")))
+    banded.join(corpusBk, Seq("band", "bucket"))
+      .withColumn("jaccard", Dedup.jaccard(
+        Dedup.shingles(col("stream_text"), k),
+        Dedup.shingles(col("corpus_text"), k)))
+      .filter(col("jaccard") >= threshold)
+      // a pair colliding in several bands emits once: pair-keyed dedup with
+      // state bounded by the stream's watermark
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("stream_id", "corpus_id")
+      .select(col("stream_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+}

@@ -38,6 +38,66 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally query.stop()
   }
 
+  test("streaming exact dedup drops watermark-window duplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingDedup.streamingExactDedup(
+      input.toDF().toDF("doc_id", "event_time", "text"))
+    val query = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData(
+        (1L, t(1), "the quick brown fox"),
+        (2L, t(2), "The  Quick  Brown FOX!"), // canonical dup of 1
+        (3L, t(3), "something else entirely"))
+      query.processAllAvailable()
+      input.addData((4L, t(4), "the quick brown fox")) // dup again
+      query.processAllAvailable()
+      val ids = s.sql("SELECT doc_id FROM dedup_out").collect().map(_.getLong(0)).toSet
+      ids should contain(3L)
+      // exactly one survivor of the {1,2,4} canonical-duplicate family
+      ids.intersect(Set(1L, 2L, 4L)).size shouldBe 1
+    } finally query.stop()
+  }
+
+  test("streaming near-dup flags stream docs matching a static corpus") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog in the morning sun"),
+      (101L, "completely unrelated reference content about distributed query engines")
+    ).toDF("doc_id", "text")
+    val buckets = StreamingDedup.corpusBuckets(corpus, k = 2, numHashes = 64, bands = 32)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingDedup.streamingNearDupAgainstCorpus(
+      input.toDF().toDF("doc_id", "event_time", "text"), buckets,
+      k = 2, numHashes = 64, bands = 32, threshold = 0.5)
+    val query = out.writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"),
+          "the quick brown fox jumps over the lazy cat in the morning sun"),
+        (2L, Timestamp.valueOf("2024-01-01 10:01:00"),
+          "fresh document with no counterpart anywhere"))
+      query.processAllAvailable()
+      // append-mode pair-dedup emits after the watermark passes: push a
+      // late tick so the earlier matches flush
+      input.addData((3L, Timestamp.valueOf("2024-01-01 11:00:00"), "tick"))
+      query.processAllAvailable()
+      val pairs = s.sql("SELECT stream_id, corpus_id FROM neardup_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      pairs should contain((1L, 100L))
+      pairs.map(_._1) should not contain 2L
+      // multi-band collisions collapsed to one row per pair
+      pairs.distinct.length shouldBe pairs.length
+    } finally query.stop()
+  }
+
   test("sliding streaming windows produce overlapping buckets") {
     val s = spark
     import s.implicits._
