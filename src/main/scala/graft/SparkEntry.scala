@@ -476,7 +476,22 @@ object SparkEntry {
     }),
     "m17_ewma_forecast" -> ((s, dir) =>
       graft.models.ModelOps.forecastEwma(obs(s, dir), h = 5,
-        key = "user_id", ts = "ts_us", value = "value").toDF())
+        key = "user_id", ts = "ts_us", value = "value").toDF()),
+    "ts24_trim" -> ((s, dir) => {
+      // values < 5 become nulls, then leading/trailing null runs are trimmed
+      val o = obs(s, dir).withColumn("value",
+        when(col("value") >= 5.0, col("value")))
+      TS.trimTrailing(
+        TS.trimLeading(o, key = "user_id", ts = "ts_us", value = "value"),
+        key = "user_id", ts = "ts_us", value = "value")
+        .select("user_id", "ts_us", "value")
+    }),
+    "ts25_fill_nocb" -> ((s, dir) => {
+      val o = obs(s, dir).withColumn("value",
+        when(col("value") >= 5.0, col("value")))
+      TS.fill(o, "next", key = "user_id", ts = "ts_us", value = "value")
+        .select("user_id", "ts_us", "value")
+    })
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -842,6 +857,23 @@ object SparkEntry {
            (CASE WHEN d.doc_id % 3 = 2 THEN greatest(1, (d.n_chars * 10) // 1000)
                  WHEN d.doc_id % 3 = 1 THEN greatest(1, (d.n_chars * 10) // 5000)
                  ELSE 1 END)::INT AS frames_sampled
-         FROM documents d JOIN ent e ON d.doc_id = e.doc_id"""
+         FROM documents d JOIN ent e ON d.doc_id = e.doc_id""",
+    "ts24_trim" ->
+      """SELECT user_id, ts_us, value FROM (
+           SELECT user_id, ts_us, v AS value,
+             count(v) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seen,
+             count(v) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ahead
+           FROM (SELECT user_id, epoch_us(ts) AS ts_us,
+                   CASE WHEN value >= 5.0 THEN value END AS v FROM events) t0
+         ) t WHERE seen > 0 AND ahead > 0""",
+    "ts25_fill_nocb" ->
+      """SELECT user_id, ts_us,
+           coalesce(v, first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts_us
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS value
+         FROM (SELECT user_id, epoch_us(ts) AS ts_us,
+                 CASE WHEN value >= 5.0 THEN value END AS v FROM events) t"""
   )
 }
