@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-/** Dev probe: minhash stage-by-stage timing at a given SF. */
+/** Dev probe: minhash near-dup stage-by-stage timing at a given SF
+  * (profiles the CURRENT minhashNearDuplicates layout). */
 object Probe2 {
   def main(args: Array[String]): Unit = {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -19,22 +20,30 @@ object Probe2 {
     }
     val docs = Tables.documents(spark, dir)
     timed("scan")(docs.count())
-    val withSh = docs.repartition(64).select(col("doc_id").as("id"),
-      Dedup.shingles(col("text"), 3).as("sh")).filter(size(col("sh")) > 0)
-      .persist()
-    timed("shingles")(withSh.count())
-    val withSig = withSh.withColumn("sig", Dedup.minhashSignature(col("sh"), 64))
-      .persist()
+    val parallelism = spark.sparkContext.defaultParallelism
+    val base = docs.repartition(parallelism)
+      .select(col("doc_id").as("id"), col("text").as("__text")).persist()
+    timed("base")(base.count())
+    val withSig = base.withColumn("sig",
+      Dedup.minhashSignatureFromText(col("__text"), 3, 64)).persist()
     timed("signatures")(withSig.count())
-    val cands = Dedup.minhashCandidates(withSig, "id", "sig", 16).persist()
+    val cands = Dedup.minhashCandidates(
+      withSig.select(col("id"), col("sig")), "id", "sig", 16).persist()
     timed("candidates")(cands.count())
-    val sh = withSh
+    val candIds = cands.select(col("id_a").as("id"))
+      .union(cands.select(col("id_b").as("id"))).distinct()
+    val candSh = base.join(broadcast(candIds), "id")
+      .select(col("id"), Dedup.shingles(col("__text"), 3).as("sh")).persist()
+    timed("cand_shingles")(candSh.count())
     val verified = cands
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .join(candSh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(candSh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("j", Dedup.jaccard(col("sh_a"), col("sh_b")))
       .filter(col("j") >= 0.3)
     timed("verify")(verified.count())
+    timed("full_pipeline_uncached")(
+      Dedup.minhashNearDuplicates(docs, k = 3, numHashes = 64, bands = 16,
+        threshold = 0.3).count())
     spark.stop()
   }
 }

@@ -47,6 +47,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "rolling_hash takes exactly one argument")
         RollingHash(children.head)
       }))
+    e.injectFunction((
+      new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[graft.sim.DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot_product takes exactly two arguments")
+        graft.sim.DotProduct(children(0), children(1))
+      }))
     inject(e, "canonical_fingerprint", 1)(c => TextFunctions.canonicalFingerprint(c.head))
     inject(e, "bpeish_token_count", 1)(c => TextFunctions.bpeishTokenCount(c.head))
     inject(e, "simhash64", 1)(c => Dedup.simhash(c.head))

@@ -18,12 +18,12 @@ import scala.util.hashing.MurmurHash3
  */
 object Similarity {
 
-  /** Dot product of two double arrays via zip_with + aggregate (codegen'd). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  /** Dot product via the native codegen'd [[DotProduct]] expression (the SQL
+    * HOF formulation is CodegenFallback — interpreted, with a zipped-array
+    * allocation per pair). Same sequential summation order, bit-identical. */
+  def dot(a: Column, b: Column): Column = DotProduct.ofColumns(a, b)
 
-  def norm(a: Column): Column = sqrt(aggregate(
-    transform(a, x => x * x), lit(0.0), (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(DotProduct.ofColumns(a, a))
 
   /** Cast float array to double and scale to unit norm (cosine ≡ dot).
     * A zero-norm vector stays all-zero (no ANSI divide-by-zero throw). */

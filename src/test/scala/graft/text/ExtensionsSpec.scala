@@ -86,6 +86,35 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     ivf.foreach(n => n % 2 shouldBe 0) // all neighbors from the even cluster
   }
 
+  test("native DotProduct matches the HOF formulation bit-exactly") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(21)
+    val rows = (0 until 50).map { i =>
+      (i.toLong, Array.fill(64)(rnd.nextDouble() * 2 - 1),
+        Array.fill(64)(rnd.nextDouble() * 2 - 1))
+    }.toDF("id", "a", "b")
+    val hof = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val both = rows.select(Similarity.dot(col("a"), col("b")).as("native"),
+      hof.as("viaHof")).collect()
+    both.foreach(r => r.getDouble(0) shouldBe r.getDouble(1)) // bit-exact
+  }
+
+  test("DotProduct widens float arrays and handles nulls/length mismatch") {
+    val s = spark
+    import s.implicits._
+    // float side against double side, with a null element and short array
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Seq[Option[Double]](Some(10.0), None)))
+      .toDF("f", "d")
+    val out = df.select(Similarity.dot(col("f"), col("d")).as("dp")).collect()(0)
+    out.getDouble(0) shouldBe 10.0 // only index 0 contributes
+    // SQL registration of the native expression
+    df.createOrReplaceTempView("dpv")
+    spark.sql("SELECT dot_product(f, f) AS n2 FROM dpv").collect()(0)
+      .getDouble(0) shouldBe (1.0 + 4.0 + 9.0)
+  }
+
   test("hyperplane LSH buckets identical vectors together") {
     val s = spark
     import s.implicits._
