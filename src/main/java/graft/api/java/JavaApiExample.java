@@ -47,4 +47,14 @@ public final class JavaApiExample {
       stats.count(), acf.count(), resampled.count()
     };
   }
+
+  /** Runs the dedup/similarity/text slice of the Java surface. */
+  public static long[] runPipeline(Dataset<Row> docs, Dataset<Row> vecs) {
+    Dataset<Row> exact = JavaPipelineOps.dedupExact(docs, "text", "doc_id", true);
+    Dataset<Row> quality = JavaPipelineOps.qualityScore(docs, "text");
+    Dataset<Row> lang = JavaPipelineOps.langId(docs, "text", "lang_pred");
+    Dataset<Row> knn = JavaPipelineOps.bruteForceTopK(vecs, vecs.limit(1), 2,
+        "vec_id", "embedding");
+    return new long[] {exact.count(), quality.count(), lang.count(), knn.count()};
+  }
 }

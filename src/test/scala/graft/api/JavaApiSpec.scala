@@ -26,6 +26,20 @@ class JavaApiSpec extends AnyFunSuite with Matchers with SparkTestSession {
     counts(6) shouldBe 6L  // 2-tick buckets: 3 per key
   }
 
+  test("Java pipeline facade drives dedup/similarity/text") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "the quick brown fox"), (1L, "The  Quick Brown FOX!"),
+      (2L, "unrelated content here")).toDF("doc_id", "text")
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val counts = graft.api.java.JavaApiExample.runPipeline(docs, vecs)
+    counts(0) shouldBe 2L // canonical dedup merges 0 and 1
+    counts(1) shouldBe 3L
+    counts(2) shouldBe 3L
+    counts(3) shouldBe 2L // top-2 neighbors of one query
+  }
+
   test("Java model facade returns flat DataFrames") {
     val s = spark
     import s.implicits._
