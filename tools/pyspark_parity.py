@@ -110,12 +110,37 @@ def main() -> int:
     n_fc = fc.count()
     assert n_fc == n_keys * 5, f"expected {n_keys * 5} forecast rows, got {n_fc}"
 
-    # ---- SQL extension function registered by GraftExtensions ----
+    # ---- SQL extension functions registered by GraftExtensions ----
     spark.sql("SELECT rolling_hash('the quick brown fox') AS h").first()
+    fp_row = spark.sql(
+        "SELECT canonical_fingerprint('The  Quick FOX!') AS fp, "
+        "bpeish_token_count('a b c!') AS n, "
+        "simhash64('hello world') AS sh, "
+        "dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS dp"
+    ).first()
+    assert len(fp_row["fp"]) == 32
+    assert fp_row["dp"] == 11.0
+
+    # ---- dedup + similarity through the same Scala library ----
+    docs = lift(jvm.graft.Tables.documents(jss, sf_dir))
+    n_docs = docs.count()
+    dedup = lift(jvm.graft.text.Dedup.exact(docs._jdf, "text", "doc_id", True))
+    n_groups = dedup.count()
+    assert 0 < n_groups <= n_docs
+
+    emb = lift(jvm.graft.Tables.embeddings(jss, sf_dir))
+    knn = lift(
+        jvm.graft.sim.Similarity.bruteForceTopK(
+            emb._jdf, emb.limit(3)._jdf, 2, "vec_id", "embedding"
+        )
+    )
+    n_knn = knn.count()
+    assert n_knn == 3 * 2, f"expected 6 knn rows, got {n_knn}"
 
     print(
         f"PYSPARK PARITY OK: events={n_events} daily={n_daily} "
-        f"aligned={n_keys * index.size()} roll={n_roll} forecast={n_fc}"
+        f"aligned={n_keys * index.size()} roll={n_roll} forecast={n_fc} "
+        f"dedup_groups={n_groups} knn={n_knn}"
     )
     spark.stop()
     return 0
