@@ -33,14 +33,9 @@ object Dedup {
 
   // ---------------------------------------------------------------- shingles & minhash
 
-  /** Word k-shingles of a text (distinct). */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = split(text, " ")
-    array_distinct(filter(
-      transform(sequence(lit(0), size(toks) - k),
-        i => array_join(slice(toks, i + 1, lit(k)), " ")),
-      s => s.isNotNull))
-  }
+  /** Word k-shingles of a text (distinct, first-occurrence order) — native
+    * [[WordShingles]] expression: one pass, no HOF interpretation. */
+  def shingles(text: Column, k: Int): Column = WordShingles.ofColumn(text, k)
 
   /** MinHash signature of a shingle array: numHashes permutation minima.
     * Deterministic multiply-add-mask family (odd multipliers over a murmur

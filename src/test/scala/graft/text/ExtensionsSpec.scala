@@ -47,6 +47,29 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     java.lang.Long.bitCount(sigs(0L) ^ sigs(2L)) should be > 10
   }
 
+  test("native WordShingles matches the HOF formulation and handles short texts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("the quick brown fox jumps the quick brown fox again",
+      "one two", "single").toDF("t")
+    val F = org.apache.spark.sql.functions
+    val toks = split(col("t"), " ")
+    val viaHof = array_distinct(filter(
+      transform(sequence(lit(0), F.size(toks) - 3),
+        i => array_join(slice(toks, i + 1, lit(3)), " ")),
+      x => x.isNotNull))
+    val rows = df.filter(F.size(toks) >= 3)
+      .select(Dedup.shingles(col("t"), 3).as("native"), viaHof.as("hof"))
+      .collect()
+    rows.foreach { r =>
+      r.getSeq[String](0) shouldBe r.getSeq[String](1)
+    }
+    // short texts: sane empty array (the HOF form degenerates there)
+    val short = df.filter(F.size(toks) < 3)
+      .select(Dedup.shingles(col("t"), 3).as("native")).collect()
+    short.foreach(r => r.getSeq[String](0) shouldBe empty)
+  }
+
   test("jaccard column matches hand computation") {
     val s = spark
     import s.implicits._
