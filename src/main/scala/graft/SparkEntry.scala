@@ -385,7 +385,9 @@ object SparkEntry {
           try_divide(size(array_intersect(col("ta"), col("tb"))).cast("double"),
             size(array_union(col("ta"), col("tb"))).cast("double")))
         .filter(col("jaccard") >= 0.65)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        // unrounded: int/int division is bit-exact in both engines, and
+        // round-half ties on dyadic ratios differ (HALF_UP vs half-even)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
     }),
     "dd06_embedding_neardup" -> ((s, dir) =>
       // synthetic embeddings are unclustered (max cosine ~0.3), so the
@@ -410,11 +412,10 @@ object SparkEntry {
         nlist = 8, nprobe = 4)
     }),
     "tx02_quality" -> ((s, dir) =>
+      // ratios unrounded: int/int divisions are bit-exact vs the oracle
       graft.text.TextFunctions.qualityScore(Tables.documents(s, dir))
         .select(col("doc_id"), col("n_tokens"),
-          round(col("punct_ratio"), 6).as("punct_ratio"),
-          round(col("stopword_ratio"), 6).as("stopword_ratio"),
-          col("quality_score"))),
+          col("punct_ratio"), col("stopword_ratio"), col("quality_score"))),
     "tx03_langid" -> ((s, dir) =>
       graft.text.TextFunctions.langId(Tables.documents(s, dir))
         .groupBy(col("lang"))
@@ -732,7 +733,7 @@ object SparkEntry {
              len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE
                / len(list_distinct(a.toks || b.toks)) AS j
            FROM t a, t b WHERE a.doc_id < b.doc_id)
-         SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.65""",
+         SELECT id_a, id_b, j AS jaccard FROM pairs WHERE j >= 0.65""",
     "tx02_quality" ->
       """WITH s AS (
            SELECT doc_id,
@@ -744,8 +745,8 @@ object SparkEntry {
                / len(string_split(text,' ')) AS stopword_ratio
            FROM documents)
          SELECT doc_id, n_tokens::BIGINT AS n_tokens,
-           round(punct_ratio, 6) AS punct_ratio,
-           round(stopword_ratio, 6) AS stopword_ratio,
+           punct_ratio,
+           stopword_ratio,
            round(greatest(0.0, least(1.0,
              0.25 * least(n_tokens / 20.0, 1.0) +
              0.25 * least(stopword_ratio * 5.0, 1.0) +
