@@ -28,6 +28,34 @@ object PropertySpec extends Properties("graft") {
       approxEq(ArrayOps.inverseDiffOfOrder(ArrayOps.diffOfOrder(x, d), d), x, 1e-4)
     }
 
+  property("WordShingles: count, distinctness, membership") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dog", "fox")),
+      Gen.choose(1, 4)) { (toks, k) =>
+      val text = toks.mkString(" ")
+      val out = graft.text.WordShingles
+        .compute(org.apache.spark.unsafe.types.UTF8String.fromString(text), k)
+      val got = (0 until out.numElements())
+        .map(i => out.getUTF8String(i).toString)
+      val expect = if (toks.length < k) Seq.empty
+        else toks.sliding(k).map(_.mkString(" ")).toSeq.distinct
+      got == expect
+    }
+
+  property("DotProduct.compute-equivalent eval matches scalar math") =
+    forAll(Gen.listOfN(16, Gen.choose(-100.0, 100.0)),
+      Gen.listOfN(16, Gen.choose(-100.0, 100.0))) { (a, b) =>
+      import org.apache.spark.sql.catalyst.util.GenericArrayData
+      val expr = graft.sim.DotProduct(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(a.toArray,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(b.toArray,
+          org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType)))
+      val got = expr.eval(null).asInstanceOf[Double]
+      // same sequential fold the expression performs
+      val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      got == want
+    }
+
   property("EWMA add/remove inverse") =
     forAll(series, Gen.choose(0.05, 0.95)) { (x, a) =>
       val m = EWMAModel(a)
