@@ -478,6 +478,14 @@ object SparkEntry {
     "m17_ewma_forecast" -> ((s, dir) =>
       graft.models.ModelOps.forecastEwma(obs(s, dir), h = 5,
         key = "user_id", ts = "ts_us", value = "value").toDF()),
+    "m18_ljungbox_stat" -> ((s, dir) =>
+      // the Ljung-Box STATISTIC is SQL-expressible (autocovariance windows),
+      // so this slice of m08 gets a hash-checked oracle; the p-value
+      // (chi-squared CDF) stays on the rows-only m08 query
+      graft.models.ModelOps.ljungBoxAll(obs(s, dir), lags = 10,
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key").cast("long").as("user_id"),
+          round(col("statistic"), 6).as("lb_stat"))),
     "ts24_trim" -> ((s, dir) => {
       // values < 5 become nulls, then leading/trailing null runs are trimmed
       val o = obs(s, dir).withColumn("value",
@@ -859,6 +867,35 @@ object SparkEntry {
                  WHEN d.doc_id % 3 = 1 THEN greatest(1, (d.n_chars * 10) // 5000)
                  ELSE 1 END)::INT AS frames_sampled
          FROM documents d JOIN ent e ON d.doc_id = e.doc_id""",
+    "m18_ljungbox_stat" ->
+      """WITH b AS (
+           SELECT user_id, value, epoch_us(ts) AS ts_us,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM events
+         ), l AS (
+           SELECT user_id, n, value - mu AS e,
+             lag(value - mu, 1) OVER w AS e1, lag(value - mu, 2) OVER w AS e2,
+             lag(value - mu, 3) OVER w AS e3, lag(value - mu, 4) OVER w AS e4,
+             lag(value - mu, 5) OVER w AS e5, lag(value - mu, 6) OVER w AS e6,
+             lag(value - mu, 7) OVER w AS e7, lag(value - mu, 8) OVER w AS e8,
+             lag(value - mu, 9) OVER w AS e9, lag(value - mu, 10) OVER w AS e10
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+         ), agg AS (
+           SELECT user_id, any_value(n) AS n, sum(e*e) AS c0,
+             sum(e*e1) AS c1, sum(e*e2) AS c2, sum(e*e3) AS c3,
+             sum(e*e4) AS c4, sum(e*e5) AS c5, sum(e*e6) AS c6,
+             sum(e*e7) AS c7, sum(e*e8) AS c8, sum(e*e9) AS c9,
+             sum(e*e10) AS c10
+           FROM l GROUP BY user_id
+         )
+         SELECT user_id, round(n*(n+2) * (
+           (c1/c0)*(c1/c0)/(n-1) + (c2/c0)*(c2/c0)/(n-2) +
+           (c3/c0)*(c3/c0)/(n-3) + (c4/c0)*(c4/c0)/(n-4) +
+           (c5/c0)*(c5/c0)/(n-5) + (c6/c0)*(c6/c0)/(n-6) +
+           (c7/c0)*(c7/c0)/(n-7) + (c8/c0)*(c8/c0)/(n-8) +
+           (c9/c0)*(c9/c0)/(n-9) + (c10/c0)*(c10/c0)/(n-10)), 6) AS lb_stat
+         FROM agg""",
     "ts24_trim" ->
       """SELECT user_id, ts_us, value FROM (
            SELECT user_id, ts_us, v AS value,
