@@ -478,6 +478,20 @@ object SparkEntry {
     "m17_ewma_forecast" -> ((s, dir) =>
       graft.models.ModelOps.forecastEwma(obs(s, dir), h = 5,
         key = "user_id", ts = "ts_us", value = "value").toDF()),
+    "m19_kpss_stat" -> ((s, dir) =>
+      // lags=0 KPSS: the long-run variance collapses to sse/n, making the
+      // eta statistic pure cumsum algebra with an exact SQL oracle
+      graft.models.ModelOps.kpssAll(obs(s, dir), regression = "c",
+        key = "user_id", ts = "ts_us", value = "value", lags = 0).toDF()
+        .select(col("key").cast("long").as("user_id"),
+          round(col("statistic"), 6).as("kpss_stat"))),
+    "m20_adf_stat" -> ((s, dir) =>
+      // maxLag=0 Dickey-Fuller: a bivariate OLS whose t-ratio the oracle
+      // reproduces with regr_* aggregates
+      graft.models.ModelOps.adfAll(obs(s, dir), regression = "c",
+        key = "user_id", ts = "ts_us", value = "value", maxLag = 0).toDF()
+        .select(col("key").cast("long").as("user_id"),
+          round(col("statistic"), 6).as("df_stat"))),
     "m18_ljungbox_stat" -> ((s, dir) =>
       // the Ljung-Box STATISTIC is SQL-expressible (autocovariance windows),
       // so this slice of m08 gets a hash-checked oracle; the p-value
@@ -867,6 +881,37 @@ object SparkEntry {
                  WHEN d.doc_id % 3 = 1 THEN greatest(1, (d.n_chars * 10) // 5000)
                  ELSE 1 END)::INT AS frames_sampled
          FROM documents d JOIN ent e ON d.doc_id = e.doc_id""",
+    "m19_kpss_stat" ->
+      """WITH b AS (
+           SELECT user_id, value, epoch_us(ts) AS ts_us,
+             avg(value) OVER (PARTITION BY user_id) AS mu
+           FROM events
+         ), c AS (
+           SELECT user_id, value - mu AS e,
+             sum(value - mu) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+           FROM b
+         ), a AS (
+           SELECT user_id, sum(e*e) AS sse, sum(s*s) AS ss, count(*) AS n
+           FROM c GROUP BY user_id
+         )
+         SELECT user_id, round(ss / (n * sse), 6) AS kpss_stat FROM a""",
+    "m20_adf_stat" ->
+      """WITH p AS (
+           SELECT user_id, value AS yprev,
+             lead(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts))
+               - value AS dy
+           FROM events
+         ), a AS (
+           SELECT user_id,
+             regr_slope(dy, yprev) AS beta, regr_r2(dy, yprev) AS r2,
+             regr_syy(dy, yprev) AS syy, regr_sxx(dy, yprev) AS sxx,
+             regr_count(dy, yprev) AS cnt
+           FROM p WHERE dy IS NOT NULL GROUP BY user_id
+         )
+         SELECT user_id,
+           round(beta / sqrt(((1 - r2) * syy / (cnt - 2)) / sxx), 6) AS df_stat
+         FROM a""",
     "m18_ljungbox_stat" ->
       """WITH b AS (
            SELECT user_id, value, epoch_us(ts) AS ts_us,

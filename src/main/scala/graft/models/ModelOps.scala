@@ -161,21 +161,23 @@ object ModelOps {
   }
 
   def kpssAll(df: DataFrame, regression: String = "c", key: String = "key",
-      ts: String = "ts_nanos", value: String = "value"): Dataset[TestResult] = {
+      ts: String = "ts_nanos", value: String = "value",
+      lags: Int = -1): Dataset[TestResult] = {
     val spark = df.sparkSession
     import spark.implicits._
     grouped(df, key, ts, value).map { case (k, arr) =>
-      val (s, p) = graft.stats.StatTests.kpss(arr, regression)
+      val (s, p) = graft.stats.StatTests.kpss(arr, regression, lags)
       TestResult(k, s, p)
     }
   }
 
   def adfAll(df: DataFrame, regression: String = "c", key: String = "key",
-      ts: String = "ts_nanos", value: String = "value"): Dataset[TestResult] = {
+      ts: String = "ts_nanos", value: String = "value",
+      maxLag: Int = -1): Dataset[TestResult] = {
     val spark = df.sparkSession
     import spark.implicits._
     grouped(df, key, ts, value).map { case (k, arr) =>
-      val (s, p) = graft.stats.StatTests.adf(arr, regression = regression)
+      val (s, p) = graft.stats.StatTests.adf(arr, maxLag, regression)
       TestResult(k, s, p)
     }
   }
