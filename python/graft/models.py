@@ -1,0 +1,107 @@
+"""Distributed per-key model fits and forecasts (parity: reference
+python/sparkts/models/*.py — ARIMA, EWMA, GARCH, HoltWinters, plus the
+stat-test lifts). Each call runs the Scala kernel per key inside the
+executors (mapGroups) and returns a flat DataFrame of fits / forecasts.
+"""
+
+from ._java import ctx, lift
+
+
+def _m(jvm):
+    return jvm.graft.models.ModelOps
+
+
+def fit_arima(df, p, d, q, key="key", ts="ts_nanos", value="value",
+              include_intercept=True):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).fitArima(
+        df._jdf, int(p), int(d), int(q), key, ts, value,
+        bool(include_intercept)).toDF())
+
+
+def auto_fit_arima(df, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).autoFitArima(df._jdf, key, ts, value).toDF())
+
+
+def forecast_arima(df, p, d, q, h, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).forecastArima(
+        df._jdf, int(p), int(d), int(q), int(h), key, ts, value).toDF())
+
+
+def fit_ewma(df, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).fitEwma(df._jdf, key, ts, value).toDF())
+
+
+def ewma_smoothed(df, alpha, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).ewmaSmoothed(
+        df._jdf, float(alpha), key, ts, value).toDF())
+
+
+def forecast_ewma(df, h, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).forecastEwma(
+        df._jdf, int(h), key, ts, value).toDF())
+
+
+def fit_garch(df, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).fitGarch(df._jdf, key, ts, value).toDF())
+
+
+def fit_ar(df, p, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).fitAr(df._jdf, int(p), key, ts, value).toDF())
+
+
+def fit_holt_winters(df, period, model_type="additive", key="key",
+                     ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).fitHoltWinters(
+        df._jdf, int(period), model_type, key, ts, value).toDF())
+
+
+def forecast_holt_winters(df, period, h, model_type="additive", key="key",
+                          ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).forecastHoltWinters(
+        df._jdf, int(period), int(h), model_type, key, ts, value).toDF())
+
+
+def kpss_all(df, regression="c", key="key", ts="ts_nanos", value="value",
+             lags=-1):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).kpssAll(
+        df._jdf, regression, key, ts, value, int(lags)).toDF())
+
+
+def adf_all(df, regression="c", key="key", ts="ts_nanos", value="value",
+            max_lag=-1):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).adfAll(
+        df._jdf, regression, key, ts, value, int(max_lag)).toDF())
+
+
+def ljung_box_all(df, lags=10, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).ljungBoxAll(
+        df._jdf, int(lags), key, ts, value).toDF())
+
+
+def durbin_watson_all(df, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).durbinWatsonAll(df._jdf, key, ts, value).toDF())
+
+
+def breusch_godfrey_all(df, lags=2, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).breuschGodfreyAll(
+        df._jdf, int(lags), key, ts, value).toDF())
+
+
+def breusch_pagan_all(df, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).breuschPaganAll(df._jdf, key, ts, value).toDF())

@@ -1,0 +1,29 @@
+"""Similarity search over embedding columns (Array[Float])."""
+
+from ._java import ctx, lift
+
+
+def brute_force_top_k(corpus, queries, k, id_col="vec_id",
+                      vec_col="embedding"):
+    """Exact cosine top-k: the correctness baseline."""
+    spark, jvm = ctx(corpus)
+    return lift(spark, jvm.graft.sim.Similarity.bruteForceTopK(
+        corpus._jdf, queries._jdf, int(k), id_col, vec_col))
+
+
+def lsh_top_k(corpus, queries, k, planes=12, probe_bits=2, id_col="vec_id",
+              vec_col="embedding"):
+    """Hyperplane-LSH bucketed top-k with multi-probe."""
+    spark, jvm = ctx(corpus)
+    return lift(spark, jvm.graft.sim.Similarity.lshTopK(
+        corpus._jdf, queries._jdf, int(k), int(planes), int(probe_bits),
+        id_col, vec_col))
+
+
+def ivf_top_k(corpus, queries, k, nlist=16, nprobe=4, id_col="vec_id",
+              vec_col="embedding", seed=42, quantizer_max_rows=100000):
+    """IVF top-k: coarse k-means cells, probe the n nearest."""
+    spark, jvm = ctx(corpus)
+    return lift(spark, jvm.graft.sim.Similarity.ivfTopK(
+        corpus._jdf, queries._jdf, int(k), int(nlist), int(nprobe), id_col,
+        vec_col, int(seed), int(quantizer_max_rows)))

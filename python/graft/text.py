@@ -1,0 +1,54 @@
+"""Text dedup + analysis for training-data pipelines."""
+
+from ._java import ctx, lift
+
+
+def dedup_exact(df, text_col="text", id_col="doc_id", keep_first=True):
+    """Exact dedup by text hash; one canonical row per distinct text."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.Dedup.exact(
+        df._jdf, text_col, id_col, bool(keep_first)))
+
+
+def minhash_near_duplicates(df, text_col="text", id_col="doc_id", k=3,
+                            num_hashes=64, bands=16, threshold=0.7):
+    """MinHash+LSH near-dup pairs, verified by exact shingle Jaccard."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.Dedup.minhashNearDuplicates(
+        df._jdf, text_col, id_col, int(k), int(num_hashes), int(bands),
+        float(threshold)))
+
+
+def simhash_near_duplicates(df, text_col="text", id_col="doc_id",
+                            max_hamming=3):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.Dedup.simhashNearDuplicates(
+        df._jdf, text_col, id_col, int(max_hamming)))
+
+
+def embedding_near_duplicates(df, id_col="vec_id", vec_col="embedding",
+                              threshold=0.95, bands=8, planes_per_band=8,
+                              seed=7):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.Dedup.embeddingNearDuplicates(
+        df._jdf, id_col, vec_col, float(threshold), int(bands),
+        int(planes_per_band), int(seed)))
+
+
+def quality_score(df, text="text"):
+    """Token/char/punct/stopword signals + composite quality in [0,1]."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.qualityScore(df._jdf, text))
+
+
+def lang_id(df, text="text", out="lang_pred"):
+    """Stopword-profile language ID (de/en/es/fr/zh)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.langId(df._jdf, text, out))
+
+
+def lang_scores(df, text="text", out="lang_pred"):
+    """Per-language stopword hit counts plus the argmax prediction."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.langScores(
+        df._jdf, text, out))

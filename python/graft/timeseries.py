@@ -1,0 +1,176 @@
+"""Per-key time-series operators (parity: reference TimeSeriesRDD methods).
+
+Every function is a thin py4j call to ``graft.ts.TimeSeriesOps`` — the same
+lag/fill/resample/align operators the Scala and Java APIs use. DataFrames are
+long-form observations ``(key, ts, value)``; ``ts`` is an integer tick column
+(any unit — operators taking absolute times take them in the same ticks).
+"""
+
+from ._java import ctx, lift, opt, roll_align, to_seq
+
+
+def lags(df, max_lag, trim=True, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.lags(
+        df._jdf, int(max_lag), bool(trim), key, ts, value))
+
+
+def differences(df, n=1, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.differences(
+        df._jdf, int(n), key, ts, value))
+
+
+def quotients(df, n=1, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.quotients(
+        df._jdf, int(n), key, ts, value))
+
+
+def return_rates(df, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.returnRates(
+        df._jdf, key, ts, value))
+
+
+def roll_sum(df, n, align="right", key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.rollSum(
+        df._jdf, int(n), roll_align(jvm, align), key, ts, value))
+
+
+def roll_mean(df, n, align="right", key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.rollMean(
+        df._jdf, int(n), roll_align(jvm, align), key, ts, value))
+
+
+def fill(df, method, fill_value=0.0, key="key", ts="ts_nanos", value="value"):
+    """method: previous | next | nearest | linear | value | zero."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.fill(
+        df._jdf, method, float(fill_value), key, ts, value))
+
+
+def trim_leading(df, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.trimLeading(
+        df._jdf, key, ts, value))
+
+
+def trim_trailing(df, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.trimTrailing(
+        df._jdf, key, ts, value))
+
+
+def slice(df, start_ticks, end_ticks, ts="ts_nanos"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.slice(
+        df._jdf, int(start_ticks), int(end_ticks), ts))
+
+
+def downsample(df, n, phase=0, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.downsample(
+        df._jdf, int(n), int(phase), key, ts, value))
+
+
+def upsample(df, jindex, fill_method=None, key="key", ts="ts_nanos",
+             value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.upsample(
+        df._jdf, jindex, opt(jvm, fill_method), key, ts, value))
+
+
+def align(df, jindex, fill_method=None, key="key", ts="ts_nanos",
+          value="value", strategy="series"):
+    """Rebase every series onto a DateTimeIndex (graft.index constructors)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.align(
+        df._jdf, jindex, opt(jvm, fill_method), key, ts, value, strategy))
+
+
+def asof_join(left, right, value_out="asof_value", tolerance_ticks=None,
+              key="key", ts="ts_nanos", right_value="value"):
+    spark, jvm = ctx(left)
+    tol = int(tolerance_ticks) if tolerance_ticks is not None else (2 ** 63 - 1)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.asofJoin(
+        left._jdf, right._jdf, value_out, tol, key, ts, right_value))
+
+
+def resample(df, width_ticks, agg="avg", closed_right=False, stamp_right=False,
+             origin_ticks=0, key="key", ts="ts_nanos", value="value"):
+    """Fixed-width buckets; agg: avg|sum|min|max|count|first|last."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.resample(
+        df._jdf, int(width_ticks), agg, bool(closed_right), bool(stamp_right),
+        int(origin_ticks), key, ts, value))
+
+
+def resample_calendar(df, unit, agg="avg", key="key", ts="ts_nanos",
+                      value="value", tick_nanos=1):
+    """Calendar buckets (unit: DAY, HOUR, WEEK, ...); tick_nanos is the
+    nanoseconds per unit of the ts column (1000 for a micros column)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.resampleCalendar(
+        df._jdf, unit, agg, key, ts, value, int(tick_nanos)))
+
+
+def differences_by_interval(df, interval_ticks, key="key", ts="ts_nanos",
+                            value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.differencesByInterval(
+        df._jdf, int(interval_ticks), key, ts, value))
+
+
+def filter_starting_before(df, t_ticks, key="key", ts="ts_nanos",
+                           value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.filterStartingBefore(
+        df._jdf, int(t_ticks), key, ts, value))
+
+
+def filter_ending_after(df, t_ticks, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.filterEndingAfter(
+        df._jdf, int(t_ticks), key, ts, value))
+
+
+def remove_instants_with_nans(df, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.removeInstantsWithNaNs(
+        df._jdf, key, ts, value))
+
+
+def series_stats(df, key="key", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.seriesStats(
+        df._jdf, key, value))
+
+
+def autocorr(df, lags_wanted, key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.autocorr(
+        df._jdf, to_seq(jvm, [int(x) for x in lags_wanted]), key, ts, value))
+
+
+def to_instants(df, keys, key="key", ts="ts_nanos", value="value"):
+    """Long-form -> wide: one row per instant, one column per key."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.toInstants(
+        df._jdf, to_seq(jvm, [str(k) for k in keys]), key, ts, value))
+
+
+def to_series(df, jindex, key="key", ts="ts_nanos", value="value"):
+    """Long-form -> series layout: one row per key, array column of values."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.toSeries(
+        df._jdf, jindex, key, ts, value))
+
+
+def from_series(df, jindex, key="key", series_col="series"):
+    """Series layout -> long-form observations."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.fromSeries(
+        df._jdf, jindex, key, series_col))

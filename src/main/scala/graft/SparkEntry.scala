@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.{DateTimeIndex, Frequency}
@@ -22,7 +22,7 @@ object SparkEntry {
    */
   def entry(spark: SparkSession): DataFrame = {
     val dir = "/root/testdata/sf0.001"
-    val daily = TS.resampleCalendar(obs(spark, dir), "DAY", avg,
+    val daily = TS.resampleCalendar(obs(spark, dir), "DAY", avg(_: Column),
       key = "user_id", ts = "ts_us", value = "value", tickNanos = 1000L)
       .withColumn("day_us", unix_micros(col("bucket_ts")))
     val Array(minUs, maxUs) = daily.agg(min("day_us"), max("day_us"))
@@ -274,7 +274,7 @@ object SparkEntry {
         key = "user_id", ts = "ts_us", value = "value").toDF()),
     "m06_holtwinters_fit" -> ((s, dir) => {
       // weekly-seasonal HW on the per-user daily mean series
-      val daily = TS.resampleCalendar(obs(s, dir), "DAY", avg,
+      val daily = TS.resampleCalendar(obs(s, dir), "DAY", avg(_: Column),
         key = "user_id", ts = "ts_us", value = "value", tickNanos = 1000L)
         .withColumn("day_us", unix_micros(col("bucket_ts")))
       graft.models.ModelOps.fitHoltWinters(daily, period = 7,
@@ -421,6 +421,12 @@ object SparkEntry {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("lang") === col("lang_pred"), 1L).otherwise(0L)).as("n_correct"))),
+    "tx06_langid_perdoc" -> ((s, dir) =>
+      // per-doc diagnostic: each document's per-language stopword scores and
+      // prediction, so a tx03 aggregate mismatch pinpoints the flipped doc
+      graft.text.TextFunctions.langScores(Tables.documents(s, dir))
+        .select(col("doc_id"), col("lang"), col("lang_pred"),
+          col("h_de"), col("h_en"), col("h_es"), col("h_fr"), col("h_zh"))),
     "tx04_bpeish_tokens" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         graft.text.TextFunctions.bpeishTokenCount(col("text")).as("n_subtokens"))),
@@ -469,7 +475,7 @@ object SparkEntry {
       graft.models.ModelOps.breuschPaganAll(obs(s, dir),
         key = "user_id", ts = "ts_us", value = "value").toDF()),
     "m16_hw_forecast" -> ((s, dir) => {
-      val daily = TS.resampleCalendar(obs(s, dir), "DAY", avg,
+      val daily = TS.resampleCalendar(obs(s, dir), "DAY", avg(_: Column),
         key = "user_id", ts = "ts_us", value = "value", tickNanos = 1000L)
         .withColumn("day_us", unix_micros(col("bucket_ts")))
       graft.models.ModelOps.forecastHoltWinters(daily, period = 7, h = 7,
@@ -516,6 +522,54 @@ object SparkEntry {
         .select("user_id", "ts_us", "value")
     })
   )
+
+  /** DuckDB string literal composed to be byte-pure ASCII: any char outside
+    * printable ASCII becomes `chr(<codepoint>)`. tx03 failed the driver's
+    * hash compare for two rounds with semantically-identical SQL — the
+    * residual suspect was the driver's DuckDB evaluation of non-ASCII
+    * literals, so the oracle now never emits one at the source. */
+  private def asciiSqlLit(s: String): String = {
+    def plain(c: Char) = c >= ' ' && c <= '~' && c != '\''
+    if (s.forall(plain)) "'" + s + "'"
+    else {
+      val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      def flush(): Unit = if (sb.nonEmpty) { parts += ("'" + sb + "'"); sb.clear() }
+      s.foreach { c =>
+        if (plain(c)) sb.append(c)
+        else { flush(); parts += s"chr(${c.toInt})" }
+      }
+      flush()
+      if (parts.length == 1) parts.head else parts.mkString("(", " || ", ")")
+    }
+  }
+  private def asciiInList(words: Seq[String]): String =
+    words.map(asciiSqlLit).mkString(", ")
+
+  /** Shared langid CTE: stopword lists interpolated straight from
+    * [[graft.text.StopWords]] (single source of truth with the Spark side),
+    * every non-ASCII char chr()-composed. */
+  private def langIdCte: String = {
+    val p = graft.text.StopWords.profiles.toMap
+    s"""WITH h AS (
+         SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
+       c AS (
+         SELECT doc_id, lang,
+           len(list_filter(toks, x -> x IN (${asciiInList(p("de"))}))) AS h_de,
+           len(list_filter(toks, x -> x IN (${asciiInList(p("en"))}))) AS h_en,
+           len(list_filter(toks, x -> x IN (${asciiInList(p("es"))}))) AS h_es,
+           len(list_filter(toks, x -> x IN (${asciiInList(p("fr"))}))) AS h_fr,
+           len(list_filter(toks, x -> x IN (${asciiInList(p("zh"))}))) AS h_zh
+         FROM h),
+       p AS (
+         SELECT doc_id, lang, h_de, h_en, h_es, h_fr, h_zh,
+           CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
+                WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
+                WHEN h_fr >= h_zh THEN 'fr'
+                ELSE 'zh' END AS lang_pred
+         FROM c)"""
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -776,27 +830,13 @@ object SparkEntry {
              0.25 * (1.0 - least(digit_ratio * 4.0, 1.0)))), 6) AS quality_score
          FROM s""",
     "tx03_langid" ->
-      """WITH h AS (
-           SELECT doc_id, lang, string_split(text,' ') AS toks FROM documents),
-         c AS (
-           SELECT doc_id, lang,
-             len(list_filter(toks, x -> x IN ('der','die','das','und','oder','von','zu','in','ist','sind','ein','eine','dass','mit','auf','für','sich'))) AS h_de,
-             len(list_filter(toks, x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','that','it','on','for','with','as','this'))) AS h_en,
-             len(list_filter(toks, x -> x IN ('el','la','los','las','de','del','y','o','en','es','un','una','que','por','con','para','su','se'))) AS h_es,
-             len(list_filter(toks, x -> x IN ('le','la','les','de','des','et','ou','en','est','sont','un','une','que','pour','avec','sur','dans','ce'))) AS h_fr,
-             len(list_filter(toks, x -> x IN ('的','了','和','是','在','我','有','他','这','中','大','来','上','国','个','到','说','们'))) AS h_zh
-           FROM h),
-         p AS (
-           SELECT doc_id, lang,
-             CASE WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_zh THEN 'de'
-                  WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_zh THEN 'en'
-                  WHEN h_es >= h_fr AND h_es >= h_zh THEN 'es'
-                  WHEN h_fr >= h_zh THEN 'fr'
-                  ELSE 'zh' END AS lang_pred
-           FROM c)
+      s"""$langIdCte
          SELECT lang, count(*) AS n_docs,
            sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS n_correct
          FROM p GROUP BY lang""",
+    "tx06_langid_perdoc" ->
+      s"""$langIdCte
+         SELECT doc_id, lang, lang_pred, h_de, h_en, h_es, h_fr, h_zh FROM p""",
     "tx04_bpeish_tokens" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens

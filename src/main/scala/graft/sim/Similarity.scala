@@ -151,10 +151,19 @@ object Similarity {
       .withColumn("nn", norm(col("nv")))
       .withColumn("features", array_to_vector(col("nv")))
     val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-    // the coarse quantizer only needs a bounded sample: limit() caps the
-    // iterative KMeans input so the fit cost is constant in corpus size
-    // (below the cap the input is the full corpus — results unchanged)
-    val model = km.fit(c.select("features").limit(quantizerMaxRows))
+    // the coarse quantizer only needs a bounded input, but a UNIFORM one:
+    // limit() reads whichever partitions come first, so at scale the
+    // quantizer would train on one shard's distribution. Below the cap the
+    // full corpus is used (results unchanged); above it, a seeded uniform
+    // sample (oversampled 20%, then capped) keeps the fit cost constant in
+    // corpus size without the partition-order bias.
+    val feats = c.select("features")
+    val nCorpus = feats.count()
+    val fitInput =
+      if (nCorpus <= quantizerMaxRows) feats
+      else feats.sample(withReplacement = false,
+        math.min(1.0, quantizerMaxRows * 1.2 / nCorpus), seed).limit(quantizerMaxRows)
+    val model = km.fit(fitInput)
     val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
       .select("neighbor_id", "nv", "nn", "cell")
     // query -> its nprobe nearest centroids (centroid list is tiny: driver math)

@@ -150,7 +150,10 @@ object Dedup {
     val cands = minhashCandidates(withSig.select(col("id"), col("sig")), "id", "sig", bands)
     val candIds = cands.select(col("id_a").as("id"))
       .union(cands.select(col("id_b").as("id"))).distinct()
-    val candSh = base.join(broadcast(candIds), "id")
+    // no broadcast hint: the candidate-id set is bounded only by the corpus'
+    // near-dup rate (30-50% on web crawls), so forcing a broadcast is a
+    // driver-OOM at 100 TB. Left-semi on id — AQE picks broadcast iff it fits.
+    val candSh = base.join(candIds, Seq("id"), "left_semi")
       .select(col("id"), shingles(col("__text"), k).as("sh"))
     cands
       .join(candSh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -72,6 +72,22 @@ object TextFunctions {
       .withColumn(s"${out}_hits", best.getField("hits").cast("long"))
   }
 
+  /** Per-profile stopword hit counts (`h_de` .. `h_zh`) plus the argmax
+    * prediction — the diagnostic companion to [[langId]]: a mismatch against
+    * the oracle pinpoints the exact document and the exact score that
+    * flipped. Same tie-break (first profile in order wins on >=). */
+  def langScores(df: DataFrame, text: String = "text", out: String = "lang_pred"): DataFrame = {
+    val toks = tokens(col(text))
+    val hits = StopWords.profiles.map { case (lang, words) =>
+      lang -> size(filter(toks, x => x.isin(words: _*))).cast("long")
+    }
+    val scored = hits.map { case (lang, h) => struct(h.as("hits"), lit(lang).as("lang")) }
+    val best = scored.reduce((a, b) =>
+      when(a.getField("hits") >= b.getField("hits"), a).otherwise(b))
+    hits.foldLeft(df) { case (d, (lang, h)) => d.withColumn(s"h_$lang", h) }
+      .withColumn(out, best.getField("lang"))
+  }
+
   /** Canonical fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text — near-dup resilient to formatting noise. */
   def canonicalFingerprint(text: Column): Column =

@@ -526,6 +526,26 @@ object TimeSeriesOps {
       .agg(aggFn(col(value)).as(value))
   }
 
+  /** Builtin aggregate by name — the py4j-friendly way to pick `aggFn`
+    * (Python callers can't construct a Scala `Column => Column`). */
+  private def aggByName(name: String): Column => Column = name.toLowerCase match {
+    case "avg" | "mean" => avg
+    case "sum"          => sum
+    case "min"          => min
+    case "max"          => max
+    case "count"        => c => count(c).cast("double")
+    case "first"        => c => first(c, ignoreNulls = true)
+    case "last"         => c => last(c, ignoreNulls = true)
+    case other => throw new IllegalArgumentException(s"unknown aggregate: $other")
+  }
+
+  /** py4j-friendly overload: aggregate picked by name. */
+  def resample(df: DataFrame, widthNanos: Long, agg: String, closedRight: Boolean,
+      stampRight: Boolean, originNanos: Long, key: String, ts: String,
+      value: String): DataFrame =
+    resample(df, widthNanos, aggByName(agg), closedRight, stampRight, originNanos,
+      key, ts, value)
+
   /** Calendar resample: bucket by date_trunc unit on a derived timestamp.
     * `tickNanos` = nanoseconds per unit of the ts column (1 for nanos ts,
     * 1000 for micros ts) — unit bugs here silently collapse all buckets,
@@ -538,6 +558,11 @@ object TimeSeriesOps {
       .groupBy(col(key), col("__bucket").as("bucket_ts"))
       .agg(aggFn(col(value)).as(value))
   }
+
+  /** py4j-friendly overload: aggregate picked by name. */
+  def resampleCalendar(df: DataFrame, unit: String, agg: String, key: String,
+      ts: String, value: String, tickNanos: Long): DataFrame =
+    resampleCalendar(df, unit, aggByName(agg), key, ts, value, tickNanos)
 
   // ---------------------------------------------------------------- layout converters
 

@@ -1,0 +1,116 @@
+#!/usr/bin/env python3
+"""Test for the importable python/graft package.
+
+Imports the package (no hand-rolled py4j in the test — everything goes
+through the wrappers) and drives the flagship pipeline end-to-end: load →
+calendar resample → align to the day grid with linear fill → rolling mean →
+per-key ARIMA forecast, plus the dedup / similarity / SQL-function surfaces.
+
+Run:  python3 tools/test_python_package.py [sfDir]
+Needs: sbt compile (classes at target/scala-2.13/classes), pyspark 4.x.
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "python"))
+
+from pyspark.sql import SparkSession, functions as F
+
+import graft
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    repo = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+    spark = graft.session.configure(
+        SparkSession.builder.master("local[4]").appName("graft-python-package"),
+        classes=f"{repo}/target/scala-2.13/classes",
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    # ---- flagship pipeline through the package wrappers ----
+    events = graft.io.events(spark, sf_dir)
+    n_events = events.count()
+    assert n_events > 0, "events table is empty"
+
+    daily = graft.timeseries.resample_calendar(
+        events.withColumn("user_id", F.col("user_id").cast("string")),
+        "DAY", "avg", key="user_id", ts="ts_us", value="value",
+        tick_nanos=1000,
+    ).withColumnRenamed("bucket_ts", "day_ts")
+    daily = daily.withColumn("day_us", F.unix_micros(F.col("day_ts")))
+    n_daily = daily.count()
+    assert n_daily > 0
+
+    lo, hi = daily.agg(F.min("day_us"), F.max("day_us")).first()
+    idx = graft.index.irregular(
+        spark, list(range(lo, hi + 1, 86_400_000_000)))
+    aligned = graft.timeseries.align(
+        daily, idx, fill_method="linear", key="user_id", ts="day_us",
+        value="value")
+    n_keys = daily.select("user_id").distinct().count()
+    assert aligned.count() == n_keys * idx.size(), "align grid incomplete"
+
+    roll = graft.timeseries.roll_mean(
+        aligned, 3, align="right", key="user_id", ts="day_us", value="value")
+    n_roll = roll.count()
+    assert 0 < n_roll <= n_keys * (idx.size() - 2), "rollMean trim mismatch"
+
+    fc = graft.models.forecast_arima(
+        roll, 1, 0, 1, 5, key="user_id", ts="day_us", value="value")
+    n_fc = fc.count()
+    assert n_fc == n_keys * 5, f"expected {n_keys * 5} forecast rows, got {n_fc}"
+
+    # ---- a second index flavor: uniform day index, same grid ----
+    uidx = graft.index.uniform(
+        spark, lo * 1000, idx.size(), graft.index.days(spark, 1))
+    assert uidx.size() == idx.size()
+    assert uidx.nanosAtLoc(0) == lo * 1000
+
+    # ---- stats lift ----
+    dw = graft.models.durbin_watson_all(
+        aligned, key="user_id", ts="day_us", value="value")
+    assert dw.count() == n_keys
+
+    # ---- text + dedup ----
+    docs = graft.io.documents(spark, sf_dir)
+    n_docs = docs.count()
+    groups = graft.text.dedup_exact(docs)
+    assert 0 < groups.count() <= n_docs
+    scored = graft.text.quality_score(docs)
+    assert scored.filter(F.col("quality_score").isNull()).count() == 0
+    langs = graft.text.lang_scores(docs)
+    assert "h_zh" in langs.columns and "lang_pred" in langs.columns
+
+    # ---- similarity ----
+    emb = graft.io.embeddings(spark, sf_dir)
+    knn = graft.sim.brute_force_top_k(emb, emb.filter(F.col("vec_id") < 3), 2)
+    assert knn.count() == 6, f"expected 6 knn rows, got {knn.count()}"
+
+    # ---- SQL extension functions through the functions module ----
+    row = docs.limit(1).select(
+        graft.functions.rolling_hash(F.col("text")).alias("rh"),
+        graft.functions.canonical_fingerprint(F.col("text")).alias("fp"),
+        graft.functions.bpeish_token_count(F.col("text")).alias("n"),
+        graft.functions.simhash64(F.col("text")).alias("sh"),
+    ).first()
+    assert len(row["fp"]) == 32 and row["n"] > 0
+
+    dp = spark.range(1).select(
+        graft.functions.dot_product(
+            F.array(F.lit(1.0), F.lit(2.0)), F.array(F.lit(3.0), F.lit(4.0))
+        ).alias("dp")
+    ).first()["dp"]
+    assert dp == 11.0
+
+    print(
+        f"PYTHON PACKAGE OK: events={n_events} daily={n_daily} "
+        f"aligned={n_keys * idx.size()} roll={n_roll} forecast={n_fc} "
+        f"docs={n_docs} knn=6 version={graft.__version__}"
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
