@@ -13,6 +13,23 @@ object SparkEntry {
   private def obs(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"), col("value"))
 
+  private val dayUsTick = 86400000000L
+
+  /** [lo, hi] day bounds (micros) from the RAW ts column: day truncation is
+    * monotone, so trunc(min(ts)) == min(trunc(ts)) — the prelim bounds job
+    * is a shuffle-free scalar column scan instead of re-running the whole
+    * daily aggregation before the main job. (align/toSeries need a
+    * driver-side DateTimeIndex, so one scalar collect is inherent to the
+    * index-based API; this keeps it as cheap as it can be.) */
+  private def dayBoundsUs(ev: DataFrame, ts: String = "ts_us"): (Long, Long) = {
+    val row = ev.agg(min(col(ts)), max(col(ts))).collect()(0)
+    (Math.floorDiv(row.getLong(0), dayUsTick) * dayUsTick,
+      Math.floorDiv(row.getLong(1), dayUsTick) * dayUsTick)
+  }
+
+  private def dayIndexUs(lo: Long, hi: Long): graft.core.IrregularDateTimeIndex =
+    graft.core.IrregularDateTimeIndex((lo to hi by dayUsTick).toArray)
+
   /**
    * Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
    * End-to-end slice per SURVEY §7.2, every layer touched: events → daily
@@ -25,11 +42,8 @@ object SparkEntry {
     val daily = TS.resampleCalendar(obs(spark, dir), "DAY", avg(_: Column),
       key = "user_id", ts = "ts_us", value = "value", tickNanos = 1000L)
       .withColumn("day_us", unix_micros(col("bucket_ts")))
-    val Array(minUs, maxUs) = daily.agg(min("day_us"), max("day_us"))
-      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-    val dayUs = 86400L * 1000000L
-    val index = graft.core.IrregularDateTimeIndex(
-      (minUs to maxUs by dayUs).toArray) // micros units; index is unit-agnostic
+    val (minUs, maxUs) = dayBoundsUs(obs(spark, dir))
+    val index = dayIndexUs(minUs, maxUs) // micros units; index is unit-agnostic
     val aligned = TS.align(daily.select(col("user_id"), col("day_us"), col("value")),
       index, fillMethod = Some("linear"), key = "user_id", ts = "day_us", value = "value")
     val smoothed = TS.rollMean(aligned, 7, RollAlign.Right,
@@ -186,12 +200,9 @@ object SparkEntry {
         .groupBy(col("user_id"), unix_micros(date_trunc("DAY",
           timestamp_micros(col("ts_us")))).as("day_us"))
         .agg(round(avg("value"), 6).as("value"))
-      val Array(minUs, maxUs) = daily.agg(min("day_us"), max("day_us"))
-        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-      val index = graft.core.IrregularDateTimeIndex(
-        (minUs to maxUs by 86400000000L).toArray)
-      TS.align(daily, index, Some("previous"), key = "user_id", ts = "day_us",
-        value = "value")
+      val (minUs, maxUs) = dayBoundsUs(Tables.events(s, dir))
+      TS.align(daily, dayIndexUs(minUs, maxUs), Some("previous"),
+        key = "user_id", ts = "day_us", value = "value")
     }),
     "ts17_autocorr" -> ((s, dir) => {
       TS.autocorr(obs(s, dir), Seq(1, 2), key = "user_id", ts = "ts_us", value = "value")
@@ -229,18 +240,21 @@ object SparkEntry {
     }),
     "bd01_business_days" -> ((s, dir) => {
       import graft.core.{DateTimeIndex, Frequency, TimeUtils}
-      val s2 = s
-      import s2.implicits._
       val ev = Tables.events(s, dir)
         .withColumn("day_us", unix_micros(date_trunc("DAY", timestamp_micros(col("ts_us")))))
-      val Array(minUs, maxUs) = ev.agg(min("day_us"), max("day_us"))
-        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-      val start = TimeUtils.fromNanos(minUs * 1000L, java.time.ZoneOffset.UTC)
-      val end = TimeUtils.fromNanos(maxUs * 1000L, java.time.ZoneOffset.UTC)
-      val bd = Frequency.businessDays(1)
-      val index = DateTimeIndex.uniformFromInterval(start, end, bd)
-      val idxDf = index.toNanosArray.map(_ / 1000L).toSeq.toDF("day_us")
-      ev.join(broadcast(idxDf), Seq("day_us"))
+      // business-day grid derived INSIDE the job: the one-row min/max
+      // aggregate feeds an executor-side BusinessDayFrequency index build
+      // (no driver collect, no separate prelim job); the exploded grid is
+      // broadcast-joined against the events.
+      val gridOf = udf { (lo: Long, hi: Long) =>
+        val start = TimeUtils.fromNanos(lo * 1000L, java.time.ZoneOffset.UTC)
+        val end = TimeUtils.fromNanos(hi * 1000L, java.time.ZoneOffset.UTC)
+        DateTimeIndex.uniformFromInterval(start, end, Frequency.businessDays(1))
+          .toNanosArray.map(_ / 1000L)
+      }
+      val grid = ev.agg(min("day_us").as("lo"), max("day_us").as("hi"))
+        .select(explode(gridOf(col("lo"), col("hi"))).as("day_us"))
+      ev.join(broadcast(grid), Seq("day_us"))
         .groupBy(col("day_us"))
         .agg(count(lit(1)).as("n_events"), round(sum("value"), 4).as("total"))
     }),
@@ -334,10 +348,8 @@ object SparkEntry {
         .groupBy(col("user_id").cast("string").as("key"),
           unix_micros(date_trunc("DAY", timestamp_micros(col("ts_us")))).as("day_us"))
         .agg(avg("value").as("value"))
-      val Array(minUs, maxUs) = daily.agg(min("day_us"), max("day_us"))
-        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
-      val index = graft.core.IrregularDateTimeIndex(
-        (minUs to maxUs by 86400000000L).toArray)
+      val (minUs, maxUs) = dayBoundsUs(Tables.events(s, dir))
+      val index = dayIndexUs(minUs, maxUs)
       val series = TS.toSeries(daily, index, key = "key", ts = "day_us", value = "value")
       val filled = TS.fillSpline(series)
       TS.fromSeries(filled, index, key = "key")
