@@ -18,6 +18,16 @@ import scala.util.hashing.MurmurHash3
  */
 object Dedup {
 
+  /** Spread a small input across the cores WITHOUT shuffling a big one: a
+    * single local file arrives as one scan partition, which would serialize
+    * the per-doc signature hashing onto one core — but an unconditional
+    * `repartition(parallelism)` is a full shuffle of the corpus at 100 TB.
+    * Only repartition when the scan has fewer partitions than cores. */
+  private def spread(df: DataFrame): DataFrame = {
+    val parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < parallelism) df.repartition(parallelism) else df
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup on a canonical form: keep the smallest id per group. */
@@ -139,12 +149,8 @@ object Dedup {
       threshold: Double = 0.7): DataFrame = {
     // signatures come straight from token hashes (no shingle strings) over
     // the whole corpus; real shingle arrays are only materialized for the
-    // candidate docs during exact-Jaccard verification. Repartition first: a
-    // small input file arrives as one scan partition, which would serialize
-    // the per-doc hashing onto a single core.
-    val parallelism = df.sparkSession.sparkContext.defaultParallelism
-    val base = df.repartition(parallelism)
-      .select(col(idCol).as("id"), col(textCol).as("__text"))
+    // candidate docs during exact-Jaccard verification.
+    val base = spread(df).select(col(idCol).as("id"), col(textCol).as("__text"))
     val withSig = base.withColumn("sig",
       minhashSignatureFromText(col("__text"), k, numHashes))
     val cands = minhashCandidates(withSig.select(col("id"), col("sig")), "id", "sig", bands)
@@ -199,7 +205,7 @@ object Dedup {
    */
   def simhashNearDuplicates(df: DataFrame, textCol: String = "text",
       idCol: String = "doc_id", maxHamming: Int = 3): DataFrame = {
-    val sigs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val sigs = spread(df)
       .select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val chunks = array((0 until 4).map(b =>
       shiftright(col("sig"), b * 16).bitwiseAND(lit(0xffffL))): _*)
@@ -232,7 +238,7 @@ object Dedup {
   def embeddingNearDuplicates(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.95,
       bands: Int = 8, planesPerBand: Int = 8, seed: Int = 7): DataFrame = {
-    val sigs = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val sigs = spread(df)
       .select(col(idCol).as("id"),
         graft.sim.Similarity.normalized(col(vecCol)).as("v"))
       .withColumn("__sigs", graft.sim.Similarity.hyperplaneBandSignatures(
