@@ -35,6 +35,21 @@ def embedding_near_duplicates(df, id_col="vec_id", vec_col="embedding",
         int(planes_per_band), int(seed)))
 
 
+def redact(df, text="text", denylist=("key", "hash", "token")):
+    """PII-style scrubbing: digit runs -> <NUM>, denylist tokens -> <PII>."""
+    from ._java import to_seq
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.redact(
+        df._jdf, text, to_seq(jvm, [str(w) for w in denylist])))
+
+
+def hash_sample(df, bound, text="text"):
+    """Deterministic content-hash sample: keep docs with md5 hex < bound."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.hashSample(
+        df._jdf, bound, text))
+
+
 def quality_score(df, text="text"):
     """Token/char/punct/stopword signals + composite quality in [0,1]."""
     spark, jvm = ctx(df)

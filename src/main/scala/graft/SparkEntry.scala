@@ -439,6 +439,27 @@ object SparkEntry {
       graft.text.TextFunctions.langScores(Tables.documents(s, dir))
         .select(col("doc_id"), col("lang"), col("lang_pred"),
           col("h_de"), col("h_en"), col("h_es"), col("h_fr"), col("h_zh"))),
+    "tx07_redact" -> ((s, dir) =>
+      // PII-style scrubbing: digit runs -> <NUM>, denylist tokens -> <PII>;
+      // the redacted text is hash-compared so the full rewrite is checked
+      graft.text.TextFunctions.redact(Tables.documents(s, dir))
+        .select(col("doc_id"), col("n_redactions"),
+          md5(col("redacted").cast("binary")).as("redacted_fp"))),
+    "tx08_sample_hash" -> ((s, dir) =>
+      // deterministic ~1/16 corpus sample by content-hash prefix —
+      // reproducible under any partitioning, unlike seeded random sampling
+      graft.text.TextFunctions.hashSample(Tables.documents(s, dir), "1")
+        .select(col("doc_id"), col("lang"), col("source"))),
+    "dd07_dup_stats" -> ((s, dir) =>
+      // corpus-level dedup metrics per source: integer-sum ratios are
+      // bit-exact vs the oracle, so compared unrounded
+      Tables.documents(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct"),
+          try_divide(sum(col("n_chars")).cast("double"),
+            count(lit(1)).cast("double")).as("avg_chars"))
+        .withColumn("dup_rate", lit(1.0) -
+          try_divide(col("n_distinct").cast("double"), col("n_docs").cast("double")))),
     "tx04_bpeish_tokens" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         graft.text.TextFunctions.bpeishTokenCount(col("text")).as("n_subtokens"))),
@@ -849,6 +870,21 @@ object SparkEntry {
     "tx06_langid_perdoc" ->
       s"""$langIdCte
          SELECT doc_id, lang, lang_pred, h_de, h_en, h_es, h_fr, h_zh FROM p""",
+    "tx07_redact" ->
+      """SELECT doc_id,
+         (len(regexp_extract_all(text, '[0-9]+'))
+          + len(regexp_extract_all(text, '\b(key|hash|token)\b')))::BIGINT AS n_redactions,
+         md5(regexp_replace(regexp_replace(text, '[0-9]+', '<NUM>', 'g'),
+           '\b(key|hash|token)\b', '<PII>', 'g')) AS redacted_fp
+         FROM documents""",
+    "tx08_sample_hash" ->
+      """SELECT doc_id, lang, source FROM documents WHERE md5(text) < '1'""",
+    "dd07_dup_stats" ->
+      """SELECT source, count(*) AS n_docs,
+         count(DISTINCT text) AS n_distinct,
+         sum(n_chars)::DOUBLE / count(*) AS avg_chars,
+         1.0 - count(DISTINCT text)::DOUBLE / count(*) AS dup_rate
+         FROM documents GROUP BY source""",
     "tx04_bpeish_tokens" ->
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens

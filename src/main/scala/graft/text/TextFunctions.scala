@@ -88,6 +88,29 @@ object TextFunctions {
       .withColumn(out, best.getField("lang"))
   }
 
+  /** PII-style scrubbing for training corpora: digit runs become `<NUM>`,
+    * denylist tokens become `<PII>`; counts are taken on the original text.
+    * A narrow map over the scan (codegen'd regex), like every text op here. */
+  def redact(df: DataFrame, text: String = "text",
+      denylist: Seq[String] = Seq("key", "hash", "token")): DataFrame = {
+    val t = col(text)
+    val numPat = "[0-9]+"
+    val denyPat = "\\b(" + denylist.mkString("|") + ")\\b"
+    df.withColumn("n_redactions",
+        (size(regexp_extract_all(t, lit(numPat), lit(0))) +
+          size(regexp_extract_all(t, lit(denyPat), lit(0)))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(t, numPat, "<NUM>"), denyPat, "<PII>"))
+  }
+
+  /** Deterministic content-hash sampling: keep documents whose md5 hex
+    * fingerprint is below the given prefix bound (e.g. "1" keeps ~1/16).
+    * Reproducible across engines and runs, order- and partition-independent —
+    * the right way to downsample a training corpus (a seeded random sample
+    * changes under repartitioning; a hash sample never does). */
+  def hashSample(df: DataFrame, bound: String, text: String = "text"): DataFrame =
+    df.filter(md5(col(text).cast("binary")) < bound)
+
   /** Canonical fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text — near-dup resilient to formatting noise. */
   def canonicalFingerprint(text: Column): Column =

@@ -81,6 +81,10 @@ def main() -> int:
     assert scored.filter(F.col("quality_score").isNull()).count() == 0
     langs = graft.text.lang_scores(docs)
     assert "h_zh" in langs.columns and "lang_pred" in langs.columns
+    red = graft.text.redact(docs)
+    assert red.filter(F.col("n_redactions") > 0).count() > 0
+    samp = graft.text.hash_sample(docs, "4")
+    assert 0 < samp.count() < n_docs
 
     # ---- similarity ----
     emb = graft.io.embeddings(spark, sf_dir)
