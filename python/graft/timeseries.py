@@ -155,6 +155,17 @@ def autocorr(df, lags_wanted, key="key", ts="ts_nanos", value="value"):
         df._jdf, to_seq(jvm, [int(x) for x in lags_wanted]), key, ts, value))
 
 
+def series_percentiles(df, ps, key="key", value="value"):
+    """Exact per-key percentiles (p50, p90, ...) — quality-cutoff primitive."""
+    spark, jvm = ctx(df)
+    lst = jvm.java.util.ArrayList()
+    for p in ps:
+        lst.add(float(p))
+    seq = jvm.scala.jdk.javaapi.CollectionConverters.asScala(lst).toSeq()
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.seriesPercentiles(
+        df._jdf, seq, key, value))
+
+
 def to_instants(df, keys, key="key", ts="ts_nanos", value="value"):
     """Long-form -> wide: one row per instant, one column per key."""
     spark, jvm = ctx(df)

@@ -553,7 +553,12 @@ object SparkEntry {
         when(col("value") >= 5.0, col("value")))
       TS.fill(o, "next", key = "user_id", ts = "ts_us", value = "value")
         .select("user_id", "ts_us", "value")
-    })
+    }),
+    "ts26_percentiles" -> ((s, dir) =>
+      // exact per-key percentiles (linear interpolation) — the
+      // quality-cutoff primitive; unrounded if engines agree bit-for-bit
+      TS.seriesPercentiles(obs(s, dir), Seq(0.5, 0.9),
+        key = "user_id", value = "value"))
   )
 
   /** DuckDB string literal composed to be byte-pure ASCII: any char outside
@@ -879,6 +884,10 @@ object SparkEntry {
          FROM documents""",
     "tx08_sample_hash" ->
       """SELECT doc_id, lang, source FROM documents WHERE md5(text) < '1'""",
+    "ts26_percentiles" ->
+      """SELECT user_id, quantile_cont(value, 0.5) AS p50,
+         quantile_cont(value, 0.9) AS p90
+         FROM events GROUP BY user_id""",
     "dd07_dup_stats" ->
       """SELECT source, count(*) AS n_docs,
          count(DISTINCT text) AS n_distinct,

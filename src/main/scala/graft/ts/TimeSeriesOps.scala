@@ -564,6 +564,17 @@ object TimeSeriesOps {
       ts: String, value: String, tickNanos: Long): DataFrame =
     resampleCalendar(df, unit, aggByName(agg), key, ts, value, tickNanos)
 
+  /** Exact per-key percentiles (linear interpolation): the cutoff-threshold
+    * primitive for quality-filtering pipelines (e.g. drop everything under a
+    * key's p10 length). One hash shuffle; exact `percentile`, not the
+    * t-digest approximation, so results are engine-comparable. */
+  def seriesPercentiles(df: DataFrame, ps: Seq[Double], key: String = "key",
+      value: String = "value"): DataFrame = {
+    require(ps.nonEmpty, "at least one percentile")
+    val cols = ps.map(p => percentile(col(value), lit(p)).as(s"p${(p * 100).round}"))
+    df.groupBy(col(key)).agg(cols.head, cols.tail: _*)
+  }
+
   // ---------------------------------------------------------------- layout converters
 
   /**
