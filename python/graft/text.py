@@ -50,6 +50,13 @@ def hash_sample(df, bound, text="text"):
         df._jdf, bound, text))
 
 
+def decontaminate(train, holdout, k=3, text_col="text", id_col="doc_id"):
+    """Flag train docs sharing any distinct k-shingle with the holdout set."""
+    spark, jvm = ctx(train)
+    return lift(spark, jvm.graft.text.Dedup.decontaminate(
+        train._jdf, holdout._jdf, int(k), text_col, id_col))
+
+
 def quality_score(df, text="text"):
     """Token/char/punct/stopword signals + composite quality in [0,1]."""
     spark, jvm = ctx(df)

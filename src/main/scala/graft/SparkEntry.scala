@@ -450,6 +450,14 @@ object SparkEntry {
       // reproducible under any partitioning, unlike seeded random sampling
       graft.text.TextFunctions.hashSample(Tables.documents(s, dir), "1")
         .select(col("doc_id"), col("lang"), col("source"))),
+    "dd08_decontaminate" -> ((s, dir) => {
+      // test-set decontamination: train docs sharing any 3-shingle with the
+      // deterministic holdout slice (doc_id % 50 == 0)
+      val docs = Tables.documents(s, dir)
+      graft.text.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), k = 3)
+    }),
     "dd07_dup_stats" -> ((s, dir) =>
       // corpus-level dedup metrics per source: integer-sum ratios are
       // bit-exact vs the oracle, so compared unrounded
@@ -888,6 +896,15 @@ object SparkEntry {
       """SELECT user_id, quantile_cont(value, 0.5) AS p50,
          quantile_cont(value, 0.9) AS p90
          FROM events GROUP BY user_id""",
+    "dd08_decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(greatest(len(t)-2,0)),
+                  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh FROM toks),
+         hold AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0),
+         tr AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
+         SELECT tr.doc_id, count(DISTINCT tr.sh) AS n_contaminated_shingles
+         FROM tr JOIN hold USING (sh) GROUP BY tr.doc_id""",
     "dd07_dup_stats" ->
       """SELECT source, count(*) AS n_docs,
          count(DISTINCT text) AS n_distinct,

@@ -169,6 +169,28 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /**
+   * Test-set decontamination: for every training document, the number of
+   * distinct word k-shingles it shares with ANY holdout document. Training
+   * examples that overlap the evaluation set inflate benchmark scores, so
+   * pipelines drop (or at least flag) every row this returns.
+   *
+   * Scale shape: shingle explode on both sides, one equi-join keyed on the
+   * shingle, aggregate per train doc. The holdout shingle set is NOT
+   * broadcast-hinted — holdouts are usually small but unbounded in
+   * principle; AQE broadcasts iff it fits.
+   */
+  def decontaminate(train: DataFrame, holdout: DataFrame, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val trainSh = spread(train).select(col(idCol),
+      explode(shingles(col(textCol), k)).as("__sh"))
+    val holdSh = spread(holdout)
+      .select(explode(shingles(col(textCol), k)).as("__sh")).distinct()
+    trainSh.join(holdSh, "__sh")
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("__sh")).as("n_contaminated_shingles"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (per-doc local UDF). */
