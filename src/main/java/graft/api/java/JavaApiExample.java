@@ -55,6 +55,12 @@ public final class JavaApiExample {
     Dataset<Row> lang = JavaPipelineOps.langId(docs, "text", "lang_pred");
     Dataset<Row> knn = JavaPipelineOps.bruteForceTopK(vecs, vecs.limit(1), 2,
         "vec_id", "embedding");
-    return new long[] {exact.count(), quality.count(), lang.count(), knn.count()};
+    Dataset<Row> redacted = JavaPipelineOps.redact(docs, "text",
+        Arrays.asList("key", "hash"));
+    Dataset<Row> sampled = JavaPipelineOps.hashSample(docs, "8", "text");
+    Dataset<Row> contaminated = JavaPipelineOps.decontaminate(
+        docs, docs.limit(1), 3, "text", "doc_id");
+    return new long[] {exact.count(), quality.count(), lang.count(), knn.count(),
+        redacted.count(), sampled.count(), contaminated.count()};
   }
 }

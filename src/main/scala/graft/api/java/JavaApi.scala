@@ -220,4 +220,24 @@ object JavaPipelineOps {
 
   def langId(df: DataFrame, textCol: String, outCol: String): DataFrame =
     graft.text.TextFunctions.langId(df, textCol, outCol)
+
+  def redact(df: DataFrame, textCol: String,
+      denylist: ju.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.text.TextFunctions.redact(df, textCol, denylist.asScala.toSeq)
+  }
+
+  def hashSample(df: DataFrame, bound: String, textCol: String): DataFrame =
+    graft.text.TextFunctions.hashSample(df, bound, textCol)
+
+  def decontaminate(train: DataFrame, holdout: DataFrame, k: Int,
+      textCol: String, idCol: String): DataFrame =
+    graft.text.Dedup.decontaminate(train, holdout, k, textCol, idCol)
+
+  def seriesPercentiles(df: DataFrame, percentiles: ju.List[jl.Double],
+      key: String, value: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.ts.TimeSeriesOps.seriesPercentiles(df,
+      percentiles.asScala.toSeq.map(_.doubleValue()), key, value)
+  }
 }

@@ -38,6 +38,9 @@ class JavaApiSpec extends AnyFunSuite with Matchers with SparkTestSession {
     counts(1) shouldBe 3L
     counts(2) shouldBe 3L
     counts(3) shouldBe 2L // top-2 neighbors of one query
+    counts(4) shouldBe 3L // redact keeps every row
+    counts(5) shouldBe 3L // all three md5 hexes start below '8'
+    counts(6) shouldBe 1L // only doc 0 shares 3-shingles with the holdout (itself)
   }
 
   test("Java model facade returns flat DataFrames") {
