@@ -80,4 +80,34 @@ object StreamingDedup {
       .select(col("stream_id"), col("corpus_id"),
         round(col("jaccard"), 6).as("jaccard"))
   }
+
+  /**
+   * Pre-compute the holdout's distinct k-shingle set — the static side of
+   * [[streamingDecontaminate]]. Written once, reused by every ingest stream.
+   */
+  def holdoutShingles(holdout: DataFrame, textCol: String = "text",
+      k: Int = 3): DataFrame =
+    holdout.select(explode(Dedup.shingles(col(textCol), k)).as("__sh")).distinct()
+
+  /**
+   * Streaming test-set decontamination: flag incoming documents that share
+   * any k-shingle with the (static) evaluation holdout — the on-ingest twin
+   * of [[graft.text.Dedup.decontaminate]]. Stream-static equi-join on the
+   * shingle, then a watermarked per-doc distinct count; no stream-stream
+   * state, so state size is bounded by the watermark.
+   */
+  def streamingDecontaminate(stream: DataFrame, holdoutSh: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      tsCol: String = "event_time", watermark: String = "10 minutes",
+      k: Int = 3): DataFrame =
+    stream
+      .select(col(idCol), col(tsCol),
+        explode(Dedup.shingles(col(textCol), k)).as("__sh"))
+      .join(holdoutSh, "__sh")
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), watermark), col(idCol))
+      // countDistinct is unsupported in streaming aggs; collect_set is, and
+      // its state is bounded by the doc's own shingle count
+      .agg(size(collect_set(col("__sh"))).cast("long").as("n_contaminated_shingles"))
+      .select(col(idCol), col("n_contaminated_shingles"))
 }

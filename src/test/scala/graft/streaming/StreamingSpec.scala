@@ -98,6 +98,39 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally query.stop()
   }
 
+  test("streaming decontamination matches the batch operator") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val holdout = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val holdSh = StreamingDedup.holdoutShingles(holdout, k = 3)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingDedup.streamingDecontaminate(
+      input.toDF().toDF("doc_id", "event_time", "text"), holdSh, k = 3)
+    val query = out.writeStream.format("memory").queryName("decon_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, Timestamp.valueOf("2024-01-01 10:00:00"), "alpha beta gamma delta zeta"),
+        (2L, Timestamp.valueOf("2024-01-01 10:01:00"), "one two three four five"))
+      query.processAllAvailable()
+      // append-mode windowed agg emits after the watermark passes the window:
+      // push a late doc (itself contaminated, so it reaches the watermark node)
+      input.addData((3L, Timestamp.valueOf("2024-01-01 11:00:00"), "alpha beta gamma"))
+      query.processAllAvailable()
+      val rows = s.sql("SELECT doc_id, n_contaminated_shingles FROM decon_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      rows(1L) shouldBe 2L // shares "alpha beta gamma" and "beta gamma delta"
+      rows.keySet should not contain 2L
+      // identical to the batch operator on the same data
+      val batch = graft.text.Dedup.decontaminate(
+        Seq((1L, "alpha beta gamma delta zeta"), (2L, "one two three four five"))
+          .toDF("doc_id", "text"), holdout, k = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      batch shouldBe Map(1L -> 2L)
+    } finally query.stop()
+  }
+
   test("sliding streaming windows produce overlapping buckets") {
     val s = spark
     import s.implicits._
