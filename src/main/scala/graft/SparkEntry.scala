@@ -450,6 +450,9 @@ object SparkEntry {
       // reproducible under any partitioning, unlike seeded random sampling
       graft.text.TextFunctions.hashSample(Tables.documents(s, dir), "1")
         .select(col("doc_id"), col("lang"), col("source"))),
+    "tx09_vocab_topk" -> ((s, dir) =>
+      // top-50 corpus vocabulary — TakeOrderedAndProject, no global sort
+      graft.text.TextFunctions.topKTokens(Tables.documents(s, dir), 50)),
     "dd08_decontaminate" -> ((s, dir) => {
       // test-set decontamination: train docs sharing any 3-shingle with the
       // deterministic holdout slice (doc_id % 50 == 0)
@@ -896,6 +899,10 @@ object SparkEntry {
       """SELECT user_id, quantile_cont(value, 0.5) AS p50,
          quantile_cont(value, 0.9) AS p90
          FROM events GROUP BY user_id""",
+    "tx09_vocab_topk" ->
+      """SELECT token, count(*) AS n
+         FROM (SELECT unnest(string_split(text,' ')) AS token FROM documents)
+         GROUP BY token ORDER BY n DESC, token LIMIT 50""",
     "dd08_decontaminate" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
          sh AS (SELECT doc_id, unnest(list_distinct(list_transform(

@@ -111,6 +111,15 @@ object TextFunctions {
   def hashSample(df: DataFrame, bound: String, text: String = "text"): DataFrame =
     df.filter(md5(col(text).cast("binary")) < bound)
 
+  /** Corpus top-k vocabulary by token frequency (ties broken by token) —
+    * the input to vocab/BPE training. Explode → count → global top-k, which
+    * Catalyst plans as TakeOrderedAndProject (partial per-partition top-k,
+    * no single-partition sort). */
+  def topKTokens(df: DataFrame, k: Int, text: String = "text"): DataFrame =
+    df.select(explode(tokens(col(text))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token")).limit(k)
+
   /** Canonical fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text — near-dup resilient to formatting noise. */
   def canonicalFingerprint(text: Column): Column =
