@@ -32,12 +32,16 @@ object Bench {
       case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _) => s"\"$k\":$v" }.mkString("{", ",", "}")
+    // the driver keeps only a bounded tail of stdout; with 70+ queries a
+    // full-precision line overflows it and head-truncates into unparseable
+    // JSON (BENCH_r03 "parsed": null) — 3-decimal seconds keep it compact
+    def f3(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":${jstr(e)}" }
       .mkString("{", ",", "}")
     val failed = results.count(_._3.isDefined)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed > 0) {
       System.err.println(s"[bench] $failed quer${if (failed == 1) "y" else "ies"} FAILED")

@@ -881,7 +881,7 @@ object SparkEntry {
     "tx03_langid" ->
       s"""$langIdCte
          SELECT lang, count(*) AS n_docs,
-           sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS n_correct
+           count(*) FILTER (WHERE lang = lang_pred) AS n_correct
          FROM p GROUP BY lang""",
     "tx06_langid_perdoc" ->
       s"""$langIdCte

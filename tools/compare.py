@@ -39,13 +39,16 @@ def main(outdir, sfdir):
             print(f"{name:28s} MISSING spark output")
             continue
         try:
-            sq = con.execute(
-                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
-            scols = [d[0] for d in sq.description]
-            srows = sq.fetchall()
-            oq = con.execute(sql)
-            ocols = [d[0] for d in oq.description]
-            orows = oq.fetchall()
+            # go through pandas like the driver does: DuckDB HUGEINT (e.g.
+            # sum of integers) becomes float64 there, so an int64-vs-HUGEINT
+            # schema divergence must FAIL here too (tx03 r1-r3 lesson)
+            sdf = con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df()
+            scols = list(sdf.columns)
+            srows = list(sdf.itertuples(index=False, name=None))
+            odf = con.execute(sql).df()
+            ocols = list(odf.columns)
+            orows = list(odf.itertuples(index=False, name=None))
         except Exception as e:
             print(f"{name:28s} ERROR {e}")
             continue
