@@ -569,7 +569,54 @@ object SparkEntry {
       // exact per-key percentiles (linear interpolation) — the
       // quality-cutoff primitive; unrounded if engines agree bit-for-bit
       TS.seriesPercentiles(obs(s, dir), Seq(0.5, 0.9),
-        key = "user_id", value = "value"))
+        key = "user_id", value = "value")),
+
+    // ---------------- round-4 additions: dup clustering, repetition /
+    // span-dup signals, embedding centroids + quantization, stratified
+    // sampling, z-score outliers, rolling volatility ----------------
+    "cc01_dup_clusters" -> ((s, dir) => {
+      // pairs → connected components → canonical election: the step that
+      // turns LSH pair output into an actual dedup decision. The pair
+      // generator here is the SQL-expressible jaccard slice so the whole
+      // chain (including the iterative CC) is hash-checked vs a recursive
+      // CTE; production input would be minhashNearDuplicates pairs.
+      val t = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val toks = t.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val a = toks.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+      val b = toks.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .filter(try_divide(size(array_intersect(col("ta"), col("tb"))).cast("double"),
+          size(array_union(col("ta"), col("tb"))).cast("double")) >= 0.5)
+        .select("id_a", "id_b")
+      graft.text.Dedup.dupClusters(t.select("doc_id"), pairs)
+    }),
+    "dd09_dup_spans" -> ((s, dir) =>
+      // C4-style cross-document repeated spans: ratio of a doc's 5-gram
+      // spans that appear in at least one other document
+      graft.text.Dedup.duplicateSpans(Tables.documents(s, dir), k = 5)),
+    "tx10_repetition" -> ((s, dir) =>
+      // Gopher-style word-repetition signals; int/int ratios, unrounded
+      graft.text.TextFunctions.repetitionSignals(Tables.documents(s, dir))),
+    "em01_centroids" -> ((s, dir) =>
+      graft.sim.Embeddings.centroids(Tables.embeddings(s, dir))),
+    "em02_quantize8" -> ((s, dir) =>
+      graft.sim.Embeddings.quantize8bit(Tables.embeddings(s, dir))),
+    "smp01_stratified_sample" -> ((s, dir) =>
+      // mixture weighting: content-hash sample at per-source target rates
+      graft.text.TextFunctions.stratifiedSample(Tables.documents(s, dir),
+        rates = Map("src0" -> 0.75, "src1" -> 0.75, "src2" -> 0.5,
+          "src3" -> 0.5, "src4" -> 1.0), defaultRate = 0.25)
+        .select(col("doc_id"), col("lang"), col("source"))),
+    "ts27_outliers" -> ((s, dir) =>
+      // z-score anomaly detection per user series
+      TS.outliers(obs(s, dir), threshold = 2.5, key = "user_id", value = "value")
+        .select(col("event_id"), col("user_id"), col("value"),
+          round(col("z_score"), 6).as("z_score"))),
+    "ts28_rollstd" -> ((s, dir) =>
+      // 5-point rolling sample stddev (volatility), full windows only
+      TS.rollStd(obs(s, dir), 5, RollAlign.Right,
+        key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("ts_us"), round(col("value"), 6).as("roll_std")))
   )
 
   /** DuckDB string literal composed to be byte-pure ASCII: any char outside
@@ -1078,6 +1125,90 @@ object SparkEntry {
              PARTITION BY user_id ORDER BY ts_us
              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS value
          FROM (SELECT user_id, epoch_us(ts) AS ts_us,
-                 CASE WHEN value >= 5.0 THEN value END AS v FROM events) t"""
+                 CASE WHEN value >= 5.0 THEN value END AS v FROM events) t""",
+    // the iterative Spark connected-components is checked against a
+    // recursive-CTE reachability closure: r = min id reachable from each doc
+    "cc01_dup_clusters" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, list_distinct(string_split(text,' ')) AS toks
+           FROM documents WHERE doc_id < 200),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM t a, t b WHERE a.doc_id < b.doc_id
+             AND len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE
+                 / len(list_distinct(a.toks || b.toks)) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM t
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src)
+         SELECT id AS doc_id, min(r) AS cluster_id,
+           (id = min(r)) AS is_canonical
+         FROM reach GROUP BY id""",
+    "dd09_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(greatest(len(t)-4,0)),
+                  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+                       t[i+4] || ' ' || t[i+5]))) AS sh FROM toks),
+         dfreq AS (SELECT sh, count(*) AS df FROM sh GROUP BY sh)
+         SELECT s.doc_id, count(*) AS n_spans,
+           count(*) FILTER (WHERE d.df > 1) AS n_dup_spans,
+           count(*) FILTER (WHERE d.df > 1)::DOUBLE / count(*) AS dup_span_ratio
+         FROM sh s JOIN dfreq d USING (sh)
+         GROUP BY s.doc_id""",
+    "tx10_repetition" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                      FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2)
+         SELECT doc_id,
+           sum(cnt)::BIGINT AS n_words,
+           sum(cnt*length(tok))::DOUBLE / sum(cnt) AS mean_word_len,
+           (sum(cnt) - count(*))::DOUBLE / sum(cnt) AS dup_word_ratio,
+           max(cnt)::DOUBLE / sum(cnt) AS top_word_ratio,
+           coalesce(sum(cnt) FILTER (WHERE regexp_matches(tok, '[A-Za-z]')), 0)::DOUBLE
+             / sum(cnt) AS alpha_word_ratio
+         FROM c GROUP BY doc_id""",
+    "em01_centroids" ->
+      """SELECT label, i AS pos, round(avg(embedding[i+1]::DOUBLE), 6) AS centroid
+         FROM embeddings, unnest(range(len(embedding))) AS t(i)
+         GROUP BY 1, 2""",
+    // arithmetic mirrors the Spark expressions op-for-op (subtract, then
+    // multiply by the precomputed 255/(mx-mn) quotient) so floor() and the
+    // sequential MSE fold are bit-identical across engines
+    "em02_quantize8" ->
+      """WITH e AS (SELECT vec_id, embedding,
+             list_aggregate(embedding, 'min')::DOUBLE AS mn,
+             list_aggregate(embedding, 'max')::DOUBLE AS mx FROM embeddings),
+         q AS (SELECT vec_id, mn, mx, embedding,
+             list_transform(embedding,
+               v -> floor((v::DOUBLE - mn) * (255.0 / (mx - mn)))) AS code FROM e)
+         SELECT vec_id, list_sum(code)::BIGINT AS code_sum,
+           round(list_sum(list_transform(range(len(embedding)), i ->
+             (embedding[i+1]::DOUBLE - (mn + code[i+1] * ((mx - mn) / 255.0)))
+             * (embedding[i+1]::DOUBLE - (mn + code[i+1] * ((mx - mn) / 255.0)))))
+             / len(embedding), 6) AS recon_mse
+         FROM q""",
+    "smp01_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+         WHERE md5(text) < CASE
+           WHEN source = 'src4' THEN 'g'
+           WHEN source IN ('src0', 'src1') THEN 'c0000000'
+           WHEN source IN ('src2', 'src3') THEN '80000000'
+           ELSE '40000000' END""",
+    "ts27_outliers" ->
+      """SELECT event_id, user_id, value, round(z, 6) AS z_score FROM (
+           SELECT event_id, user_id, value,
+             (value - avg(value) OVER w) / stddev_samp(value) OVER w AS z
+           FROM events WINDOW w AS (PARTITION BY user_id)) t
+         WHERE abs(z) > 2.5""",
+    "ts28_rollstd" ->
+      """SELECT user_id, ts_us, round(s, 6) AS roll_std FROM (
+         SELECT user_id, epoch_us(ts) AS ts_us,
+           stddev_samp(value) OVER w AS s, count(value) OVER w AS c
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ) t WHERE c = 5"""
   )
 }

@@ -1,0 +1,55 @@
+package graft.sim
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding-column utilities beyond similarity search: per-group centroids
+ * (cluster/label summaries, IVF-style codebook seeds) and 8-bit scalar
+ * quantization (the standard 4x storage/bandwidth cut before ANN indexing).
+ */
+object Embeddings {
+
+  /**
+   * Per-group centroid in long form: (group, pos, centroid). posexplode then
+   * ONE keyed aggregation on (group, pos) — partial aggregation means the
+   * shuffle carries nGroups x dim partial sums per partition, not vectors,
+   * so it scales to any corpus size. Long form keeps the result a first-class
+   * relational table (joinable, hash-checkable) instead of an array blob.
+   */
+  def centroids(df: DataFrame, groupCol: String = "label",
+      vecCol: String = "embedding"): DataFrame =
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col(groupCol), col("pos").cast("long").as("pos"))
+      .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
+
+  /**
+   * Per-vector 8-bit scalar quantization: code_i = floor((v_i - min) *
+   * (255 / (max - min))) with per-vector min/max, plus the round-trip
+   * reconstruction MSE. Pure per-row expressions (no shuffle, no UDF). All
+   * arithmetic is double (float inputs cast exactly), squares are plain
+   * self-multiplication, and the fold over the array is sequential —
+   * deterministic and engine-portable bit-for-bit. Degenerate constant
+   * vectors (max = min) yield null codes/MSE via try_divide rather than an
+   * ANSI divide-by-zero.
+   */
+  def quantize8bit(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val v = col(vecCol)
+    val mn = array_min(v).cast("double")
+    val mx = array_max(v).cast("double")
+    val scale = try_divide(lit(255.0), mx - mn)
+    val codes = transform(v, x => floor((x.cast("double") - mn) * scale).cast("long"))
+    df.withColumn("__codes", codes)
+      .withColumn("code_sum", aggregate(col("__codes"), lit(0L), (acc, x) => acc + x))
+      .withColumn("recon_mse", round(
+        aggregate(
+          zip_with(v, col("__codes"), (x, c) => {
+            val e = x.cast("double") -
+              (mn + c.cast("double") * try_divide(mx - mn, lit(255.0)))
+            e * e
+          }),
+          lit(0.0), (acc, e) => acc + e) / size(v), 6))
+      .select(col(idCol), col("code_sum"), col("recon_mse"))
+  }
+}

@@ -191,6 +191,46 @@ object Dedup {
       .agg(countDistinct(col("__sh")).as("n_contaminated_shingles"))
   }
 
+  /**
+   * Duplicate clusters from a near-dup pair list: connected components over
+   * the pairs (see [[graft.graph.ConnectedComponents]]), with the smallest
+   * doc id in each cluster elected canonical. This is the step that turns
+   * pairwise LSH output into an actual dedup decision — keep `is_canonical`,
+   * drop the rest. Pair ids must come from `corpus`'s id column.
+   */
+  def dupClusters(corpus: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val labels = graft.graph.ConnectedComponents.run(
+      corpus.select(col(idCol)),
+      pairs.select(col(pairs.columns(0)).as("src"), col(pairs.columns(1)).as("dst")))
+    labels.select(col(idCol), col("component").as("cluster_id"),
+      (col(idCol) === col("component")).as("is_canonical"))
+  }
+
+  /**
+   * Cross-document duplicated spans: for every document, how many of its
+   * distinct word k-shingles also appear in at least one OTHER document
+   * (C4-style repeated-span detection — high ratios mean boilerplate).
+   *
+   * Shape: per-doc distinct shingles (narrow), one shuffle keyed on the
+   * shingle to get document frequency, one keyed aggregation back to docs.
+   * Documents shorter than k words have no spans and drop out (same in the
+   * oracle). `dup_span_ratio` is an int/int double division — bit-exact.
+   */
+  def duplicateSpans(df: DataFrame, k: Int = 5, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sh = spread(df).select(col(idCol), explode(shingles(col(textCol), k)).as("__sh"))
+    // shingles() is distinct-per-doc, so count(*) per shingle = doc frequency
+    val dfreq = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
+    sh.join(dfreq, "__sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup_spans"))
+      .select(col(idCol), col("n_spans"), col("n_dup_spans"),
+        try_divide(col("n_dup_spans").cast("double"), col("n_spans").cast("double"))
+          .as("dup_span_ratio"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (per-doc local UDF). */

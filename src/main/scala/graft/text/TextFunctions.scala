@@ -120,6 +120,59 @@ object TextFunctions {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token")).limit(k)
 
+  /**
+   * Gopher-style word-repetition and shape signals per document: word count,
+   * mean word length, duplicate-word fraction, most-frequent-word fraction,
+   * fraction of words containing a letter. High duplicate/top-word fractions
+   * flag boilerplate and degenerate repetition (a core pre-training filter).
+   *
+   * Shape: one explode, then two keyed aggregations (doc_id,token → doc_id) —
+   * everything partial-aggregates map-side, so the shuffle carries distinct
+   * (doc, token) counts, not raw tokens. All ratios are int/int double
+   * divisions (bit-exact vs the oracle, no rounding needed).
+   */
+  def repetitionSignals(df: DataFrame, text: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val perTok = df.select(col(idCol), explode(tokens(col(text))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    perTok.groupBy(col(idCol))
+      .agg(sum("cnt").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"),
+        sum(col("cnt") * length(col("tok"))).as("sum_len"),
+        sum(when(col("tok").rlike("[A-Za-z]"), col("cnt")).otherwise(0L)).as("n_alpha"))
+      .select(col(idCol), col("n_words"),
+        try_divide(col("sum_len").cast("double"), col("n_words").cast("double"))
+          .as("mean_word_len"),
+        try_divide((col("n_words") - col("n_distinct")).cast("double"),
+          col("n_words").cast("double")).as("dup_word_ratio"),
+        try_divide(col("top_cnt").cast("double"), col("n_words").cast("double"))
+          .as("top_word_ratio"),
+        try_divide(col("n_alpha").cast("double"), col("n_words").cast("double"))
+          .as("alpha_word_ratio"))
+  }
+
+  /**
+   * Deterministic stratified sampling to target per-stratum rates — the
+   * mixture-weighting step of a training-data pipeline (e.g. downsample
+   * CommonCrawl, keep all of Wikipedia). Rate r becomes the md5-hex prefix
+   * bound hex(floor(r·16^8)): content-hash sampling like [[hashSample]], so
+   * the sample is reproducible across engines/runs and independent of
+   * partitioning. A narrow filter — no shuffle, scales trivially.
+   */
+  def stratifiedSample(df: DataFrame, rates: Map[String, Double],
+      strata: String = "source", text: String = "text",
+      defaultRate: Double = 0.0): DataFrame = {
+    // 'g' sorts above every hex digit, so rate >= 1 keeps all rows
+    def bound(r: Double): String =
+      if (r >= 1.0) "g" else f"${(math.max(r, 0.0) * 65536.0 * 65536.0).toLong}%08x"
+    val thr = rates.toSeq.sortBy(_._1).foldLeft(lit(bound(defaultRate))) {
+      case (acc, (s, r)) => when(col(strata) === s, lit(bound(r))).otherwise(acc)
+    }
+    df.filter(md5(col(text).cast("binary")) < thr)
+  }
+
   /** Canonical fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text — near-dup resilient to formatting noise. */
   def canonicalFingerprint(text: Column): Column =

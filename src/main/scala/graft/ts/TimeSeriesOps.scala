@@ -149,6 +149,22 @@ object TimeSeriesOps {
       key: String = "key", ts: String = "ts_nanos", value: String = "value"): DataFrame =
     rollAgg(df, n, align, avg, key, ts, value)
 
+  /** Sliding sample standard deviation of width n — the rolling-volatility
+    * companion to rollMean (an extension beyond the reference's sum/mean). */
+  def rollStd(df: DataFrame, n: Int, align: RollAlign.Value = RollAlign.Right,
+      key: String = "key", ts: String = "ts_nanos", value: String = "value"): DataFrame =
+    rollAgg(df, n, align, stddev_samp, key, ts, value)
+
+  /** Sliding minimum of width n. */
+  def rollMin(df: DataFrame, n: Int, align: RollAlign.Value = RollAlign.Right,
+      key: String = "key", ts: String = "ts_nanos", value: String = "value"): DataFrame =
+    rollAgg(df, n, align, min, key, ts, value)
+
+  /** Sliding maximum of width n. */
+  def rollMax(df: DataFrame, n: Int, align: RollAlign.Value = RollAlign.Right,
+      key: String = "key", ts: String = "ts_nanos", value: String = "value"): DataFrame =
+    rollAgg(df, n, align, max, key, ts, value)
+
   private def rollAgg(df: DataFrame, n: Int, align: RollAlign.Value,
       aggFn: Column => Column, key: String, ts: String, value: String): DataFrame = {
     val w = wKey(key, ts)
@@ -413,6 +429,22 @@ object TimeSeriesOps {
       stddev_samp(col(value)).as("stdev"),
       min(col(value)).as("min"),
       max(col(value)).as("max"))
+
+  /** Per-key z-scores: (value - series mean) / series sample stddev, as an
+    * unordered whole-partition window — one shuffle on the key, no second
+    * aggregation-join pass. Constant series yield null via try_divide. */
+  def zScores(df: DataFrame, key: String = "key", value: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(key))
+    df.withColumn("z_score",
+      try_divide(col(value) - avg(col(value)).over(w), stddev_samp(col(value)).over(w)))
+  }
+
+  /** Z-score anomaly detection: observations more than `threshold` sample
+    * standard deviations from their series mean (a training-pipeline
+    * outlier filter; extension beyond the reference). */
+  def outliers(df: DataFrame, threshold: Double = 3.0, key: String = "key",
+      value: String = "value"): DataFrame =
+    zScores(df, key, value).filter(abs(col("z_score")) > threshold)
 
   /** Sample autocorrelation of each series at the given lags, computed
     * relationally: corr(x_t, x_{t-lag}) per key (reference autocorr:
