@@ -27,3 +27,17 @@ def ivf_top_k(corpus, queries, k, nlist=16, nprobe=4, id_col="vec_id",
     return lift(spark, jvm.graft.sim.Similarity.ivfTopK(
         corpus._jdf, queries._jdf, int(k), int(nlist), int(nprobe), id_col,
         vec_col, int(seed), int(quantizer_max_rows)))
+
+
+def centroids(df, group_col="label", vec_col="embedding"):
+    """Per-group embedding centroid in long (group, pos, centroid) form."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.sim.Embeddings.centroids(
+        df._jdf, group_col, vec_col))
+
+
+def quantize_8bit(df, id_col="vec_id", vec_col="embedding"):
+    """8-bit scalar quantization per vector + reconstruction MSE."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.sim.Embeddings.quantize8bit(
+        df._jdf, id_col, vec_col))

@@ -74,3 +74,43 @@ def lang_scores(df, text="text", out="lang_pred"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.text.TextFunctions.langScores(
         df._jdf, text, out))
+
+
+def connected_components(vertices, edges, max_iter=25):
+    """(id, component) labels: component = min vertex id, via iterative
+    min-label propagation with pointer jumping."""
+    spark, jvm = ctx(vertices)
+    return lift(spark, jvm.graft.graph.ConnectedComponents.run(
+        vertices._jdf, edges._jdf, int(max_iter)))
+
+
+def dup_clusters(corpus, pairs, id_col="doc_id"):
+    """Near-dup pairs -> connected components -> canonical doc election."""
+    spark, jvm = ctx(corpus)
+    return lift(spark, jvm.graft.text.Dedup.dupClusters(
+        corpus._jdf, pairs._jdf, id_col))
+
+
+def duplicate_spans(df, k=5, text_col="text", id_col="doc_id"):
+    """Per-doc ratio of k-gram spans appearing in at least one other doc."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.Dedup.duplicateSpans(
+        df._jdf, int(k), text_col, id_col))
+
+
+def repetition_signals(df, text="text", id_col="doc_id"):
+    """Gopher-style word repetition/shape signals per document."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.repetitionSignals(
+        df._jdf, text, id_col))
+
+
+def stratified_sample(df, rates, strata="source", text="text",
+                      default_rate=0.0):
+    """Deterministic content-hash sample at per-stratum target rates."""
+    spark, jvm = ctx(df)
+    jmap = jvm.java.util.HashMap()
+    for k, v in rates.items():
+        jmap.put(str(k), float(v))
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.stratifiedSample(
+        df._jdf, jmap, strata, text, float(default_rate)))

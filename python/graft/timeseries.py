@@ -45,6 +45,37 @@ def roll_mean(df, n, align="right", key="key", ts="ts_nanos", value="value"):
         df._jdf, int(n), roll_align(jvm, align), key, ts, value))
 
 
+def roll_std(df, n, align="right", key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.rollStd(
+        df._jdf, int(n), roll_align(jvm, align), key, ts, value))
+
+
+def roll_min(df, n, align="right", key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.rollMin(
+        df._jdf, int(n), roll_align(jvm, align), key, ts, value))
+
+
+def roll_max(df, n, align="right", key="key", ts="ts_nanos", value="value"):
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.rollMax(
+        df._jdf, int(n), roll_align(jvm, align), key, ts, value))
+
+
+def z_scores(df, key="key", value="value"):
+    """Per-series z-scores: (value - mean) / sample stddev."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.zScores(df._jdf, key, value))
+
+
+def outliers(df, threshold=3.0, key="key", value="value"):
+    """Observations more than `threshold` stddevs from their series mean."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.outliers(
+        df._jdf, float(threshold), key, value))
+
+
 def fill(df, method, fill_value=0.0, key="key", ts="ts_nanos", value="value"):
     """method: previous | next | nearest | linear | value | zero."""
     spark, jvm = ctx(df)

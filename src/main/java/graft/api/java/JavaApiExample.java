@@ -63,4 +63,23 @@ public final class JavaApiExample {
     return new long[] {exact.count(), quality.count(), lang.count(), knn.count(),
         redacted.count(), sampled.count(), contaminated.count()};
   }
+
+  /** Runs the round-4 slice: clustering, repetition, sampling, embeddings. */
+  public static long[] runRound4(Dataset<Row> docs, Dataset<Row> vecs,
+      Dataset<Row> pairs) {
+    Dataset<Row> clusters = JavaPipelineOps.dupClusters(docs, pairs, "doc_id");
+    Dataset<Row> spans = JavaPipelineOps.duplicateSpans(docs, 5, "text", "doc_id");
+    Dataset<Row> repetition =
+        JavaPipelineOps.repetitionSignals(docs, "text", "doc_id");
+    Map<String, Double> rates = new HashMap<>();
+    rates.put("web", 0.5);
+    Dataset<Row> sampled =
+        JavaPipelineOps.stratifiedSample(docs, rates, "source", "text", 1.0);
+    Dataset<Row> cents = JavaPipelineOps.centroids(vecs, "label", "embedding");
+    Dataset<Row> quantized =
+        JavaPipelineOps.quantize8bit(vecs, "vec_id", "embedding");
+    Dataset<Row> flagged = JavaPipelineOps.outliers(docs, 3.0, "source", "n_chars");
+    return new long[] {clusters.count(), spans.count(), repetition.count(),
+        sampled.count(), cents.count(), quantized.count(), flagged.count()};
+  }
 }

@@ -21,7 +21,7 @@ import graft.ts.{RollAlign, TimeSeriesOps => TS}
  */
 object JavaTimeSeriesOps {
 
-  private def alignOf(name: String): RollAlign.Value = name.toLowerCase match {
+  private[java] def alignOf(name: String): RollAlign.Value = name.toLowerCase match {
     case "left" => RollAlign.Left
     case "center" => RollAlign.Center
     case "right" => RollAlign.Right
@@ -240,4 +240,43 @@ object JavaPipelineOps {
     graft.ts.TimeSeriesOps.seriesPercentiles(df,
       percentiles.asScala.toSeq.map(_.doubleValue()), key, value)
   }
+
+  // ---------------- round-4 additions ----------------
+
+  def connectedComponents(vertices: DataFrame, edges: DataFrame): DataFrame =
+    graft.graph.ConnectedComponents.run(vertices, edges)
+
+  def dupClusters(corpus: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    graft.text.Dedup.dupClusters(corpus, pairs, idCol)
+
+  def duplicateSpans(df: DataFrame, k: Int, textCol: String, idCol: String): DataFrame =
+    graft.text.Dedup.duplicateSpans(df, k, textCol, idCol)
+
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    graft.text.TextFunctions.repetitionSignals(df, textCol, idCol)
+
+  def stratifiedSample(df: DataFrame, rates: ju.Map[String, jl.Double],
+      strata: String, textCol: String, defaultRate: Double): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.text.TextFunctions.stratifiedSample(df,
+      rates.asScala.map { case (k, v) => k -> v.doubleValue() }.toMap,
+      strata, textCol, defaultRate)
+  }
+
+  def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    graft.sim.Embeddings.centroids(df, groupCol, vecCol)
+
+  def quantize8bit(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+    graft.sim.Embeddings.quantize8bit(df, idCol, vecCol)
+
+  def zScores(df: DataFrame, key: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.zScores(df, key, value)
+
+  def outliers(df: DataFrame, threshold: Double, key: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.outliers(df, threshold, key, value)
+
+  def rollStd(df: DataFrame, n: Int, alignment: String,
+      key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.rollStd(df, n, JavaTimeSeriesOps.alignOf(alignment),
+      key, ts, value)
 }

@@ -43,6 +43,26 @@ class JavaApiSpec extends AnyFunSuite with Matchers with SparkTestSession {
     counts(6) shouldBe 1L // only doc 0 shares 3-shingles with the holdout (itself)
   }
 
+  test("Java round-4 facade drives clustering/repetition/sampling/embeddings") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (0L, "a b c d e f g", "web", 13L), (1L, "a b c d e x y", "web", 13L),
+      (2L, "totally different words here now ok", "books", 35L))
+      .toDF("doc_id", "text", "source", "n_chars")
+    val vecs = Seq((0L, Array(1.0f, 0.0f), 0), (1L, Array(0.0f, 2.0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val pairs = Seq((0L, 1L)).toDF("id_a", "id_b")
+    val counts = graft.api.java.JavaApiExample.runRound4(docs, vecs, pairs)
+    counts(0) shouldBe 3L // one label row per doc
+    counts(1) shouldBe 3L // every doc has >= 3 spans (7 words, k=5)
+    counts(2) shouldBe 3L
+    counts(3) shouldBe 2L // books kept via defaultRate=1; web halved (doc1's md5 < '8')
+    counts(4) shouldBe 2L // 1 label x 2 dims
+    counts(5) shouldBe 2L
+    counts(6) shouldBe 0L // constant/singleton groups: null stddev, no outliers
+  }
+
   test("Java model facade returns flat DataFrames") {
     val s = spark
     import s.implicits._

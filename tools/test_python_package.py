@@ -86,10 +86,32 @@ def main() -> int:
     samp = graft.text.hash_sample(docs, "4")
     assert 0 < samp.count() < n_docs
 
+    # ---- round-4 ops: clustering, repetition, sampling, embeddings ----
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], ["id_a", "id_b"])
+    cc = graft.text.dup_clusters(docs.select("doc_id"), pairs)
+    assert cc.filter(F.col("cluster_id") == 0).count() == 3
+    rep = graft.text.repetition_signals(docs)
+    assert rep.filter(F.col("top_word_ratio") > 1.0).count() == 0
+    strat = graft.text.stratified_sample(
+        docs, {"src0": 1.0}, default_rate=0.0)
+    assert set(r["source"] for r in strat.select("source").distinct().collect()) == {"src0"}
+
     # ---- similarity ----
     emb = graft.io.embeddings(spark, sf_dir)
     knn = graft.sim.brute_force_top_k(emb, emb.filter(F.col("vec_id") < 3), 2)
     assert knn.count() == 6, f"expected 6 knn rows, got {knn.count()}"
+    cents = graft.sim.centroids(emb)
+    assert cents.count() > 0
+    q8 = graft.sim.quantize_8bit(emb)
+    assert q8.filter(F.col("code_sum").isNull()).count() == 0
+
+    # ---- round-4 time-series ops ----
+    rstd = graft.timeseries.roll_std(
+        events, 5, key="user_id", ts="ts_us", value="value")
+    assert rstd.count() > 0
+    outl = graft.timeseries.outliers(
+        events, threshold=3.0, key="user_id", value="value")
+    assert outl.count() >= 0
 
     # ---- SQL extension functions through the functions module ----
     row = docs.limit(1).select(
