@@ -76,6 +76,13 @@ def outliers(df, threshold=3.0, key="key", value="value"):
         df._jdf, float(threshold), key, value))
 
 
+def series_beta(df, key="key", ts="ts_nanos", value="value"):
+    """Per-series beta/correlation vs the cross-sectional mean series."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.seriesBeta(
+        df._jdf, key, ts, value))
+
+
 def fill(df, method, fill_value=0.0, key="key", ts="ts_nanos", value="value"):
     """method: previous | next | nearest | linear | value | zero."""
     spark, jvm = ctx(df)

@@ -616,7 +616,17 @@ object SparkEntry {
       // 5-point rolling sample stddev (volatility), full windows only
       TS.rollStd(obs(s, dir), 5, RollAlign.Right,
         key = "user_id", ts = "ts_us", value = "value")
-        .select(col("user_id"), col("ts_us"), round(col("value"), 6).as("roll_std")))
+        .select(col("user_id"), col("ts_us"), round(col("value"), 6).as("roll_std"))),
+    "ts29_beta" -> ((s, dir) => {
+      // per-user beta/correlation vs the cross-sectional daily mean series
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), unix_micros(date_trunc("DAY",
+          timestamp_micros(col("ts_us")))).as("day_us"))
+        .agg(avg("value").as("value"))
+      TS.seriesBeta(daily, key = "user_id", ts = "day_us", value = "value")
+        .select(col("user_id"), col("n_obs"),
+          round(col("beta"), 6).as("beta"), round(col("r"), 6).as("r"))
+    })
   )
 
   /** DuckDB string literal composed to be byte-pure ASCII: any char outside
@@ -1209,6 +1219,17 @@ object SparkEntry {
            stddev_samp(value) OVER w AS s, count(value) OVER w AS c
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
-         ) t WHERE c = 5"""
+         ) t WHERE c = 5""",
+    "ts29_beta" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             avg(value) AS v
+           FROM events GROUP BY 1, 2),
+         market AS (SELECT day_us, avg(v) AS m FROM daily GROUP BY 1)
+         SELECT user_id, count(*) AS n_obs,
+           round(covar_samp(v, m) / var_samp(m), 6) AS beta,
+           round(corr(v, m), 6) AS r
+         FROM daily JOIN market USING (day_us)
+         GROUP BY user_id"""
   )
 }

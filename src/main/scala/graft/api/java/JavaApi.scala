@@ -279,4 +279,7 @@ object JavaPipelineOps {
       key: String, ts: String, value: String): DataFrame =
     graft.ts.TimeSeriesOps.rollStd(df, n, JavaTimeSeriesOps.alignOf(alignment),
       key, ts, value)
+
+  def seriesBeta(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.seriesBeta(df, key, ts, value)
 }

@@ -38,6 +38,51 @@ object StreamingResample {
   case class EwmaState(s: Double)
   case class EwmaOut(key: String, smoothed: Double)
 
+  case class TsObs(key: String, seq: Long, value: Double)
+  case class WelfordState(n: Long, mean: Double, m2: Double)
+  case class OutlierOut(key: String, seq: Long, value: Double, zScore: Double)
+
+  /**
+   * Streaming z-score outlier detection: per-key running mean/variance via
+   * Welford's algorithm in flatMapGroupsWithState, emitting observations
+   * whose z-score against the statistics seen SO FAR exceeds the threshold.
+   * The online twin of TimeSeriesOps.outliers (which scores against the
+   * whole series); state is three numbers per key, so cardinality — not
+   * history length — bounds memory.
+   */
+  def streamingOutliers(stream: DataFrame, threshold: Double, minObs: Int = 10,
+      key: String = "key", seq: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream.select(col(key).cast("string").as("key"), col(seq).cast("long").as("seq"),
+        col(value).cast("double").as("value"))
+      .as[TsObs]
+      .groupByKey(_.key)
+      .flatMapGroupsWithState[WelfordState, OutlierOut](
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        GroupStateTimeout.NoTimeout()) {
+        (k: String, rows: Iterator[TsObs], state: GroupState[WelfordState]) =>
+          var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+          val out = Seq.newBuilder[OutlierOut]
+          // micro-batch arrival order is not event order; sort the batch so
+          // results are deterministic given the same batch boundaries
+          rows.toSeq.sortBy(_.seq).foreach { o =>
+            if (st.n >= minObs) {
+              val sd = math.sqrt(st.m2 / (st.n - 1))
+              if (sd > 0 && math.abs((o.value - st.mean) / sd) > threshold)
+                out += OutlierOut(k, o.seq, o.value, (o.value - st.mean) / sd)
+            }
+            val n1 = st.n + 1
+            val d = o.value - st.mean
+            val mean1 = st.mean + d / n1
+            st = WelfordState(n1, mean1, st.m2 + d * (o.value - mean1))
+          }
+          state.update(st)
+          out.result().iterator
+      }.toDF()
+  }
+
   /**
    * Streaming EWMA: per-key exponential smoothing state maintained with
    * mapGroupsWithState — the streaming twin of models.EWMAModel's recursion.

@@ -446,6 +446,22 @@ object TimeSeriesOps {
       value: String = "value"): DataFrame =
     zScores(df, key, value).filter(abs(col("z_score")) > threshold)
 
+  /** Per-series beta and correlation against the cross-sectional mean
+    * series (the "market"): beta = covar_samp(x, bench) / var_samp(bench)
+    * over the instants where both exist. Two keyed shuffles (bench agg on
+    * the instant, then per-key agg); the bench join is un-hinted — it is one
+    * row per instant, which AQE broadcasts iff it actually fits. */
+  def seriesBeta(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    val bench = df.groupBy(col(ts)).agg(avg(col(value)).as("__bench"))
+    df.join(bench, Seq(ts))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_obs"),
+        try_divide(covar_samp(col(value), col("__bench")),
+          var_samp(col("__bench"))).as("beta"),
+        corr(col(value), col("__bench")).as("r"))
+  }
+
   /** Sample autocorrelation of each series at the given lags, computed
     * relationally: corr(x_t, x_{t-lag}) per key (reference autocorr:
     * UnivariateTimeSeries.scala:70-96 computes the textbook ACF; the

@@ -149,4 +149,31 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
       starts.toSeq shouldBe Seq("2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0")
     } finally query.stop()
   }
+
+  test("streaming outliers flag a spike against running Welford statistics") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(String, Long, Double)]
+    val out = StreamingResample.streamingOutliers(
+      input.toDF().toDF("key", "ts_nanos", "value"), threshold = 3.0, minObs = 10)
+    val query = out.writeStream.format("memory").queryName("outlier_out")
+      .outputMode("append").start()
+    try {
+      // 20 calm points, then a spike, across two micro-batches — state carries
+      input.addData((0 until 12).map(i => ("a", i.toLong, 10.0 + (i % 3) * 0.1)): _*)
+      query.processAllAvailable()
+      input.addData((12 until 20).map(i => ("a", i.toLong, 10.0 + (i % 3) * 0.1)) :+
+        (("a", 20L, 50.0)): _*)
+      query.processAllAvailable()
+      val rows = s.sql("SELECT key, seq, value, zScore FROM outlier_out").collect()
+      rows.length shouldBe 1
+      rows(0).getLong(1) shouldBe 20L
+      rows(0).getDouble(3) should be > 3.0
+      // a second calm batch adds no new flags
+      input.addData(("a", 21L, 10.1))
+      query.processAllAvailable()
+      s.sql("SELECT count(*) FROM outlier_out").first().getLong(0) shouldBe 1L
+    } finally query.stop()
+  }
 }
