@@ -32,16 +32,29 @@ object Bench {
       case c if c < ' ' || c > '~' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // the driver keeps only a bounded tail of stdout; with 70+ queries a
-    // full-precision line overflows it and head-truncates into unparseable
-    // JSON (BENCH_r03 "parsed": null) — 3-decimal seconds keep it compact
-    def f3(v: Double): String = f"$v%.3f"
+    // explicit locale: the f-interpolator uses the JVM default, which under a
+    // comma-decimal locale (de_DE) would emit 62,800 — unparseable JSON
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":${jstr(e)}" }
       .mkString("{", ",", "}")
     val failed = results.count(_._3.isDefined)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"failed":$failed,"errors":$errs,"sf":"$sfDir"}""")
+    val header = s""""metric":"total","value":${f3(total)},"unit":"sec""""
+    val footer = s""""failed":$failed,"errors":$errs,"sf":"$sfDir""""
+    // The harness keeps only the last ~2000 chars of stdout; with 80+ queries
+    // a full-name line head-truncates there into unparseable JSON (every
+    // BENCH_r{1..4} artifact has "parsed": null). The ONE stdout line keys
+    // queries by their unique id prefix (ts01_lag -> ts01) so it always fits;
+    // the full-name variant goes to stderr for humans (full names are also in
+    // CORRECTNESS_r*.json and COVERAGE.md).
+    System.err.println(s"""{$header,"queries":$qs,$footer}""")
+    val short = results.map { case (k, v, e) => (k.takeWhile(_ != '_'), v, e) }
+    val keys =
+      if (short.map(_._1).distinct.size == results.size) short else results
+    val qsShort = keys.map { case (k, v, _) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
+    println(s"""{$header,"n_queries":${results.size},"queries":$qsShort,$footer}""")
     spark.stop()
     if (failed > 0) {
       System.err.println(s"[bench] $failed quer${if (failed == 1) "y" else "ies"} FAILED")

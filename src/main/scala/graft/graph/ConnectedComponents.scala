@@ -35,6 +35,12 @@ object ConnectedComponents {
    * @param vertices one column: the vertex id (LongType)
    * @param edges    two columns (src, dst); treated as undirected, self-loops
    *                 and duplicates are fine
+   * @param maxIter  iteration cap; with pointer jumping 25 rounds covers any
+   *                 graph of diameter < 2^25. Exhausting it means labels are
+   *                 only PARTIALLY propagated — that is an error, not a
+   *                 result, so `run` throws rather than silently returning
+   *                 wrong components (downstream canonical election would
+   *                 split clusters).
    * @return (id, component) where component = min vertex id in the component;
    *         isolated vertices keep their own id
    */
@@ -67,6 +73,11 @@ object ConnectedComponents {
       labels = jumped.select("id", "comp")
       iter += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"ConnectedComponents did not converge within maxIter=$maxIter rounds; " +
+          "labels are partially propagated. Raise maxIter (each round is two " +
+          "keyed shuffles; pointer jumping needs only O(log diameter) rounds).")
     labels.withColumnRenamed("id", idCol).withColumnRenamed("comp", "component")
   }
 }

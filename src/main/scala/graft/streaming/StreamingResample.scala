@@ -48,38 +48,55 @@ object StreamingResample {
    * whose z-score against the statistics seen SO FAR exceeds the threshold.
    * The online twin of TimeSeriesOps.outliers (which scores against the
    * whole series); state is three numbers per key, so cardinality — not
-   * history length — bounds memory.
+   * history length — bounds memory. For unbounded key cardinality pass
+   * `stateTtl` (e.g. "1 hour"): idle keys' state is dropped after that
+   * much processing time, matching how a production stateful operator
+   * bounds its state store (a key seen again later simply re-warms).
+   *
+   * Constant-prefix semantics: while all values seen so far are identical
+   * (sample sd == 0) the z-score is undefined, so nothing is flagged — not
+   * even an obvious spike — mirroring the batch operator, where
+   * TimeSeriesOps.zScores yields null z on a zero-sd series. The spike
+   * itself inflates sd, so SUBSEQUENT deviations are flagged normally.
    */
   def streamingOutliers(stream: DataFrame, threshold: Double, minObs: Int = 10,
       key: String = "key", seq: String = "ts_nanos",
-      value: String = "value"): DataFrame = {
+      value: String = "value", stateTtl: Option[String] = None): DataFrame = {
     val spark = stream.sparkSession
     import spark.implicits._
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
     stream.select(col(key).cast("string").as("key"), col(seq).cast("long").as("seq"),
         col(value).cast("double").as("value"))
       .as[TsObs]
       .groupByKey(_.key)
       .flatMapGroupsWithState[WelfordState, OutlierOut](
-        org.apache.spark.sql.streaming.OutputMode.Append(),
-        GroupStateTimeout.NoTimeout()) {
+        org.apache.spark.sql.streaming.OutputMode.Append(), timeout) {
         (k: String, rows: Iterator[TsObs], state: GroupState[WelfordState]) =>
-          var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
-          val out = Seq.newBuilder[OutlierOut]
-          // micro-batch arrival order is not event order; sort the batch so
-          // results are deterministic given the same batch boundaries
-          rows.toSeq.sortBy(_.seq).foreach { o =>
-            if (st.n >= minObs) {
-              val sd = math.sqrt(st.m2 / (st.n - 1))
-              if (sd > 0 && math.abs((o.value - st.mean) / sd) > threshold)
-                out += OutlierOut(k, o.seq, o.value, (o.value - st.mean) / sd)
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var st = state.getOption.getOrElse(WelfordState(0L, 0.0, 0.0))
+            val out = Seq.newBuilder[OutlierOut]
+            // micro-batch arrival order is not event order; sort the batch so
+            // results are deterministic given the same batch boundaries
+            rows.toSeq.sortBy(_.seq).foreach { o =>
+              if (st.n >= minObs) {
+                val sd = math.sqrt(st.m2 / (st.n - 1))
+                if (sd > 0 && math.abs((o.value - st.mean) / sd) > threshold)
+                  out += OutlierOut(k, o.seq, o.value, (o.value - st.mean) / sd)
+              }
+              val n1 = st.n + 1
+              val d = o.value - st.mean
+              val mean1 = st.mean + d / n1
+              st = WelfordState(n1, mean1, st.m2 + d * (o.value - mean1))
             }
-            val n1 = st.n + 1
-            val d = o.value - st.mean
-            val mean1 = st.mean + d / n1
-            st = WelfordState(n1, mean1, st.m2 + d * (o.value - mean1))
+            state.update(st)
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
           }
-          state.update(st)
-          out.result().iterator
       }.toDF()
   }
 
