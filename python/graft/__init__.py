@@ -30,7 +30,7 @@ extensions registered::
 from . import functions, index, io, models, session, sim, text, timeseries
 
 __all__ = [
-    "functions", "index", "io", "models", "session", "sim", "text",
+    "events", "functions", "index", "io", "models", "session", "sim", "text",
     "timeseries",
 ]
-__version__ = "0.3.0"
+__version__ = "0.4.0"

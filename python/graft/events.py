@@ -1,0 +1,30 @@
+"""Event-stream analytics: sessionization, funnels, cohort retention."""
+
+from ._java import ctx, lift, to_seq
+
+
+def sessionize(df, gap_us, key="user_id", ts="ts_us"):
+    """Adds session_no: a new session starts after a gap > gap_us."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.events.EventOps.sessionize(
+        df._jdf, int(gap_us), key, ts))
+
+
+def sessions(df, gap_us, key="user_id", ts="ts_us", value="value"):
+    """One row per (key, session): bounds, duration, counts, value sum."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.events.EventOps.sessions(
+        df._jdf, int(gap_us), key, ts, value))
+
+
+def funnel(df, steps, key="user_id", ts="ts_us", event_type="event_type"):
+    """Strictly-ordered funnel: step times t_1..t_n + reached count."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.events.EventOps.funnel(
+        df._jdf, to_seq(jvm, [str(s) for s in steps]), key, ts, event_type))
+
+
+def retention(df, key="user_id", ts="ts_us"):
+    """Cohort retention grid: (cohort day, day offset) -> distinct users."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.events.EventOps.retention(df._jdf, key, ts))

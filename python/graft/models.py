@@ -105,3 +105,10 @@ def breusch_godfrey_all(df, lags=2, key="key", ts="ts_nanos", value="value"):
 def breusch_pagan_all(df, key="key", ts="ts_nanos", value="value"):
     spark, jvm = ctx(df)
     return lift(spark, _m(jvm).breuschPaganAll(df._jdf, key, ts, value).toDF())
+
+
+def theil_sen(df, key="key", ts="ts_nanos", value="value"):
+    """Robust Theil-Sen slope/intercept per key (median of pair slopes)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.stats.RobustRegression.theilSen(
+        df._jdf, key, ts, value))

@@ -41,3 +41,13 @@ def quantize_8bit(df, id_col="vec_id", vec_col="embedding"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.sim.Embeddings.quantize8bit(
         df._jdf, id_col, vec_col))
+
+
+def pq_top_k(corpus, queries, k, m=8, codebook_size=16, rerank=50,
+             id_col="vec_id", vec_col="embedding", seed=42,
+             train_max_rows=100000):
+    """Product-quantization ANN: ADC scan over codes + exact re-rank."""
+    spark, jvm = ctx(corpus)
+    return lift(spark, jvm.graft.sim.Similarity.pqTopK(
+        corpus._jdf, queries._jdf, int(k), int(m), int(codebook_size),
+        int(rerank), id_col, vec_col, int(seed), int(train_max_rows)))

@@ -114,3 +114,21 @@ def stratified_sample(df, rates, strata="source", text="text",
         jmap.put(str(k), float(v))
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.stratifiedSample(
         df._jdf, jmap, strata, text, float(default_rate)))
+
+
+def gopher_filter(df, id_col="doc_id", text_col="text", min_words=10,
+                  max_words=100000, min_mean_len=3.0, max_mean_len=12.0,
+                  min_alpha_ratio=0.8, max_dup_ratio=0.4, min_stopwords=2):
+    """Gopher-style hard quality gate: signals + 0/1 rule flags + keep."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.gopherFilter(
+        df._jdf, id_col, text_col, int(min_words), int(max_words),
+        float(min_mean_len), float(max_mean_len), float(min_alpha_ratio),
+        float(max_dup_ratio), int(min_stopwords)))
+
+
+def top_k_bigrams(df, k, text_col="text"):
+    """Top-k word bigrams by occurrence (BPE merge-candidate table)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.topKBigrams(
+        df._jdf, int(k), text_col))

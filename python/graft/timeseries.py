@@ -223,3 +223,38 @@ def from_series(df, jindex, key="key", series_col="series"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.ts.TimeSeriesOps.fromSeries(
         df._jdf, jindex, key, series_col))
+
+
+def roll_median(df, n, align="right", key="key", ts="ts_nanos", value="value"):
+    """Exact rolling median (robust rolling center), full windows only."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.rollMedian(
+        df._jdf, int(n), roll_align(jvm, align), key, ts, value))
+
+
+def seasonal_decompose(df, period, key="key", ts="ts_nanos", value="value"):
+    """Additive decomposition: adds trend / seasonal / resid columns."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.seasonalDecompose(
+        df._jdf, int(period), key, ts, value))
+
+
+def cusum(df, key="key", ts="ts_nanos", value="value"):
+    """Standardized CUSUM series for mean-shift detection."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.cusum(
+        df._jdf, key, ts, value))
+
+
+def cusum_changepoint(df, key="key", ts="ts_nanos", value="value"):
+    """Per-key argmax |CUSUM|: changepoint location + statistic."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.cusumChangepoint(
+        df._jdf, key, ts, value))
+
+
+def cross_correlation(df, max_lag, key="key", ts="ts_nanos", x="x", y="y"):
+    """Per-key cross-correlation of two aligned columns at leads 0..max_lag."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.crossCorrelation(
+        df._jdf, int(max_lag), key, ts, x, y))

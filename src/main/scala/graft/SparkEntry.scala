@@ -626,6 +626,65 @@ object SparkEntry {
       TS.seriesBeta(daily, key = "user_id", ts = "day_us", value = "value")
         .select(col("user_id"), col("n_obs"),
           round(col("beta"), 6).as("beta"), round(col("r"), 6).as("r"))
+    }),
+    "ts30_decompose" -> ((s, dir) =>
+      // additive seasonal decomposition, period 7 on series position
+      TS.seasonalDecompose(obs(s, dir), 7,
+        key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("ts_us"), round(col("trend"), 6).as("trend"),
+          round(col("seasonal"), 6).as("seasonal"), round(col("resid"), 6).as("resid"))),
+    "ts31_ccf" -> ((s, dir) => {
+      // lead cross-correlation: does click activity anticipate view activity?
+      val daily = Tables.events(s, dir)
+        .groupBy(col("user_id"), unix_micros(date_trunc("DAY",
+          timestamp_micros(col("ts_us")))).as("day_us"))
+        .agg(avg(when(col("event_type") === "click", col("value"))).as("x"),
+          avg(when(col("event_type") === "view", col("value"))).as("y"))
+      TS.crossCorrelation(daily, 2, key = "user_id", ts = "day_us", x = "x", y = "y")
+        .select(col("user_id"), col("n_obs"), round(col("ccf_0"), 6).as("ccf_0"),
+          round(col("ccf_1"), 6).as("ccf_1"), round(col("ccf_2"), 6).as("ccf_2"))
+    }),
+    "ts32_rollmedian" -> ((s, dir) =>
+      // 7-point rolling exact median (odd width -> a real element, unrounded)
+      TS.rollMedian(obs(s, dir), 7, RollAlign.Right,
+        key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("ts_us"), col("value").as("roll_med"))),
+    "ts33_cusum" -> ((s, dir) =>
+      // standardized-CUSUM mean-shift changepoint per user series
+      TS.cusumChangepoint(obs(s, dir), key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("changepoint_ts"),
+          round(col("cusum_stat"), 6).as("cusum_stat"))),
+    "ev01_sessions" -> ((s, dir) =>
+      // gap-based sessionization (4h inactivity closes a session)
+      graft.events.EventOps.sessions(Tables.events(s, dir), gapUs = 14400000000L)
+        .select(col("user_id"), col("session_no"), col("session_start"),
+          col("session_end"), col("duration_us"), col("n_events"),
+          round(col("sum_value"), 6).as("sum_value"))),
+    "ev02_funnel" -> ((s, dir) =>
+      // strictly-ordered view -> click -> purchase funnel per user
+      graft.events.EventOps.funnel(Tables.events(s, dir),
+        Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("t_1"), col("t_2"), col("t_3"), col("reached"))),
+    "ev03_retention" -> ((s, dir) =>
+      // cohort retention grid: first-active day x day offset -> active users
+      graft.events.EventOps.retention(Tables.events(s, dir))),
+    "m21_theilsen" -> ((s, dir) =>
+      // robust Theil-Sen slope/intercept per user series
+      graft.stats.RobustRegression.theilSen(obs(s, dir),
+        key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("n"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))),
+    "tx11_gopher_filter" -> ((s, dir) =>
+      // Gopher-style hard quality gate: signals + per-rule 0/1 flags + keep
+      graft.text.TextFunctions.gopherFilter(Tables.documents(s, dir))),
+    "tx12_bigram_topk" -> ((s, dir) =>
+      // top-30 word bigrams (BPE merge-candidate table)
+      graft.text.TextFunctions.topKBigrams(Tables.documents(s, dir), 30)),
+    "sm04_knn_pq" -> ((s, dir) => {
+      // product-quantization ANN: ADC scan over 8-byte codes + exact re-rank
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        m = 8, codebookSize = 16, rerank = 50)
     })
   )
 
@@ -1230,6 +1289,139 @@ object SparkEntry {
            round(covar_samp(v, m) / var_samp(m), 6) AS beta,
            round(corr(v, m), 6) AS r
          FROM daily JOIN market USING (day_us)
-         GROUP BY user_id"""
+         GROUP BY user_id""",
+    "ts30_decompose" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+         t AS (SELECT user_id, ts_us, value,
+             CASE WHEN count(value) OVER wf = 7 THEN avg(value) OVER wf END AS trend,
+             (row_number() OVER w - 1) % 7 AS phase
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us),
+             wf AS (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         d AS (SELECT user_id, ts_us, phase, trend, value - trend AS detr FROM t),
+         s AS (SELECT user_id, ts_us, trend, detr,
+             avg(detr) OVER (PARTITION BY user_id, phase) AS seasonal
+           FROM d)
+         SELECT user_id, ts_us, round(trend, 6) AS trend,
+           round(seasonal, 6) AS seasonal, round(detr - seasonal, 6) AS resid
+         FROM s""",
+    "ts31_ccf" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             avg(CASE WHEN event_type = 'click' THEN value END) AS x,
+             avg(CASE WHEN event_type = 'view' THEN value END) AS y
+           FROM events GROUP BY 1, 2),
+         l AS (SELECT user_id, x, y,
+             lead(y, 1) OVER w AS y1, lead(y, 2) OVER w AS y2
+           FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day_us))
+         SELECT user_id, count(*) AS n_obs, round(corr(x, y), 6) AS ccf_0,
+           round(corr(x, y1), 6) AS ccf_1, round(corr(x, y2), 6) AS ccf_2
+         FROM l GROUP BY user_id""",
+    "ts32_rollmedian" ->
+      """SELECT user_id, ts_us, med AS roll_med FROM (
+         SELECT user_id, epoch_us(ts) AS ts_us,
+           median(value) OVER w AS med, count(value) OVER w AS c
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ) t WHERE c = 7""",
+    "ts33_cusum" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+         st AS (SELECT user_id, ts_us, value,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             stddev_samp(value) OVER (PARTITION BY user_id)
+               * sqrt(count(value) OVER (PARTITION BY user_id)) AS den
+           FROM e),
+         cs AS (SELECT user_id, ts_us,
+             sum(value - mu) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / den AS s
+           FROM st),
+         rk AS (SELECT user_id, ts_us, abs(s) AS a,
+             row_number() OVER (PARTITION BY user_id ORDER BY abs(s) DESC, ts_us) AS rk
+           FROM cs)
+         SELECT user_id, ts_us AS changepoint_ts, round(a, 6) AS cusum_stat
+         FROM rk WHERE rk = 1""",
+    "ev01_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+         flag AS (SELECT user_id, ts_us, value,
+             CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                  WHEN ts_us - lag(ts_us) OVER w > 14400000000 THEN 1 ELSE 0 END AS f
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         sess AS (SELECT user_id, ts_us, value,
+             sum(f) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_no
+           FROM flag)
+         SELECT user_id, session_no, min(ts_us) AS session_start,
+           max(ts_us) AS session_end, max(ts_us) - min(ts_us) AS duration_us,
+           count(*) AS n_events, round(sum(value), 6) AS sum_value
+         FROM sess GROUP BY user_id, session_no""",
+    "ev02_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t_1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_2 FROM events e
+           JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t_1
+           GROUP BY e.user_id),
+         s3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_3 FROM events e
+           JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t_2
+           GROUP BY e.user_id)
+         SELECT s1.user_id, t_1, t_2, t_3,
+           1 + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
+             + CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END AS reached
+         FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
+    "ev03_retention" ->
+      """WITH active AS (SELECT DISTINCT user_id,
+             epoch_us(date_trunc('day', ts)) AS day_us FROM events),
+         coh AS (SELECT user_id, min(day_us) AS cohort_day_us
+           FROM active GROUP BY user_id)
+         SELECT cohort_day_us,
+           (day_us - cohort_day_us) // 86400000000 AS day_offset,
+           count(DISTINCT user_id) AS n_users
+         FROM active JOIN coh USING (user_id) GROUP BY 1, 2""",
+    "m21_theilsen" ->
+      """WITH idx AS (SELECT user_id, value AS v,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) - 1
+               AS DOUBLE) AS i
+           FROM events),
+         pairs AS (SELECT a.user_id AS user_id, (b.v - a.v) / (b.i - a.i) AS s
+           FROM idx a JOIN idx b ON a.user_id = b.user_id AND a.i < b.i),
+         sl AS (SELECT user_id, quantile_cont(s, 0.5) AS slope
+           FROM pairs GROUP BY user_id)
+         SELECT idx.user_id, count(*) AS n, round(sl.slope, 6) AS slope,
+           round(quantile_cont(idx.v - sl.slope * idx.i, 0.5), 6) AS intercept
+         FROM idx JOIN sl USING (user_id) GROUP BY idx.user_id, sl.slope""",
+    "tx11_gopher_filter" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
+                       FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         sig AS (SELECT doc_id,
+             sum(cnt)::BIGINT AS n_words,
+             coalesce(sum(cnt) FILTER (WHERE regexp_matches(tok, '[A-Za-z]')), 0)::BIGINT
+               AS n_alpha,
+             coalesce(sum(cnt) FILTER (WHERE lower(tok) IN (${asciiInList(graft.text.StopWords.en)})), 0)::BIGINT
+               AS n_stop,
+             sum(cnt * length(tok))::DOUBLE / sum(cnt) AS mean_word_len,
+             coalesce(sum(cnt) FILTER (WHERE regexp_matches(tok, '[A-Za-z]')), 0)::DOUBLE
+               / sum(cnt) AS alpha_word_ratio,
+             (sum(cnt) - count(*))::DOUBLE / sum(cnt) AS dup_word_ratio
+           FROM c GROUP BY doc_id),
+         fl AS (SELECT *,
+             CASE WHEN n_words >= 10 AND n_words <= 100000 THEN 1 ELSE 0 END AS f_word_count,
+             CASE WHEN mean_word_len >= 3.0 AND mean_word_len <= 12.0 THEN 1 ELSE 0 END AS f_mean_len,
+             CASE WHEN alpha_word_ratio >= 0.8 THEN 1 ELSE 0 END AS f_alpha,
+             CASE WHEN dup_word_ratio <= 0.4 THEN 1 ELSE 0 END AS f_dup,
+             CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS f_stop
+           FROM sig)
+         SELECT doc_id, n_words, n_alpha, n_stop, mean_word_len,
+           alpha_word_ratio, dup_word_ratio,
+           f_word_count, f_mean_len, f_alpha, f_dup, f_stop,
+           f_word_count * f_mean_len * f_alpha * f_dup * f_stop AS keep
+         FROM fl""",
+    "tx12_bigram_topk" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         b AS (SELECT unnest(list_transform(range(len(toks) - 1),
+                 i -> toks[i+1] || ' ' || toks[i+2])) AS bigram FROM w)
+         SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+         ORDER BY n DESC, bigram LIMIT 30"""
   )
 }

@@ -282,4 +282,53 @@ object JavaPipelineOps {
 
   def seriesBeta(df: DataFrame, key: String, ts: String, value: String): DataFrame =
     graft.ts.TimeSeriesOps.seriesBeta(df, key, ts, value)
+
+  def rollMedian(df: DataFrame, n: Int, alignment: String,
+      key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.rollMedian(df, n, JavaTimeSeriesOps.alignOf(alignment),
+      key, ts, value)
+
+  def seasonalDecompose(df: DataFrame, period: Int,
+      key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.seasonalDecompose(df, period, key, ts, value)
+
+  def cusum(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.cusum(df, key, ts, value)
+
+  def cusumChangepoint(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.cusumChangepoint(df, key, ts, value)
+
+  def crossCorrelation(df: DataFrame, maxLag: Int,
+      key: String, ts: String, x: String, y: String): DataFrame =
+    graft.ts.TimeSeriesOps.crossCorrelation(df, maxLag, key, ts, x, y)
+
+  def theilSen(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    graft.stats.RobustRegression.theilSen(df, key, ts, value)
+
+  def sessionize(df: DataFrame, gapUs: Long, key: String, ts: String): DataFrame =
+    graft.events.EventOps.sessionize(df, gapUs, key, ts)
+
+  def sessions(df: DataFrame, gapUs: Long,
+      key: String, ts: String, value: String): DataFrame =
+    graft.events.EventOps.sessions(df, gapUs, key, ts, value)
+
+  def funnel(df: DataFrame, steps: ju.List[String],
+      key: String, ts: String, eventType: String): DataFrame =
+    graft.events.EventOps.funnel(df,
+      scala.jdk.CollectionConverters.ListHasAsScala(steps).asScala.toSeq,
+      key, ts, eventType)
+
+  def retention(df: DataFrame, key: String, ts: String): DataFrame =
+    graft.events.EventOps.retention(df, key, ts)
+
+  def gopherFilter(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.text.TextFunctions.gopherFilter(df, idCol, textCol)
+
+  def topKBigrams(df: DataFrame, k: Int, textCol: String): DataFrame =
+    graft.text.TextFunctions.topKBigrams(df, k, textCol)
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int,
+      codebookSize: Int, rerank: Int, idCol: String, vecCol: String): DataFrame =
+    graft.sim.Similarity.pqTopK(corpus, queries, k, m, codebookSize, rerank,
+      idCol, vecCol)
 }

@@ -1,0 +1,104 @@
+package graft.events
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-stream analytics: sessionization, funnels, cohort retention — the
+ * operators a training-data / product-analytics pipeline runs over a raw
+ * event log before any modeling. The reference scopes these out (it models
+ * already-keyed series); at 100 TB the event log IS the input, so they are
+ * first-class here.
+ *
+ * Scale shape: every operator is one hash shuffle on the user key followed
+ * by per-key window/aggregate work — the same partitioning the time-series
+ * operators reuse downstream. Nothing collects to the driver; session ids
+ * are per-key-local (no global ordering), so the plan is identical at any
+ * number of executors.
+ */
+object EventOps {
+
+  /**
+   * Gap-based sessionization: a new session starts when the gap to the
+   * previous event of the same key exceeds `gapUs` microseconds. Adds
+   * `session_no` (1-based per key, in time order) — the classic
+   * lag-gap-flag + running-sum formulation, one window over one shuffle.
+   */
+  def sessionize(df: DataFrame, gapUs: Long, key: String = "user_id",
+      ts: String = "ts_us"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    val isNew = when(col(ts) - lag(col(ts), 1).over(w) > gapUs, 1)
+      .otherwise(when(lag(col(ts), 1).over(w).isNull, 1).otherwise(0))
+    df.withColumn("__new", isNew)
+      .withColumn("session_no",
+        sum(col("__new")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("__new")
+  }
+
+  /**
+   * Session summaries: one row per (key, session) with start/end/duration,
+   * event count and value sum. Reuses the sessionize partitioning — the
+   * groupBy shuffles on (key, session_no) whose prefix is the window key,
+   * so AQE coalesces it cheaply.
+   */
+  def sessions(df: DataFrame, gapUs: Long, key: String = "user_id",
+      ts: String = "ts_us", value: String = "value"): DataFrame =
+    sessionize(df, gapUs, key, ts)
+      .groupBy(col(key), col("session_no"))
+      .agg(min(col(ts)).as("session_start"),
+        max(col(ts)).as("session_end"),
+        (max(col(ts)) - min(col(ts))).as("duration_us"),
+        count(lit(1)).as("n_events"),
+        sum(col(value)).as("sum_value"))
+
+  /**
+   * Ordered funnel: for each key, the earliest time of step 1, then the
+   * earliest step-2 event STRICTLY AFTER that, and so on. Returns one row
+   * per key that completed step 1, with `t_1..t_n` (null once the funnel
+   * breaks) and `reached` = number of completed steps.
+   *
+   * Implementation is n-1 left joins of per-key min-aggregates — each join
+   * keys on the (already shuffled) user key and each aggregate is map-side
+   * partial, so cost is n small keyed shuffles, not a per-event sequence
+   * scan. n is the funnel length (tiny constant).
+   */
+  def funnel(df: DataFrame, steps: Seq[String], key: String = "user_id",
+      ts: String = "ts_us", eventType: String = "event_type"): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var acc = df.filter(col(eventType) === steps.head)
+      .groupBy(col(key)).agg(min(col(ts)).as("t_1"))
+    for (i <- 2 to steps.size) {
+      val stepEvents = df.filter(col(eventType) === steps(i - 1))
+        .select(col(key), col(ts).as("__ts"))
+      val nextT = acc.join(stepEvents, Seq(key), "left")
+        .filter(col("__ts") > col(s"t_${i - 1}"))
+        .groupBy(col(key)).agg(min(col("__ts")).as(s"t_$i"))
+      acc = acc.join(nextT, Seq(key), "left")
+    }
+    val reached = (1 to steps.size)
+      .map(i => when(col(s"t_$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    acc.withColumn("reached", reached)
+  }
+
+  /**
+   * Cohort retention: cohort = the key's first active day; one row per
+   * (cohort day, day offset) with the distinct keys active that day.
+   * Two keyed aggregates + one key join — the join's build side is one row
+   * per key (not per event), and the final groupBy is on the tiny
+   * (cohort, offset) grid.
+   */
+  def retention(df: DataFrame, key: String = "user_id",
+      ts: String = "ts_us"): DataFrame = {
+    val dayUs = 86400000000L
+    val active = df
+      .select(col(key), (floor(col(ts) / dayUs) * dayUs).cast("long").as("day_us"))
+      .distinct()
+    val cohort = active.groupBy(col(key)).agg(min(col("day_us")).as("cohort_day_us"))
+    active.join(cohort, Seq(key))
+      .groupBy(col("cohort_day_us"),
+        ((col("day_us") - col("cohort_day_us")) / dayUs).cast("long").as("day_offset"))
+      .agg(countDistinct(col(key)).as("n_users"))
+  }
+}

@@ -193,6 +193,110 @@ object Similarity {
   }
 
   /**
+   * Product-quantization (PQ) approximate top-k with asymmetric distance
+   * computation and exact re-ranking.
+   *
+   * Train: per-subspace k-means — the vector is split into `m` contiguous
+   * sub-blocks; each sub-block gets its own `codebookSize`-centroid codebook,
+   * fit on a bounded seeded-uniform sample (same policy as the IVF coarse
+   * quantizer). Encode: each corpus vector becomes `m` small codes (nearest
+   * sub-centroid) — 64-dim float32 (256 B) compresses to 8 codes, the 32×
+   * memory reduction that lets the scan table live in memory at corpus
+   * scales where the raw vectors cannot. Search: per query one lookup table
+   * of sub-dot-products (m × codebookSize floats, built once); a corpus
+   * item's approximate dot is m table lookups + adds — no multiplies in the
+   * scan. The top `rerank` candidates per query are re-ranked by EXACT
+   * cosine (keyed join back to the raw vectors), so approximation error only
+   * affects recall, never the reported scores.
+   *
+   * Scale shape: the scan joins (id, 8 codes) against broadcast per-query
+   * LUTs — a narrow pass over the compressed table; the re-rank join touches
+   * `rerank` rows per query. Compose with IVF cells for sub-linear scans.
+   */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, m: Int = 8,
+      codebookSize: Int = 16, rerank: Int = 50, idCol: String = "vec_id",
+      vecCol: String = "embedding", seed: Long = 42L,
+      trainMaxRows: Int = 100000): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    val c = corpus.select(col(idCol).as("neighbor_id"), normalized(col(vecCol)).as("nv"))
+    val nCorpus = c.count()
+    val trainDf = (if (nCorpus <= trainMaxRows) c
+      else c.sample(withReplacement = false,
+        math.min(1.0, trainMaxRows * 1.2 / nCorpus), seed).limit(trainMaxRows))
+      .select(col("nv")).cache() // m sub-fits reuse the sample
+    val dim = trainDf.select(size(col("nv"))).first().getInt(0)
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { b =>
+      val feats = trainDf
+        .select(array_to_vector(slice(col("nv"), b * sub + 1, sub)).as("features"))
+      new KMeans().setK(codebookSize).setSeed(seed + b).setMaxIter(10)
+        .fit(feats).clusterCenters.map(_.toArray)
+    }.toArray
+    trainDf.unpersist()
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val mLocal = m; val subLocal = sub; val cbLocal = codebookSize
+    val encode = udf { (v: Seq[Double]) =>
+      val cbs = bc.value
+      Array.tabulate(mLocal) { b =>
+        val cb = cbs(b)
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < cb.length) {
+          var d = 0.0; var i = 0
+          while (i < subLocal) { val t = v(b * subLocal + i) - cb(j)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = j } // ties: lowest code wins (stable)
+          j += 1
+        }
+        best
+      }
+    }
+    val lutUdf = udf { (v: Seq[Double]) =>
+      val cbs = bc.value
+      val lut = new Array[Double](mLocal * cbLocal)
+      var b = 0
+      while (b < mLocal) {
+        var j = 0
+        while (j < cbLocal) {
+          var s = 0.0; var i = 0
+          while (i < subLocal) { s += v(b * subLocal + i) * cbs(b)(j)(i); i += 1 }
+          lut(b * cbLocal + j) = s
+          j += 1
+        }
+        b += 1
+      }
+      lut
+    }
+    val adc = udf { (codes: Seq[Int], lut: Seq[Double]) =>
+      var s = 0.0; var b = 0
+      while (b < mLocal) { s += lut(b * cbLocal + codes(b)); b += 1 }
+      s
+    }
+    val coded = c.withColumn("codes", encode(col("nv")))
+    val q = queries.select(col(idCol).as("query_id"), normalized(col(vecCol)).as("qv"))
+    val qLut = q.withColumn("lut", lutUdf(col("qv"))).select("query_id", "lut")
+    val wApprox = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx").desc, col("neighbor_id"))
+    val cand = coded.select("neighbor_id", "codes").crossJoin(broadcast(qLut))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", adc(col("codes"), col("lut")))
+      .withColumn("arank", row_number().over(wApprox))
+      .filter(col("arank") <= rerank)
+      .select("query_id", "neighbor_id")
+    val wExact = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.join(c, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .withColumn("cosine", dot(col("nv"), col("qv")))
+      .withColumn("rank", row_number().over(wExact))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /**
    * Approximate top-k: probe only the query's LSH bucket (plus optionally
    * neighboring buckets via multi-probe on `probeBits` single-bit flips),
    * then rank candidates by exact cosine.

@@ -26,6 +26,25 @@ object StreamingResample {
       .select(col(key), col("window.start").as("bucket_start"),
         col("window.end").as("bucket_end"), col(value))
 
+  /**
+   * Streaming gap sessionization: Spark's native `session_window` merges
+   * events whose gaps are under `gap` into one growing window per key; a
+   * session emits once the watermark passes its close. The streaming twin of
+   * `events.EventOps.sessionize` — same gap semantics, with
+   * `session_end = last event + gap` (the window's close, Spark's
+   * convention) rather than the batch operator's last-event timestamp.
+   * State per open session is one window + the aggregates — bounded by the
+   * watermark, not by history.
+   */
+  def streamingSessions(stream: DataFrame, gap: String, watermark: String,
+      key: String = "key", ts: String = "ts", value: String = "value"): DataFrame =
+    stream.withWatermark(ts, watermark)
+      .groupBy(col(key), session_window(col(ts), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col(value)).as("sum_value"))
+      .select(col(key), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value"))
+
   /** Sliding-window mean on a stream (window duration + slide). */
   def sliding(stream: DataFrame, width: String, slide: String, watermark: String,
       key: String = "key", ts: String = "ts", value: String = "value"): DataFrame =

@@ -154,6 +154,75 @@ object TextFunctions {
   }
 
   /**
+   * Gopher-style document quality filter: hard threshold rules over word
+   * shape signals (word count bounds, mean word length bounds, minimum
+   * fraction of words containing a letter, maximum duplicate-word fraction,
+   * minimum stopword occurrences). Emits the signals, one 0/1 flag per rule
+   * and `keep` = every rule passes — the pre-training corpus gate run before
+   * any model sees a document.
+   *
+   * Same scale shape as [[repetitionSignals]]: one explode, two keyed
+   * aggregations, everything partial-aggregated map-side; the shuffle
+   * carries distinct (doc, token) counts, not raw tokens. Signals are
+   * int/int double divisions — bit-exact vs the oracle, no rounding.
+   */
+  def gopherFilter(df: DataFrame, idCol: String = "doc_id", text: String = "text",
+      minWords: Long = 10L, maxWords: Long = 100000L,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 12.0,
+      minAlphaRatio: Double = 0.8, maxDupRatio: Double = 0.4,
+      minStopwords: Long = 2L): DataFrame = {
+    val perTok = df.select(col(idCol), explode(tokens(col(text))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val sig = perTok.groupBy(col(idCol))
+      .agg(sum("cnt").as("n_words"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * length(col("tok"))).as("sum_len"),
+        sum(when(col("tok").rlike("[A-Za-z]"), col("cnt")).otherwise(0L)).as("n_alpha"),
+        sum(when(lower(col("tok")).isin(StopWords.en: _*), col("cnt")).otherwise(0L))
+          .as("n_stop"))
+      .withColumn("mean_word_len",
+        try_divide(col("sum_len").cast("double"), col("n_words").cast("double")))
+      .withColumn("alpha_word_ratio",
+        try_divide(col("n_alpha").cast("double"), col("n_words").cast("double")))
+      .withColumn("dup_word_ratio",
+        try_divide((col("n_words") - col("n_distinct")).cast("double"),
+          col("n_words").cast("double")))
+    val flags = Seq(
+      "f_word_count" ->
+        (col("n_words") >= minWords && col("n_words") <= maxWords),
+      "f_mean_len" ->
+        (col("mean_word_len") >= minMeanLen && col("mean_word_len") <= maxMeanLen),
+      "f_alpha" -> (col("alpha_word_ratio") >= minAlphaRatio),
+      "f_dup" -> (col("dup_word_ratio") <= maxDupRatio),
+      "f_stop" -> (col("n_stop") >= minStopwords))
+    val flagged = flags.foldLeft(sig) { case (d, (name, cond)) =>
+      d.withColumn(name, when(cond, 1).otherwise(0)) // 0/1, not boolean: engine-portable
+    }
+    flagged.withColumn("keep",
+      flags.map(f => col(f._1)).reduce(_ * _))
+      .drop("sum_len", "n_distinct")
+  }
+
+  /**
+   * Top-k word bigrams by total occurrence count (ties broken by bigram
+   * text) — the vocabulary-induction companion to [[topKTokens]]: bigram
+   * statistics are the first merge-candidate table a BPE-style tokenizer
+   * trainer builds. One explode + one count aggregate (map-side partial),
+   * then TakeOrderedAndProject — per-partition top-k, no global sort.
+   */
+  def topKBigrams(df: DataFrame, k: Int, text: String = "text"): DataFrame = {
+    val w = tokens(col(text))
+    val bigrams = when(size(w) >= 2,
+        transform(sequence(lit(1), size(w) - 1),
+          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    df.select(explode(bigrams).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(k)
+  }
+
+  /**
    * Deterministic stratified sampling to target per-stratum rates — the
    * mixture-weighting step of a training-data pipeline (e.g. downsample
    * CommonCrawl, keep all of Wikipedia). Rate r becomes the md5-hex prefix

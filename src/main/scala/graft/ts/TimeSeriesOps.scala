@@ -176,6 +176,95 @@ object TimeSeriesOps {
       .drop("__agg", "__cnt")
   }
 
+  /** Sliding exact median of width n (robust rolling center — insensitive to
+    * the spikes rollMean smears). Exact `percentile(0.5)`, not the t-digest
+    * approximation: window width is a small constant, so the per-row sort
+    * cost is O(n log n) with n fixed — engine-comparable results, no
+    * approximation parameter to tune. */
+  def rollMedian(df: DataFrame, n: Int, align: RollAlign.Value = RollAlign.Right,
+      key: String = "key", ts: String = "ts_nanos", value: String = "value"): DataFrame =
+    rollAgg(df, n, align, percentile(_, lit(0.5)), key, ts, value)
+
+  /**
+   * Classical additive seasonal decomposition (decompose-style):
+   * trend = centered moving average of ODD width `period` (full windows
+   * only, null at the edges); seasonal = per-phase mean of the detrended
+   * values, phase = 0-based position in the series modulo period; residual
+   * = value - trend - seasonal. Adds `trend`, `seasonal`, `resid`.
+   *
+   * One shuffle on the key: the trend window, the phase column, and the
+   * per-(key, phase) seasonal means all reuse the same hash partitioning
+   * (the phase grouping key has the series key as a prefix), so no second
+   * exchange is planned for the seasonal window.
+   */
+  def seasonalDecompose(df: DataFrame, period: Int, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      "seasonalDecompose needs an odd period >= 3 (even periods need a 2x2 MA)")
+    val w = wKey(key, ts)
+    val half = period / 2
+    val frame = w.rowsBetween(-half, half)
+    val trended = df
+      .withColumn("__phase", ((row_number().over(w) - 1) % period).cast("long"))
+      .withColumn("trend",
+        when(count(col(value)).over(frame) === period, avg(col(value)).over(frame)))
+      .withColumn("__detr", col(value) - col("trend"))
+    val wPhase = Window.partitionBy(col(key), col("__phase"))
+    trended
+      .withColumn("seasonal", avg(col("__detr")).over(wPhase))
+      .withColumn("resid", col("__detr") - col("seasonal"))
+      .drop("__detr", "__phase")
+  }
+
+  /**
+   * Standardized CUSUM for mean-shift changepoint detection: the running
+   * sum of (x - series mean) scaled by (series sd * sqrt(n)). A series with
+   * a single mean shift has |cusum| peaking AT the shift; `cusumChangepoint`
+   * reduces to one row per key — the argmax location and its statistic
+   * (compare against ~1.36 for 95% confidence, Kolmogorov-style bound).
+   * Two windows over ONE shuffle: the whole-partition stats window and the
+   * cumulative window share the key partitioning.
+   */
+  def cusum(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    val wAll = Window.partitionBy(col(key))
+    val wCum = wKey(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__mu", avg(col(value)).over(wAll))
+      .withColumn("__den",
+        stddev_samp(col(value)).over(wAll) * sqrt(count(col(value)).over(wAll)))
+      .withColumn("cusum", try_divide(sum(col(value) - col("__mu")).over(wCum), col("__den")))
+      .drop("__mu", "__den")
+  }
+
+  /** One row per key: the location where |cusum| peaks (earliest on ties)
+    * and the peak statistic. */
+  def cusumChangepoint(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame =
+    cusum(df, key, ts, value)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(key)).orderBy(abs(col("cusum")).desc, col(ts))))
+      .filter(col("__rk") === 1)
+      .select(col(key), col(ts).as("changepoint_ts"), abs(col("cusum")).as("cusum_stat"))
+
+  /**
+   * Cross-correlation of two aligned series columns at leads 0..maxLag:
+   * ccf_k = corr(x_t, y_{t+k}) per key, over the instants where both sides
+   * exist. Wide output (`n_obs`, `ccf_0..ccf_maxLag`) — one lead window +
+   * one aggregate reusing the key's partitioning.
+   */
+  def crossCorrelation(df: DataFrame, maxLag: Int, key: String = "key",
+      ts: String = "ts_nanos", x: String = "x", y: String = "y"): DataFrame = {
+    require(maxLag >= 0, "maxLag must be >= 0")
+    val w = wKey(key, ts)
+    val withLeads = (1 to maxLag).foldLeft(df) { (d, l) =>
+      d.withColumn(s"__y_$l", lead(col(y), l).over(w))
+    }
+    val aggs = count(lit(1)).as("n_obs") +:
+      corr(col(x), col(y)).as("ccf_0") +:
+      (1 to maxLag).map(l => corr(col(x), col(s"__y_$l")).as(s"ccf_$l"))
+    withLeads.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
+
   // ---------------------------------------------------------------- fills
 
   /**

@@ -78,4 +78,10 @@ class GoldenSpec extends AnyFunSuite with SparkTestSession {
       SparkEntry.queries("sm03_knn_ivf")(spark, sfDir),
       Seq("query_id", "rank", "neighbor_id", "cosine"))
   }
+
+  test("sm04 PQ top-k matches the frozen sf0.01 golden") {
+    check("sm04_knn_pq",
+      SparkEntry.queries("sm04_knn_pq")(spark, sfDir),
+      Seq("query_id", "rank", "neighbor_id", "cosine"))
+  }
 }

@@ -176,4 +176,53 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
       s.sql("SELECT count(*) FROM outlier_out").first().getLong(0) shouldBe 1L
     } finally query.stop()
   }
+
+  test("streaming sessions match the batch sessionizer's groupings") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingResample.streamingSessions(
+      input.toDF().toDF("key", "ts", "value"), gap = "10 minutes",
+      watermark = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      // a: events at 1,5 then a >10min gap then 30,35; b: one event
+      val events = Seq(("a", t(1), 1.0), ("a", t(5), 2.0),
+        ("a", t(30), 4.0), ("a", t(35), 8.0), ("b", t(3), 16.0))
+      input.addData(events: _*)
+      query.processAllAvailable()
+      // the watermark used by batch N comes from batch N-1's max event time,
+      // so two flush batches are needed to close every original session
+      input.addData(("a", t(59), 0.0))
+      query.processAllAvailable()
+      input.addData(("b", t(59), 0.0))
+      query.processAllAvailable()
+      val got = s.sql(
+        """SELECT key, session_start, n_events, sum_value FROM session_out""")
+        .collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime * 1000L) ->
+          ((r.getLong(2), r.getDouble(3)))).toMap
+      // same events through the batch sessionizer (ts in micros)
+      val batch = EventOps_sessions(events)
+      got.keySet should contain allElementsOf batch.keySet
+      batch.foreach { case (k, v) => got(k) shouldBe v }
+    } finally query.stop()
+  }
+
+  /** Batch-side expectation: EventOps.sessions keyed by (key, session_start_us). */
+  private def EventOps_sessions(events: Seq[(String, Timestamp, Double)])
+      : Map[(String, Long), (Long, Double)] = {
+    val s = spark
+    import s.implicits._
+    graft.events.EventOps.sessions(
+      events.map { case (k, t, v) => (k, t.getTime * 1000L, v) }
+        .toDF("user_id", "ts_us", "value"),
+      gapUs = 10L * 60 * 1000 * 1000, key = "user_id", ts = "ts_us")
+      .collect()
+      .map(r => (r.getAs[String]("user_id"), r.getAs[Long]("session_start")) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))).toMap
+  }
 }

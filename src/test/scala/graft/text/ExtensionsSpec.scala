@@ -109,6 +109,46 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     ivf.foreach(n => n % 2 shouldBe 0) // all neighbors from the even cluster
   }
 
+  test("PQ top-k with full re-rank equals brute force exactly") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.fill(16)(rnd.nextFloat() * 2 - 1))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(vecs, q, 5).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    // rerank >= corpus: every item reaches the exact re-rank stage, so the
+    // ADC approximation cannot change the result — must match brute force
+    val pq = Similarity.pqTopK(vecs, q, 5, m = 4, codebookSize = 8, rerank = 40)
+      .collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toSet
+    pq shouldBe exact
+  }
+
+  test("PQ ADC scan keeps clustered neighbors with a small re-rank budget") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    // two tight clusters far apart, like the IVF spec: the compressed scan
+    // must rank same-cluster items into the re-rank set
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) Array(10.0f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+        else Array(0f, 10.0f, 0f, 0f, 0f, 0f, 0f, 0f)
+      (i.toLong, base.map(v => v + rnd.nextFloat() * 0.1f))
+    }.toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") === 0)
+    val exact = Similarity.bruteForceTopK(vecs, q, 5).collect()
+      .map(_.getAs[Long]("neighbor_id")).toSet
+    val pq = Similarity.pqTopK(vecs, q, 5, m = 4, codebookSize = 8, rerank = 10)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    pq shouldBe exact
+    pq.foreach(n => n % 2 shouldBe 0)
+  }
+
   test("native DotProduct matches the HOF formulation bit-exactly") {
     val s = spark
     import s.implicits._
