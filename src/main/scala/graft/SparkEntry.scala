@@ -685,7 +685,40 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       graft.sim.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
         m = 8, codebookSize = 16, rerank = 50)
-    })
+    }),
+
+    // ---------------- round-5 additions: winsorize / OLS trend / rolling
+    // envelope, session transition matrix, unigram-LM scoring, TF-IDF
+    // keywords, per-cluster inertia ----------------
+    "ts34_winsorize" -> ((s, dir) =>
+      // per-key percentile clipping; ts26 proved the exact percentile is
+      // engine-bit-identical, so the clipped values are compared unrounded
+      TS.winsorize(obs(s, dir), 0.05, 0.95, key = "user_id", value = "value")
+        .select(col("user_id"), col("ts_us"), col("value_winsorized"))),
+    "ts35_trend" -> ((s, dir) =>
+      // per-key OLS trend over series position (native regr_slope/intercept)
+      TS.linearTrend(obs(s, dir), key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("n_obs"), round(col("slope"), 6).as("slope"),
+          round(col("intercept"), 6).as("intercept"))),
+    "ts36_rollrange" -> ((s, dir) =>
+      // 7-point rolling min/max/range envelope — exact, unrounded
+      TS.rollRange(obs(s, dir), 7, RollAlign.Right,
+        key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("ts_us"),
+          col("roll_min"), col("roll_max"), col("roll_range"))),
+    "ev04_transitions" -> ((s, dir) =>
+      // within-session event-type Markov table (4h session gap); counts and
+      // exact-int mean gaps, unrounded
+      graft.events.EventOps.transitions(Tables.events(s, dir), gapUs = 14400000000L)),
+    "tx13_unigram_logprob" -> ((s, dir) =>
+      // corpus unigram-LM perplexity proxy per document (CCNet-style)
+      graft.text.TextFunctions.unigramLogProb(Tables.documents(s, dir))),
+    "tx14_tfidf_top" -> ((s, dir) =>
+      // top-3 TF-IDF keywords per document, ranked on the rounded score
+      graft.text.TextFunctions.tfidfTopTerms(Tables.documents(s, dir), 3)),
+    "em03_inertia" -> ((s, dir) =>
+      // per-label mean squared distance to the label centroid
+      graft.sim.Embeddings.inertia(Tables.embeddings(s, dir)))
   )
 
   /** DuckDB string literal composed to be byte-pure ASCII: any char outside
@@ -1422,6 +1455,84 @@ object SparkEntry {
          b AS (SELECT unnest(list_transform(range(len(toks) - 1),
                  i -> toks[i+1] || ' ' || toks[i+2])) AS bigram FROM w)
          SELECT bigram, count(*) AS n FROM b GROUP BY bigram
-         ORDER BY n DESC, bigram LIMIT 30"""
+         ORDER BY n DESC, bigram LIMIT 30""",
+    // quantile_cont == Spark's exact linear-interpolation percentile
+    // (bit-identical, proven by ts26), so the clipped values are unrounded
+    "ts34_winsorize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+         q AS (SELECT user_id, quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+           FROM e GROUP BY user_id)
+         SELECT user_id, ts_us,
+           least(greatest(value, lo), hi) AS value_winsorized
+         FROM e JOIN q USING (user_id)""",
+    "ts35_trend" ->
+      """WITH idx AS (SELECT user_id, value,
+             CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) - 1
+               AS DOUBLE) AS x
+           FROM events WHERE value IS NOT NULL)
+         SELECT user_id, count(*) AS n_obs,
+           round(regr_slope(value, x), 6) AS slope,
+           round(regr_intercept(value, x), 6) AS intercept
+         FROM idx GROUP BY user_id""",
+    "ts36_rollrange" ->
+      """SELECT user_id, ts_us, mn AS roll_min, mx AS roll_max,
+           mx - mn AS roll_range FROM (
+         SELECT user_id, epoch_us(ts) AS ts_us,
+           min(value) OVER w AS mn, max(value) OVER w AS mx,
+           count(value) OVER w AS c
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         ) t WHERE c = 7""",
+    // avg of exact int64 gaps: sums and counts are exact in both engines,
+    // the single double division is deterministic — unrounded
+    "ev04_transitions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         flag AS (SELECT user_id, ts_us, event_type,
+             CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                  WHEN ts_us - lag(ts_us) OVER w > 14400000000 THEN 1 ELSE 0 END AS f
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         sess AS (SELECT user_id, ts_us, event_type,
+             sum(f) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+           FROM flag),
+         nx AS (SELECT event_type AS from_type,
+             lead(event_type) OVER w2 AS to_type,
+             lead(ts_us) OVER w2 - ts_us AS gap
+           FROM sess WINDOW w2 AS (PARTITION BY user_id, session_no ORDER BY ts_us))
+         SELECT from_type, to_type, count(*) AS n_transitions,
+           avg(gap) AS avg_gap_us
+         FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2""",
+    "tx13_unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         v AS (SELECT tok, sum(cnt) AS tf FROM c GROUP BY tok),
+         t AS (SELECT sum(tf)::DOUBLE AS total FROM v)
+         SELECT doc_id, sum(cnt)::BIGINT AS n_tokens,
+           round(-sum(cnt * ln(tf::DOUBLE / total)) / sum(cnt), 6)
+             AS avg_neg_logprob
+         FROM c JOIN v USING (tok), t GROUP BY doc_id""",
+    // ranked on the 6-decimal-rounded score with the token as tie-break:
+    // a last-ULP ln() difference between engines cannot flip the order
+    "tx14_tfidf_top" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                      FROM documents),
+         c AS (SELECT doc_id, tok, count(*) AS cnt FROM tok GROUP BY 1, 2),
+         d AS (SELECT tok, count(*) AS df FROM c GROUP BY tok),
+         n AS (SELECT count(*)::DOUBLE AS n_docs FROM documents),
+         s AS (SELECT doc_id, tok, round(cnt * ln(n_docs / df), 6) AS tfidf
+           FROM c JOIN d USING (tok), n),
+         r AS (SELECT doc_id, tok, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, tok) AS rnk FROM s)
+         SELECT doc_id, rnk, tok, tfidf FROM r WHERE rnk <= 3""",
+    "em03_inertia" ->
+      """WITH p AS (SELECT label, vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
+             FROM embeddings, unnest(range(len(embedding))) AS t(i)),
+         c AS (SELECT label, pos, avg(v) AS cv FROM p GROUP BY 1, 2)
+         SELECT label, count(DISTINCT vec_id) AS n_vectors,
+           round(sum((v - cv) * (v - cv)) / count(DISTINCT vec_id), 6) AS inertia
+         FROM p JOIN c USING (label, pos) GROUP BY label"""
   )
 }

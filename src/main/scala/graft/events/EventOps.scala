@@ -83,6 +83,32 @@ object EventOps {
   }
 
   /**
+   * Within-session event-type transitions (the first-order Markov table of
+   * the event log): one row per (from_type, to_type) with the transition
+   * count and the mean gap between the two events in microseconds. Session
+   * boundaries cut transition chains — the last event of a session has no
+   * successor.
+   *
+   * Scale shape: the successor lead window partitions on (key, session_no),
+   * whose prefix is the sessionize window's key — Catalyst plans NO second
+   * exchange. The final groupBy is on the tiny (from, to) type grid, so the
+   * partial aggregation collapses the shuffle to |types|² rows per task.
+   */
+  def transitions(df: DataFrame, gapUs: Long, key: String = "user_id",
+      ts: String = "ts_us", eventType: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(col(key), col("session_no")).orderBy(col(ts))
+    sessionize(df, gapUs, key, ts)
+      .withColumn("__to", lead(col(eventType), 1).over(w))
+      .withColumn("__gap", lead(col(ts), 1).over(w) - col(ts))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(eventType).as("from_type"), col("__to").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        // avg of exact int64 gaps: sum and count are exact, the one double
+        // division is deterministic — engine-bit-exact unrounded
+        avg(col("__gap")).as("avg_gap_us"))
+  }
+
+  /**
    * Cohort retention: cohort = the key's first active day; one row per
    * (cohort day, day offset) with the distinct keys active that day.
    * Two keyed aggregates + one key join — the join's build side is one row

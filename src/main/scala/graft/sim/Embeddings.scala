@@ -24,6 +24,32 @@ object Embeddings {
       .agg(round(avg(col("v").cast("double")), 6).as("centroid"))
 
   /**
+   * Per-group inertia: the mean squared Euclidean distance from each vector
+   * to its group's centroid — the k-means objective per cluster, the number
+   * that says whether a label/cluster is tight or diffuse (and the metric a
+   * codebook trainer watches per iteration). Returns
+   * `(group, n_vectors, inertia)`.
+   *
+   * Shape: one posexplode + (group, pos) aggregation for centroids (partial
+   * sums map-side, like [[centroids]]), then a join keyed on (group, pos)
+   * and one aggregation back to groups. The centroid side is nGroups x dim
+   * rows — driver-tiny, AQE broadcasts it.
+   */
+  def inertia(df: DataFrame, groupCol: String = "label",
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val p = df.select(col(groupCol), col(idCol),
+      posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val cent = p.groupBy(col(groupCol), col("pos"))
+      .agg(avg(col("v")).as("__c"))
+    p.join(cent, Seq(groupCol, "pos"))
+      .withColumn("__d", (col("v") - col("__c")) * (col("v") - col("__c")))
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col(idCol)).as("n_vectors"),
+        round(sum(col("__d")) / countDistinct(col(idCol)), 6).as("inertia"))
+  }
+
+  /**
    * Per-vector 8-bit scalar quantization: code_i = floor((v_i - min) *
    * (255 / (max - min))) with per-vector min/max, plus the round-trip
    * reconstruction MSE. Pure per-row expressions (no shuffle, no UDF). All

@@ -242,6 +242,64 @@ object TextFunctions {
     df.filter(md5(col(text).cast("binary")) < thr)
   }
 
+  /**
+   * Corpus unigram language-model score per document: the mean negative log
+   * probability of the document's tokens under the corpus' own unigram
+   * distribution (CCNet-style perplexity proxy — unusually improbable token
+   * mixes score high and get filtered/flagged). Returns
+   * `(id, n_tokens, avg_neg_logprob)`.
+   *
+   * Scale shape: per-(doc, token) counts first (one keyed aggregation whose
+   * shuffle carries distinct pairs, not raw tokens), the vocabulary is a
+   * second aggregation of THAT — then one equi-join keyed on the token and
+   * one keyed aggregation back to documents. The corpus-total row rides
+   * along as a broadcast scalar. No driver loop, no collect: the "model
+   * training" (vocab counting) and "scoring" are the same distributed scan.
+   */
+  def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val perTok = df.select(col(idCol), explode(tokens(col(text))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val vocab = perTok.groupBy(col("tok")).agg(sum("cnt").as("tf"))
+    val total = vocab.agg(sum("tf").as("total"))
+    perTok.join(vocab, "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_tokens"),
+        round(-sum(col("cnt") * log(col("tf").cast("double") / col("total"))) /
+          sum("cnt"), 6).as("avg_neg_logprob"))
+  }
+
+  /**
+   * Per-document top-k TF-IDF terms (tfidf = tf · ln(N / df), ranked on the
+   * 6-decimal-rounded score with the token string as tie-break): the
+   * keyword-extraction primitive. Ranking on the ROUNDED score is what makes
+   * the result engine-stable — raw doubles from two engines' `ln` can differ
+   * in the last ULP, but a 1e-6 bucket plus a total tie-break order cannot
+   * flip. Shape: two keyed aggregations (doc-term counts, then document
+   * frequency), a token-keyed join, and a per-doc top-k window that reuses
+   * the doc partitioning.
+   */
+  def tfidfTopTerms(df: DataFrame, k: Int, idCol: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perTok = df.select(col(idCol), explode(tokens(col(text))).as("tok"))
+      .groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("cnt"))
+    val docFreq = perTok.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("n_docs"))
+    perTok.join(docFreq, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        round(col("cnt") * log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("tok"))))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk").cast("long").as("rnk"), col("tok"),
+        col("tfidf"))
+  }
+
   /** Canonical fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text — near-dup resilient to formatting noise. */
   def canonicalFingerprint(text: Column): Column =

@@ -535,6 +535,61 @@ object TimeSeriesOps {
       value: String = "value"): DataFrame =
     zScores(df, key, value).filter(abs(col("z_score")) > threshold)
 
+  /**
+   * Per-key winsorization: clip every value into its series' exact
+   * [lo, hi] percentile band (linear-interpolation percentiles, same
+   * semantics as [[seriesPercentiles]]). The robust-preprocessing step run
+   * before model fits so a single spike cannot dominate a least-squares
+   * objective. Two window aggregates over ONE hash shuffle on the key —
+   * both percentile windows share the key partitioning.
+   */
+  def winsorize(df: DataFrame, lo: Double = 0.05, hi: Double = 0.95,
+      key: String = "key", value: String = "value"): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, "need 0 <= lo < hi <= 1")
+    val w = Window.partitionBy(col(key))
+    df.withColumn("__lo", percentile(col(value), lit(lo)).over(w))
+      .withColumn("__hi", percentile(col(value), lit(hi)).over(w))
+      .withColumn(s"${value}_winsorized",
+        least(greatest(col(value), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
+  /**
+   * Per-key OLS linear trend over series position (0-based, in time order):
+   * one row per key with `n_obs`, `slope`, `intercept` via the native
+   * `regr_slope`/`regr_intercept` aggregates (codegen'd, partial-aggregated
+   * map-side). Position, not raw epoch time, is the regressor — epoch-nanos
+   * squared overflow double precision and would make the normal equations
+   * catastrophically ill-conditioned.
+   */
+  def linearTrend(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    val w = wKey(key, ts)
+    df.filter(col(value).isNotNull)
+      .withColumn("__x", (row_number().over(w) - 1).cast("double"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_obs"),
+        regr_slope(col(value), col("__x")).as("slope"),
+        regr_intercept(col(value), col("__x")).as("intercept"))
+  }
+
+  /**
+   * Sliding min/max/range of width n (full windows only, like the other
+   * rolling ops): the envelope primitive behind range-based volatility and
+   * band charts. Three frame aggregates over one key shuffle; min and max
+   * are exact, so the output is engine-bit-exact unrounded.
+   */
+  def rollRange(df: DataFrame, n: Int, align: RollAlign.Value = RollAlign.Right,
+      key: String = "key", ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    val f = rollFrame(wKey(key, ts), n, align)
+    df.withColumn("roll_min", min(col(value)).over(f))
+      .withColumn("roll_max", max(col(value)).over(f))
+      .withColumn("__cnt", count(col(value)).over(f))
+      .filter(col("__cnt") === n)
+      .withColumn("roll_range", col("roll_max") - col("roll_min"))
+      .drop("__cnt")
+  }
+
   /** Per-series beta and correlation against the cross-sectional mean
     * series (the "market"): beta = covar_samp(x, bench) / var_samp(bench)
     * over the instants where both exist. Two keyed shuffles (bench agg on
