@@ -28,3 +28,11 @@ def retention(df, key="user_id", ts="ts_us"):
     """Cohort retention grid: (cohort day, day offset) -> distinct users."""
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.events.EventOps.retention(df._jdf, key, ts))
+
+
+def transitions(df, gap_us, key="user_id", ts="ts_us",
+                event_type="event_type"):
+    """Within-session event-type Markov table: counts + mean gaps (us)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.events.EventOps.transitions(
+        df._jdf, int(gap_us), key, ts, event_type))

@@ -51,3 +51,10 @@ def pq_top_k(corpus, queries, k, m=8, codebook_size=16, rerank=50,
     return lift(spark, jvm.graft.sim.Similarity.pqTopK(
         corpus._jdf, queries._jdf, int(k), int(m), int(codebook_size),
         int(rerank), id_col, vec_col, int(seed), int(train_max_rows)))
+
+
+def inertia(df, group_col="label", vec_col="embedding", id_col="vec_id"):
+    """Per-group mean squared distance to the group centroid."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.sim.Embeddings.inertia(
+        df._jdf, group_col, vec_col, id_col))

@@ -132,3 +132,17 @@ def top_k_bigrams(df, k, text_col="text"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.text.TextFunctions.topKBigrams(
         df._jdf, int(k), text_col))
+
+
+def unigram_log_prob(df, id_col="doc_id", text="text"):
+    """Corpus unigram-LM score per doc: mean -ln p(token) (CCNet-style)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.unigramLogProb(
+        df._jdf, id_col, text))
+
+
+def tfidf_top_terms(df, k, id_col="doc_id", text="text"):
+    """Top-k TF-IDF keywords per document (rounded-score ranking)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.tfidfTopTerms(
+        df._jdf, int(k), id_col, text))

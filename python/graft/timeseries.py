@@ -258,3 +258,24 @@ def cross_correlation(df, max_lag, key="key", ts="ts_nanos", x="x", y="y"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.ts.TimeSeriesOps.crossCorrelation(
         df._jdf, int(max_lag), key, ts, x, y))
+
+
+def winsorize(df, lo=0.05, hi=0.95, key="key", value="value"):
+    """Clip each value into its key's exact [lo, hi] percentile band."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.winsorize(
+        df._jdf, float(lo), float(hi), key, value))
+
+
+def linear_trend(df, key="key", ts="ts_nanos", value="value"):
+    """Per-key OLS slope/intercept over 0-based series position."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.linearTrend(
+        df._jdf, key, ts, value))
+
+
+def roll_range(df, n, align="right", key="key", ts="ts_nanos", value="value"):
+    """Sliding min/max/range envelope of width n (full windows only)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.rollRange(
+        df._jdf, int(n), align, key, ts, value))

@@ -331,4 +331,29 @@ object JavaPipelineOps {
       codebookSize: Int, rerank: Int, idCol: String, vecCol: String): DataFrame =
     graft.sim.Similarity.pqTopK(corpus, queries, k, m, codebookSize, rerank,
       idCol, vecCol)
+
+  def winsorize(df: DataFrame, lo: Double, hi: Double,
+      key: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.winsorize(df, lo, hi, key, value)
+
+  def linearTrend(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.linearTrend(df, key, ts, value)
+
+  def rollRange(df: DataFrame, n: Int, alignment: String,
+      key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.rollRange(df, n, JavaTimeSeriesOps.alignOf(alignment),
+      key, ts, value)
+
+  def transitions(df: DataFrame, gapUs: Long,
+      key: String, ts: String, eventType: String): DataFrame =
+    graft.events.EventOps.transitions(df, gapUs, key, ts, eventType)
+
+  def unigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.text.TextFunctions.unigramLogProb(df, idCol, textCol)
+
+  def tfidfTopTerms(df: DataFrame, k: Int, idCol: String, textCol: String): DataFrame =
+    graft.text.TextFunctions.tfidfTopTerms(df, k, idCol, textCol)
+
+  def inertia(df: DataFrame, groupCol: String, vecCol: String, idCol: String): DataFrame =
+    graft.sim.Embeddings.inertia(df, groupCol, vecCol, idCol)
 }
