@@ -112,3 +112,10 @@ def theil_sen(df, key="key", ts="ts_nanos", value="value"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.stats.RobustRegression.theilSen(
         df._jdf, key, ts, value))
+
+
+def holt_smoothed(df, alpha, beta, key="key", ts="ts_nanos", value="value"):
+    """Fixed-parameter Holt linear smoothing: per-point level + trend."""
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).holtSmoothed(
+        df._jdf, float(alpha), float(beta), key, ts, value).toDF())

@@ -279,3 +279,10 @@ def roll_range(df, n, align="right", key="key", ts="ts_nanos", value="value"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.rollRange(
         df._jdf, int(n), align, key, ts, value))
+
+
+def seasonal_strength(df, period, key="key", ts="ts_nanos", value="value"):
+    """STL-era diagnostics: per-key seasonal and trend strength in [0, 1]."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.seasonalStrength(
+        df._jdf, int(period), key, ts, value))

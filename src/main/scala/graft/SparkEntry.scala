@@ -718,7 +718,54 @@ object SparkEntry {
       graft.text.TextFunctions.tfidfTopTerms(Tables.documents(s, dir), 3)),
     "em03_inertia" -> ((s, dir) =>
       // per-label mean squared distance to the label centroid
-      graft.sim.Embeddings.inertia(Tables.embeddings(s, dir)))
+      graft.sim.Embeddings.inertia(Tables.embeddings(s, dir))),
+    "m22_holt_smoothed" -> ((s, dir) =>
+      // fixed-parameter Holt linear smoothing: recurrence arithmetic mirrors
+      // the recursive-CTE oracle term-for-term, compared unrounded
+      graft.models.ModelOps.holtSmoothed(obs(s, dir), alpha = 0.5, beta = 0.3,
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key").cast("long").as("user_id"), col("ts").as("ts_us"),
+          col("level"), col("trend"))),
+    "ts37_seasonal_strength" -> ((s, dir) =>
+      // STL-era seasonal/trend strength diagnostics per series, period 7
+      TS.seasonalStrength(obs(s, dir), 7, key = "user_id", ts = "ts_us",
+        value = "value")
+        .select(col("user_id"), col("n_obs"),
+          round(col("seasonal_strength"), 6).as("seasonal_strength"),
+          round(col("trend_strength"), 6).as("trend_strength"))),
+    "ev05_session_stats" -> ((s, dir) =>
+      // corpus-level session-shape distribution: exact percentiles over the
+      // ev01 session summaries (one extra global aggregate)
+      graft.events.EventOps.sessions(Tables.events(s, dir), gapUs = 14400000000L)
+        .agg(count(lit(1)).as("n_sessions"),
+          percentile(col("duration_us"), lit(0.5)).as("p50_duration_us"),
+          percentile(col("duration_us"), lit(0.9)).as("p90_duration_us"),
+          percentile(col("n_events"), lit(0.5)).as("p50_events"),
+          round(avg(col("sum_value")), 6).as("avg_session_value"))),
+    "q05_nation_pairs" -> ((s, dir) => {
+      // TPC-H Q7-style two-sided dimension join: revenue by (supplier
+      // nation, customer nation); small dims broadcast, fact joins un-hinted
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val n1 = n.select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = n.select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(su), li("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n1), su("s_nationkey") === col("s_nk"))
+        .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+    }),
+    "tx15_zipf" -> ((s, dir) =>
+      // corpus-health check: Zipf slope of the vocabulary rank-frequency law
+      graft.text.TextFunctions.zipfFit(Tables.documents(s, dir))
+        .select(col("n_vocab"), round(col("zipf_slope"), 6).as("zipf_slope"),
+          round(col("zipf_intercept"), 6).as("zipf_intercept")))
   )
 
   /** DuckDB string literal composed to be byte-pure ASCII: any char outside
@@ -1533,6 +1580,82 @@ object SparkEntry {
          c AS (SELECT label, pos, avg(v) AS cv FROM p GROUP BY 1, 2)
          SELECT label, count(DISTINCT vec_id) AS n_vectors,
            round(sum((v - cv) * (v - cv)) / count(DISTINCT vec_id), 6) AS inertia
-         FROM p JOIN c USING (label, pos) GROUP BY label"""
+         FROM p JOIN c USING (label, pos) GROUP BY label""",
+    // the level/trend recursion repeats the level expression inside the
+    // trend term exactly as the Scala kernel orders it — bit-exact unrounded
+    "m22_holt_smoothed" ->
+      """WITH RECURSIVE s AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS rn
+           FROM events
+         ), r AS (
+           SELECT user_id, ts_us, rn, value AS level, 0.0::DOUBLE AS trend
+           FROM s WHERE rn = 1
+           UNION ALL
+           SELECT s.user_id, s.ts_us, s.rn,
+             0.5::DOUBLE * s.value + (1 - 0.5::DOUBLE) * (r.level + r.trend),
+             0.3::DOUBLE * ((0.5::DOUBLE * s.value
+                 + (1 - 0.5::DOUBLE) * (r.level + r.trend)) - r.level)
+               + (1 - 0.3::DOUBLE) * r.trend
+           FROM s JOIN r ON s.user_id = r.user_id AND s.rn = r.rn + 1
+         )
+         SELECT user_id, ts_us, level, trend FROM r""",
+    "ts37_seasonal_strength" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+         t AS (SELECT user_id, ts_us, value,
+             CASE WHEN count(value) OVER wf = 7 THEN avg(value) OVER wf END AS trend,
+             (row_number() OVER w - 1) % 7 AS phase
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us),
+             wf AS (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         d AS (SELECT user_id, ts_us, phase, trend, value - trend AS detr FROM t),
+         s AS (SELECT user_id, ts_us, trend, detr,
+             avg(detr) OVER (PARTITION BY user_id, phase) AS seasonal
+           FROM d)
+         SELECT user_id, count(*) AS n_obs,
+           round(greatest(0.0, 1.0 - var_samp(detr - seasonal)
+             / var_samp(seasonal + (detr - seasonal))), 6) AS seasonal_strength,
+           round(greatest(0.0, 1.0 - var_samp(detr - seasonal)
+             / var_samp(trend + (detr - seasonal))), 6) AS trend_strength
+         FROM s WHERE trend IS NOT NULL GROUP BY user_id""",
+    "ev05_session_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+         flag AS (SELECT user_id, ts_us, value,
+             CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                  WHEN ts_us - lag(ts_us) OVER w > 14400000000 THEN 1 ELSE 0 END AS f
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         sess AS (SELECT user_id, ts_us, value,
+             sum(f) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+           FROM flag),
+         agg AS (SELECT user_id, session_no,
+             max(ts_us) - min(ts_us) AS duration_us,
+             count(*) AS n_events, sum(value) AS sum_value
+           FROM sess GROUP BY user_id, session_no)
+         SELECT count(*) AS n_sessions,
+           quantile_cont(duration_us, 0.5) AS p50_duration_us,
+           quantile_cont(duration_us, 0.9) AS p90_duration_us,
+           quantile_cont(n_events, 0.5) AS p50_events,
+           round(avg(sum_value), 6) AS avg_session_value
+         FROM agg""",
+    "q05_nation_pairs" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN supplier ON l_suppkey = s_suppkey
+         JOIN nation sn ON s_nationkey = sn.n_nationkey
+         JOIN nation cn ON c_nationkey = cn.n_nationkey
+         GROUP BY 1, 2""",
+    "tx15_zipf" ->
+      """WITH v AS (SELECT tok, count(*) AS n FROM (
+             SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           GROUP BY tok),
+         r AS (SELECT n, row_number() OVER (ORDER BY n DESC, tok) AS rnk FROM v)
+         SELECT count(*) AS n_vocab,
+           round(regr_slope(ln(n::DOUBLE), ln(rnk::DOUBLE)), 6) AS zipf_slope,
+           round(regr_intercept(ln(n::DOUBLE), ln(rnk::DOUBLE)), 6) AS zipf_intercept
+         FROM r"""
   )
 }

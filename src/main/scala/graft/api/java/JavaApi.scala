@@ -180,6 +180,10 @@ object JavaModelOps {
   def ljungBox(df: DataFrame, lags: Int,
       key: String, ts: String, value: String): DataFrame =
     ModelOps.ljungBoxAll(df, lags, key, ts, value).toDF()
+
+  def holtSmoothed(df: DataFrame, alpha: Double, beta: Double,
+      key: String, ts: String, value: String): DataFrame =
+    ModelOps.holtSmoothed(df, alpha, beta, key, ts, value).toDF()
 }
 
 /** Java facade over dedup / similarity / text analysis. */
@@ -356,4 +360,8 @@ object JavaPipelineOps {
 
   def inertia(df: DataFrame, groupCol: String, vecCol: String, idCol: String): DataFrame =
     graft.sim.Embeddings.inertia(df, groupCol, vecCol, idCol)
+
+  def seasonalStrength(df: DataFrame, period: Int,
+      key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.seasonalStrength(df, period, key, ts, value)
 }

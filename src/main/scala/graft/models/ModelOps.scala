@@ -17,6 +17,7 @@ case class HoltWintersFit(key: String, period: Int, alpha: Double, beta: Double,
 case class ForecastPoint(key: String, step: Int, ts: Long, value: Double)
 case class TestResult(key: String, statistic: Double, pValue: Double)
 case class SmoothedPoint(key: String, ts: Long, smoothed: Double)
+case class HoltPoint(key: String, ts: Long, level: Double, trend: Double)
 case class DwResult(key: String, dw: Double)
 
 /**
@@ -201,6 +202,37 @@ object ModelOps {
     groupedWithTs(df, key, ts, value).flatMap { case (k, tss, vals) =>
       val sm = EWMAModel(alpha).addTimeDependentEffects(vals)
       tss.indices.map(i => SmoothedPoint(k, tss(i), sm(i)))
+    }
+  }
+
+  /**
+   * Fixed-parameter Holt linear (double exponential) smoothing of every
+   * series: level l_t = α·x_t + (1−α)(l_{t−1} + b_{t−1}), trend
+   * b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}, initialized l_1 = x_1, b_1 = 0.
+   * The trend-aware sibling of [[ewmaSmoothed]]; the recurrence arithmetic
+   * mirrors the recursive-CTE oracle term-for-term, so the output is
+   * engine-bit-exact unrounded. Sequential per series (inherently — each
+   * state depends on the previous), embarrassingly parallel per key.
+   */
+  def holtSmoothed(df: DataFrame, alpha: Double, beta: Double,
+      key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): Dataset[HoltPoint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    groupedWithTs(df, key, ts, value).flatMap { case (k, tss, vals) =>
+      val out = new Array[HoltPoint](vals.length)
+      var l = vals(0)
+      var b = 0.0
+      out(0) = HoltPoint(k, tss(0), l, b)
+      var i = 1
+      while (i < vals.length) {
+        val lNew = alpha * vals(i) + (1 - alpha) * (l + b)
+        b = beta * (lNew - l) + (1 - beta) * b
+        l = lNew
+        out(i) = HoltPoint(k, tss(i), l, b)
+        i += 1
+      }
+      out.toSeq
     }
   }
 

@@ -229,12 +229,23 @@ object Similarity {
     val dim = trainDf.select(size(col("nv"))).first().getInt(0)
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val sub = dim / m
-    val codebooks: Array[Array[Array[Double]]] = (0 until m).map { b =>
-      val feats = trainDf
-        .select(array_to_vector(slice(col("nv"), b * sub + 1, sub)).as("features"))
-      new KMeans().setK(codebookSize).setSeed(seed + b).setMaxIter(10)
-        .fit(feats).clusterCenters.map(_.toArray)
-    }.toArray
+    // the m sub-quantizer fits are independent and each is a chain of tiny
+    // jobs (10 Lloyd rounds over the cached sample) — run them CONCURRENTLY
+    // so wall-clock is one fit's scheduler latency, not m of them. Each fit
+    // is seeded and reads the same cached sample, so results are identical
+    // to the sequential order (the frozen sf0.01 golden does not move).
+    val codebooks: Array[Array[Array[Double]]] = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val fits = (0 until m).map { b => Future {
+        val feats = trainDf
+          .select(array_to_vector(slice(col("nv"), b * sub + 1, sub)).as("features"))
+        new KMeans().setK(codebookSize).setSeed(seed + b).setMaxIter(10)
+          .fit(feats).clusterCenters.map(_.toArray)
+      }}
+      Await.result(Future.sequence(fits), Duration.Inf).toArray
+    }
     trainDf.unpersist()
     val bc = spark.sparkContext.broadcast(codebooks)
     val mLocal = m; val subLocal = sub; val cbLocal = codebookSize

@@ -300,6 +300,31 @@ object TextFunctions {
         col("tfidf"))
   }
 
+  /**
+   * Zipf-law fit of the corpus vocabulary: OLS slope/intercept of
+   * ln(frequency) against ln(rank) (rank 1 = most frequent, ties broken by
+   * token). Natural text gives a slope near −1; a far-off slope flags
+   * synthetic or degenerate corpora — a one-number corpus-health check.
+   *
+   * Scale note: the ranking window is global but runs over the VOCABULARY
+   * (distinct tokens — orders of magnitude smaller than the corpus and
+   * bounded in practice), after a partial-aggregated count shuffle; the
+   * corpus itself is never globally sorted.
+   */
+  def zipfFit(df: DataFrame, text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = df.select(explode(tokens(col(text))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("n"))
+    vocab
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+      .agg(count(lit(1)).as("n_vocab"),
+        regr_slope(log(col("n").cast("double")), log(col("rnk").cast("double")))
+          .as("zipf_slope"),
+        regr_intercept(log(col("n").cast("double")), log(col("rnk").cast("double")))
+          .as("zipf_intercept"))
+  }
+
   /** Canonical fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text — near-dup resilient to formatting noise. */
   def canonicalFingerprint(text: Column): Column =

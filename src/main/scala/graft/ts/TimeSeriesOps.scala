@@ -217,6 +217,26 @@ object TimeSeriesOps {
   }
 
   /**
+   * Seasonal and trend strength per key (the STL-era diagnostics): over the
+   * instants where the decomposition's trend exists,
+   * `seasonal_strength = max(0, 1 − var(resid) / var(seasonal + resid))` and
+   * `trend_strength = max(0, 1 − var(resid) / var(trend + resid))` — 0 means
+   * the component explains nothing, near 1 means it dominates. One extra
+   * aggregation over [[seasonalDecompose]]'s output, reusing its key
+   * partitioning.
+   */
+  def seasonalStrength(df: DataFrame, period: Int, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame =
+    seasonalDecompose(df, period, key, ts, value)
+      .filter(col("trend").isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_obs"),
+        greatest(lit(0.0), lit(1.0) - try_divide(var_samp(col("resid")),
+          var_samp(col("seasonal") + col("resid")))).as("seasonal_strength"),
+        greatest(lit(0.0), lit(1.0) - try_divide(var_samp(col("resid")),
+          var_samp(col("trend") + col("resid")))).as("trend_strength"))
+
+  /**
    * Standardized CUSUM for mean-shift changepoint detection: the running
    * sum of (x - series mean) scaled by (series sd * sqrt(n)). A series with
    * a single mean shift has |cusum| peaking AT the shift; `cusumChangepoint`

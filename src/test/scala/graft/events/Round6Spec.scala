@@ -111,6 +111,42 @@ class Round6Spec extends AnyFunSuite with Matchers with SparkTestSession {
     out((3L, 1L))._1 shouldBe "b"
   }
 
+  test("holtSmoothed tracks a perfect linear ramp exactly after warm-up") {
+    val s = spark
+    import s.implicits._
+    // x_t = 2t: hand-unrolled recurrence with alpha=0.5, beta=0.3
+    val df = (0 to 4).map(i => (1L, i.toLong, 2.0 * i))
+      .toDF("key", "ts_nanos", "value")
+    val rows = graft.models.ModelOps.holtSmoothed(df, 0.5, 0.3)
+      .collect().sortBy(_.ts)
+    rows(0).level shouldBe 0.0
+    rows(0).trend shouldBe 0.0
+    // t=1: l = .5*2 + .5*(0+0) = 1;  b = .3*(1-0) + .7*0 = .3
+    rows(1).level shouldBe 1.0 +- 1e-12
+    rows(1).trend shouldBe 0.3 +- 1e-12
+    // t=2: l = .5*4 + .5*(1+.3) = 2.65;  b = .3*1.65 + .7*.3 = .705
+    rows(2).level shouldBe 2.65 +- 1e-12
+    rows(2).trend shouldBe 0.705 +- 1e-12
+    // trend converges toward the true slope 2
+    rows(4).trend should be > rows(1).trend
+  }
+
+  test("seasonalStrength is high for a pure seasonal pattern, low for noise-free trend") {
+    val s = spark
+    import s.implicits._
+    // key 1: strict period-3 pattern (no trend) repeated 6 times
+    // key 2: pure linear ramp (no seasonality)
+    val seasonal = (0 until 18).map(i => (1L, i.toLong, Seq(5.0, 1.0, 3.0)(i % 3)))
+    val ramp = (0 until 18).map(i => (2L, i.toLong, i.toDouble))
+    val df = (seasonal ++ ramp).toDF("key", "ts_nanos", "value")
+    val out = TimeSeriesOps.seasonalStrength(df, 3).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("seasonal_strength"),
+        r.getAs[Double]("trend_strength"))).toMap
+    out(1L)._1 should be > 0.95 // seasonal component dominates
+    out(2L)._2 should be > 0.95 // trend component dominates
+    out(2L)._1 should be < 0.5  // a ramp has (almost) no period-3 signal
+  }
+
   test("inertia is the mean squared distance to the group centroid") {
     val s = spark
     import s.implicits._
