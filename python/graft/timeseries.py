@@ -277,8 +277,8 @@ def linear_trend(df, key="key", ts="ts_nanos", value="value"):
 def roll_range(df, n, align="right", key="key", ts="ts_nanos", value="value"):
     """Sliding min/max/range envelope of width n (full windows only)."""
     spark, jvm = ctx(df)
-    return lift(spark, jvm.graft.api.java.JavaPipelineOps.rollRange(
-        df._jdf, int(n), align, key, ts, value))
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.rollRange(
+        df._jdf, int(n), roll_align(jvm, align), key, ts, value))
 
 
 def seasonal_strength(df, period, key="key", ts="ts_nanos", value="value"):

@@ -1614,9 +1614,11 @@ object SparkEntry {
            FROM d)
          SELECT user_id, count(*) AS n_obs,
            round(greatest(0.0, 1.0 - var_samp(detr - seasonal)
-             / var_samp(seasonal + (detr - seasonal))), 6) AS seasonal_strength,
+             / nullif(var_samp(seasonal + (detr - seasonal)), 0)), 6)
+             AS seasonal_strength,
            round(greatest(0.0, 1.0 - var_samp(detr - seasonal)
-             / var_samp(trend + (detr - seasonal))), 6) AS trend_strength
+             / nullif(var_samp(trend + (detr - seasonal)), 0)), 6)
+             AS trend_strength
          FROM s WHERE trend IS NOT NULL GROUP BY user_id""",
     "ev05_session_stats" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),

@@ -235,16 +235,19 @@ object Similarity {
     // is seeded and reads the same cached sample, so results are identical
     // to the sequential order (the frozen sf0.01 golden does not move).
     val codebooks: Array[Array[Array[Double]]] = {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
+      import scala.concurrent.{Await, Future, blocking}
+      import scala.concurrent.duration._
       import scala.concurrent.ExecutionContext.Implicits.global
-      val fits = (0 until m).map { b => Future {
+      val fits = (0 until m).map { b => Future { blocking {
         val feats = trainDf
           .select(array_to_vector(slice(col("nv"), b * sub + 1, sub)).as("features"))
         new KMeans().setK(codebookSize).setSeed(seed + b).setMaxIter(10)
           .fit(feats).clusterCenters.map(_.toArray)
-      }}
-      Await.result(Future.sequence(fits), Duration.Inf).toArray
+      }}}
+      // blocking{} lets the global pool grow past its CPU-count cap so the m
+      // Spark-job-blocked fits can't starve it; the finite deadline turns a
+      // hung job into a loud error instead of a forever-stuck driver thread
+      Await.result(Future.sequence(fits), 30.minutes).toArray
     }
     trainDf.unpersist()
     val bc = spark.sparkContext.broadcast(codebooks)
