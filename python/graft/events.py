@@ -36,3 +36,18 @@ def transitions(df, gap_us, key="user_id", ts="ts_us",
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.events.EventOps.transitions(
         df._jdf, int(gap_us), key, ts, event_type))
+
+
+def inter_event_stats(df, key="user_id", ts="ts_us",
+                      event_type="event_type"):
+    """Idle-gap distribution per event type (gap goes to the later event)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.events.EventOps.interEventStats(
+        df._jdf, key, ts, event_type))
+
+
+def bursts(df, window_us, key="user_id", ts="ts_us"):
+    """Peak event count in any trailing window_us time window per key."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.events.EventOps.bursts(
+        df._jdf, int(window_us), key, ts))

@@ -58,3 +58,10 @@ def inertia(df, group_col="label", vec_col="embedding", id_col="vec_id"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.sim.Embeddings.inertia(
         df._jdf, group_col, vec_col, id_col))
+
+
+def centroid_similarity(df, group_col="label", vec_col="embedding"):
+    """Pairwise cosine similarity between group centroids (upper triangle)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.sim.Embeddings.centroidSimilarity(
+        df._jdf, group_col, vec_col))

@@ -146,3 +146,27 @@ def tfidf_top_terms(df, k, id_col="doc_id", text="text"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.text.TextFunctions.tfidfTopTerms(
         df._jdf, int(k), id_col, text))
+
+
+def shingle_commonality(df, k=3, id_col="doc_id", text="text"):
+    """Per-doc fraction of distinct k-shingles shared with another doc."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.shingleCommonality(
+        df._jdf, int(k), id_col, text))
+
+
+def top_k_ngrams(df, n, k, id_col="doc_id", text="text"):
+    """Top-k word n-grams with doc frequency (boilerplate detector)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.topKNgrams(
+        df._jdf, int(n), int(k), id_col, text))
+
+
+def quality_tier_sample(df, hi_threshold=0.85, mid_threshold=0.78,
+                        hi_rate=1.0, mid_rate=0.25, low_rate=0.0625,
+                        id_col="doc_id", text="text"):
+    """Quality-tiered deterministic content-hash sampling."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.qualityTierSample(
+        df._jdf, float(hi_threshold), float(mid_threshold), float(hi_rate),
+        float(mid_rate), float(low_rate), id_col, text))

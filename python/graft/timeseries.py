@@ -286,3 +286,44 @@ def seasonal_strength(df, period, key="key", ts="ts_nanos", value="value"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.ts.TimeSeriesOps.seasonalStrength(
         df._jdf, int(period), key, ts, value))
+
+
+def max_drawdown(df, key="key", ts="ts_nanos", value="value"):
+    """Per-key max peak-to-trough decline + earliest trough instant."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.maxDrawdown(
+        df._jdf, key, ts, value))
+
+
+def gap_stats(df, key="key", ts="ts_nanos"):
+    """Per-key sampling-gap diagnostics: n/max/sum/median of ts deltas."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.gapStats(df._jdf, key, ts))
+
+
+def value_entropy(df, bins=10, key="key", value="value"):
+    """Per-key Shannon entropy (nats) over equal-width value bins."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.valueEntropy(
+        df._jdf, int(bins), key, value))
+
+
+def mean_crossings(df, key="key", ts="ts_nanos", value="value"):
+    """Per-key mean-crossing count, above-mean count, longest above run."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.meanCrossings(
+        df._jdf, key, ts, value))
+
+
+def mad_stats(df, key="key", value="value"):
+    """Per-key exact median + median absolute deviation (robust scale)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.madStats(df._jdf, key, value))
+
+
+def linear_trend_quantized(df, grid_scale=1e6, key="key", ts="ts_nanos",
+                           value="value"):
+    """Engine-exact OLS trend: integer sums on a 1/grid_scale value grid."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.linearTrendQuantized(
+        df._jdf, float(grid_scale), key, ts, value))

@@ -669,9 +669,12 @@ object SparkEntry {
       // cohort retention grid: first-active day x day offset -> active users
       graft.events.EventOps.retention(Tables.events(s, dir))),
     "m21_theilsen" -> ((s, dir) =>
-      // robust Theil-Sen slope/intercept per user series
+      // robust Theil-Sen slope/intercept per user series. 1e-9 grid
+      // quantization makes the medians integer-exact (engines' interpolation
+      // formulas differ in the last ulp on raw doubles, which at sf0.1
+      // reliably lands a few of 1500 rows on any rounding boundary)
       graft.stats.RobustRegression.theilSen(obs(s, dir),
-        key = "user_id", ts = "ts_us", value = "value")
+        key = "user_id", ts = "ts_us", value = "value", gridScale = Some(1e9))
         .select(col("user_id"), col("n"), round(col("slope"), 6).as("slope"),
           round(col("intercept"), 6).as("intercept"))),
     "tx11_gopher_filter" -> ((s, dir) =>
@@ -691,13 +694,19 @@ object SparkEntry {
     // envelope, session transition matrix, unigram-LM scoring, TF-IDF
     // keywords, per-cluster inertia ----------------
     "ts34_winsorize" -> ((s, dir) =>
-      // per-key percentile clipping; ts26 proved the exact percentile is
-      // engine-bit-identical, so the clipped values are compared unrounded
+      // per-key percentile clipping. The percentile INDEX math matched
+      // bit-for-bit at sf0.01 (ts26), but at sf0.1 one series' interpolated
+      // p95 differed in the last ulp — so the clipped values are rounded to
+      // 6 decimals on both sides (untouched values round identically)
       TS.winsorize(obs(s, dir), 0.05, 0.95, key = "user_id", value = "value")
-        .select(col("user_id"), col("ts_us"), col("value_winsorized"))),
+        .select(col("user_id"), col("ts_us"),
+          round(col("value_winsorized"), 6).as("value_winsorized"))),
     "ts35_trend" -> ((s, dir) =>
-      // per-key OLS trend over series position (native regr_slope/intercept)
-      TS.linearTrend(obs(s, dir), key = "user_id", ts = "ts_us", value = "value")
+      // per-key OLS trend over series position. The checked variant solves
+      // the normal equations from exact integer sums on a 1e-6 value grid —
+      // bit-identical across engines, unlike the streaming regr_* moments
+      TS.linearTrendQuantized(obs(s, dir), gridScale = 1e6,
+        key = "user_id", ts = "ts_us", value = "value")
         .select(col("user_id"), col("n_obs"), round(col("slope"), 6).as("slope"),
           round(col("intercept"), 6).as("intercept"))),
     "ts36_rollrange" -> ((s, dir) =>
@@ -758,14 +767,86 @@ object SparkEntry {
         .join(broadcast(n1), su("s_nationkey") === col("s_nk"))
         .join(broadcast(n2), c("c_nationkey") === col("c_nk"))
         .groupBy("supp_nation", "cust_nation")
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        // revenue summed on the integer cent grid: per-item products are
+        // deterministic but their SUM order is not, and at sf0.001 one group
+        // landed exactly on a round(...,2) boundary. Integer-valued double
+        // partials are exact in any order — engine-identical at every SF
+        .agg(round(sum(round(
+          col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)) / 100, 2)
           .as("revenue"), count(lit(1)).as("n_items"))
     }),
     "tx15_zipf" -> ((s, dir) =>
       // corpus-health check: Zipf slope of the vocabulary rank-frequency law
       graft.text.TextFunctions.zipfFit(Tables.documents(s, dir))
         .select(col("n_vocab"), round(col("zipf_slope"), 6).as("zipf_slope"),
-          round(col("zipf_intercept"), 6).as("zipf_intercept")))
+          round(col("zipf_intercept"), 6).as("zipf_intercept"))),
+
+    // ---------------- round-6 additions: drawdown / gap / entropy /
+    // crossing diagnostics, shingle commonality, n-gram boilerplate,
+    // quality-tier sampling, centroid separation, inter-event gaps, Q3 ----
+    "ts38_drawdown" -> ((s, dir) =>
+      // per-series max peak-to-trough decline + earliest trough instant;
+      // max/subtraction are exact, so compared unrounded
+      TS.maxDrawdown(obs(s, dir), key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("max_drawdown"),
+          col("trough_ts").as("trough_ts_us"))),
+    "ts39_gaps" -> ((s, dir) =>
+      // sampling-gap diagnostics per series (micros); exact ints + the
+      // interpolated median percentile ts26 proved engine-bit-identical
+      TS.gapStats(obs(s, dir), key = "user_id", ts = "ts_us")),
+    "ts40_entropy" -> ((s, dir) =>
+      // 10-bin Shannon entropy of each series' value distribution
+      TS.valueEntropy(obs(s, dir), bins = 10, key = "user_id", value = "value")),
+    "ts41_crossings" -> ((s, dir) =>
+      // mean-crossing count, above-mean count, longest above-mean run
+      TS.meanCrossings(obs(s, dir), key = "user_id", ts = "ts_us", value = "value")),
+    "dd10_shingle_commonality" -> ((s, dir) =>
+      // per-doc fraction of distinct 3-shingles shared with any other doc:
+      // a continuous near-duplication risk score; int-ratio, unrounded
+      graft.text.TextFunctions.shingleCommonality(Tables.documents(s, dir), k = 3)),
+    "tx16_top_ngrams" -> ((s, dir) =>
+      // top-20 5-grams with doc frequency — boilerplate phrase detector
+      graft.text.TextFunctions.topKNgrams(Tables.documents(s, dir), n = 5, k = 20)),
+    "smp02_quality_tiers" -> ((s, dir) =>
+      // quality-tiered deterministic sampling: high keeps all, mid 1/4,
+      // low 1/16, via the same content-hash bound as smp01
+      graft.text.TextFunctions.qualityTierSample(Tables.documents(s, dir))),
+    "em04_centroid_cosine" -> ((s, dir) =>
+      // pairwise cosine similarity between label centroids (upper triangle)
+      graft.sim.Embeddings.centroidSimilarity(Tables.embeddings(s, dir))
+        .select(col("g1"), col("g2"), col("cosine"))),
+    "ev06_interevent" -> ((s, dir) =>
+      // idle-time-before-event-type distribution (gap attributed to the
+      // later event's type); exact ints + interpolated median
+      graft.events.EventOps.interEventStats(Tables.events(s, dir))),
+    "ts42_mad" -> ((s, dir) =>
+      // robust location/dispersion: exact median + MAD per series; p50
+      // interpolation (fraction 0.5) is binary-exact, compared unrounded
+      TS.madStats(obs(s, dir), key = "user_id", value = "value")),
+    "ev07_bursts" -> ((s, dir) =>
+      // peak events in any trailing 1h window per user (RANGE time frame)
+      graft.events.EventOps.bursts(Tables.events(s, dir), windowUs = 3600000000L)),
+    "q06_ship_priority" -> ((s, dir) => {
+      // TPC-H Q3 shape: unshipped-order revenue ranking. Fact joins are
+      // un-hinted (orders/lineitem both large at scale; AQE decides), the
+      // ranking is a TakeOrderedAndProject over rounded revenue with an
+      // orderkey tie-break — deterministic across engines
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .filter(col("c_mktsegment") === "BUILDING" &&
+          col("o_orderdate") < lit("1998-06-01") &&
+          col("l_shipdate") > lit("1998-06-01"))
+        .groupBy(col("l_orderkey"),
+          // o_orderdate is TIMESTAMP_NTZ; session TZ is UTC so the cast is identity
+          unix_micros(col("o_orderdate").cast("timestamp")).as("orderdate_us"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    })
   )
 
   /** DuckDB string literal composed to be byte-pure ASCII: any char outside
@@ -1463,12 +1544,14 @@ object SparkEntry {
              CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) - 1
                AS DOUBLE) AS i
            FROM events),
-         pairs AS (SELECT a.user_id AS user_id, (b.v - a.v) / (b.i - a.i) AS s
+         pairs AS (SELECT a.user_id AS user_id,
+             round((b.v - a.v) / (b.i - a.i) * 1e9, 0) AS s
            FROM idx a JOIN idx b ON a.user_id = b.user_id AND a.i < b.i),
-         sl AS (SELECT user_id, quantile_cont(s, 0.5) AS slope
+         sl AS (SELECT user_id, quantile_cont(s, 0.5) / 1e9 AS slope
            FROM pairs GROUP BY user_id)
          SELECT idx.user_id, count(*) AS n, round(sl.slope, 6) AS slope,
-           round(quantile_cont(idx.v - sl.slope * idx.i, 0.5), 6) AS intercept
+           round(quantile_cont(round((idx.v - sl.slope * idx.i) * 1e9, 0), 0.5) / 1e9, 6)
+             AS intercept
          FROM idx JOIN sl USING (user_id) GROUP BY idx.user_id, sl.slope""",
     "tx11_gopher_filter" ->
       s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
@@ -1511,17 +1594,28 @@ object SparkEntry {
              quantile_cont(value, 0.95) AS hi
            FROM e GROUP BY user_id)
          SELECT user_id, ts_us,
-           least(greatest(value, lo), hi) AS value_winsorized
+           round(least(greatest(value, lo), hi), 6) AS value_winsorized
          FROM e JOIN q USING (user_id)""",
+    // normal equations from exact integer sums on the 1e-6 value grid: every
+    // intermediate is integer-exact, so slope/intercept are bit-identical to
+    // the Spark side (streaming regr_* moments differ in the last ulp)
     "ts35_trend" ->
-      """WITH idx AS (SELECT user_id, value,
+      """WITH idx AS (SELECT user_id, round(value * 1000000, 0) AS vq,
              CAST(row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) - 1
                AS DOUBLE) AS x
-           FROM events WHERE value IS NOT NULL)
-         SELECT user_id, count(*) AS n_obs,
-           round(regr_slope(value, x), 6) AS slope,
-           round(regr_intercept(value, x), 6) AS intercept
-         FROM idx GROUP BY user_id""",
+           FROM events WHERE value IS NOT NULL),
+         s AS (SELECT user_id, count(*) AS n,
+             sum(x::BIGINT) AS sx, sum((x*x)::BIGINT) AS sxx,
+             sum(vq::BIGINT) AS sy, sum((x*vq)::BIGINT) AS sxy
+           FROM idx GROUP BY user_id),
+         f AS (SELECT user_id, n,
+             (n*sxy - sx*sy)::DOUBLE / (n*sxx - sx*sx)::DOUBLE AS slope_u,
+             sx::DOUBLE AS sxd, sy::DOUBLE AS syd
+           FROM s)
+         SELECT user_id, n AS n_obs,
+           round(slope_u / 1000000, 6) AS slope,
+           round((syd - slope_u * sxd) / n::DOUBLE / 1000000, 6) AS intercept
+         FROM f""",
     "ts36_rollrange" ->
       """SELECT user_id, ts_us, mn AS roll_min, mx AS roll_max,
            mx - mn AS roll_range FROM (
@@ -1642,7 +1736,8 @@ object SparkEntry {
          FROM agg""",
     "q05_nation_pairs" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           round(sum(round(l_extendedprice * (1 - l_discount) * 100, 0)) / 100, 2)
+             AS revenue,
            count(*) AS n_items
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          JOIN customer ON o_custkey = c_custkey
@@ -1658,6 +1753,144 @@ object SparkEntry {
          SELECT count(*) AS n_vocab,
            round(regr_slope(ln(n::DOUBLE), ln(rnk::DOUBLE)), 6) AS zipf_slope,
            round(regr_intercept(ln(n::DOUBLE), ln(rnk::DOUBLE)), 6) AS zipf_intercept
-         FROM r"""
+         FROM r""",
+    "ts38_drawdown" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+         r AS (SELECT user_id, ts_us,
+             max(value) OVER (PARTITION BY user_id ORDER BY ts_us
+               ROWS UNBOUNDED PRECEDING) - value AS dd
+           FROM e),
+         m AS (SELECT user_id, ts_us, dd,
+             max(dd) OVER (PARTITION BY user_id) AS mx FROM r)
+         SELECT user_id, max(dd) AS max_drawdown, min(ts_us) AS trough_ts_us
+         FROM m WHERE dd = mx GROUP BY user_id""",
+    "ts39_gaps" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         g AS (SELECT user_id,
+             ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS gap
+           FROM e)
+         SELECT user_id, count(*) AS n_gaps, max(gap) AS max_gap,
+           sum(gap)::BIGINT AS sum_gap, quantile_cont(gap, 0.5) AS p50_gap
+         FROM g WHERE gap IS NOT NULL GROUP BY user_id""",
+    "ts40_entropy" ->
+      """WITH e AS (SELECT user_id, value FROM events WHERE value IS NOT NULL),
+         s AS (SELECT user_id, value,
+             min(value) OVER (PARTITION BY user_id) AS mn,
+             max(value) OVER (PARTITION BY user_id) AS mx
+           FROM e),
+         b AS (SELECT user_id,
+             least(9, coalesce(floor((value - mn) * 10 / nullif(mx - mn, 0)), 0))::INT AS bin
+           FROM s),
+         h AS (SELECT user_id, bin, count(*) AS c FROM b GROUP BY user_id, bin),
+         t AS (SELECT user_id, bin, c,
+             sum(c) OVER (PARTITION BY user_id) AS n FROM h)
+         SELECT user_id, sum(c)::BIGINT AS n_obs, count(*)::BIGINT AS n_bins_used,
+           round(-sum((c::DOUBLE / n) * ln(c::DOUBLE / n)), 6) AS entropy
+         FROM t GROUP BY user_id""",
+    "ts41_crossings" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+           WHERE value IS NOT NULL),
+         s AS (SELECT user_id, ts_us,
+             (value > avg(value) OVER (PARTITION BY user_id))::INT AS above
+           FROM e),
+         c AS (SELECT user_id, count(*) AS n_obs, sum(above)::BIGINT AS n_above,
+             sum(CASE WHEN prev IS NOT NULL AND above <> prev THEN 1 ELSE 0 END)::BIGINT
+               AS n_crossings
+           FROM (SELECT user_id, above,
+               lag(above) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+             FROM s) p GROUP BY user_id),
+         runs AS (SELECT user_id, count(*) AS len
+           FROM (SELECT user_id, above,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts_us)
+                 - row_number() OVER (PARTITION BY user_id, above ORDER BY ts_us)
+                 AS grp
+             FROM s) r WHERE above = 1 GROUP BY user_id, grp),
+         l AS (SELECT user_id, max(len) AS longest_above_run FROM runs GROUP BY user_id)
+         SELECT c.user_id, c.n_obs, c.n_above, c.n_crossings,
+           coalesce(l.longest_above_run, 0) AS longest_above_run
+         FROM c LEFT JOIN l ON c.user_id = l.user_id""",
+    "dd10_shingle_commonality" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(greatest(len(t)-2,0)),
+                  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh FROM toks),
+         df AS (SELECT sh, count(*) AS ndocs FROM sh GROUP BY sh)
+         SELECT doc_id, count(*) AS n_shingles,
+           sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,
+           sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*) AS shared_ratio
+         FROM sh JOIN df USING (sh) GROUP BY doc_id""",
+    "tx16_top_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 4),
+                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                      || ' ' || toks[i+4] || ' ' || toks[i+5])) AS ngram FROM w)
+         SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+         FROM g GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""",
+    "smp02_quality_tiers" ->
+      """WITH s AS (
+           SELECT doc_id, text,
+             len(string_split(text,' '))::DOUBLE AS n_tokens,
+             (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / length(text) AS punct_ratio,
+             len(list_filter(string_split(text,' '), x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','that','it','on','for','with','as','this')))::DOUBLE
+               / len(string_split(text,' ')) AS stopword_ratio
+           FROM documents),
+         q AS (SELECT doc_id, text,
+             round(greatest(0.0, least(1.0,
+               0.25 * least(n_tokens / 20.0, 1.0) +
+               0.25 * least(stopword_ratio * 5.0, 1.0) +
+               0.25 * (1.0 - least(punct_ratio * 4.0, 1.0)) +
+               0.25)), 6) AS quality_score
+           FROM s),
+         t AS (SELECT doc_id, text, quality_score,
+             CASE WHEN quality_score >= 0.85 THEN 'high'
+                  WHEN quality_score >= 0.78 THEN 'mid'
+                  ELSE 'low' END AS tier
+           FROM q)
+         SELECT doc_id, tier, quality_score FROM t
+         WHERE md5(text) < CASE tier WHEN 'high' THEN 'g'
+           WHEN 'mid' THEN '40000000' ELSE '10000000' END""",
+    "em04_centroid_cosine" ->
+      """WITH c AS (SELECT label AS g, i AS pos, avg(embedding[i+1]::DOUBLE) AS c
+           FROM embeddings, unnest(range(len(embedding))) AS t(i)
+           GROUP BY 1, 2)
+         SELECT a.g AS g1, b.g AS g2,
+           round(sum(a.c * b.c) / nullif(sqrt(sum(a.c * a.c)) * sqrt(sum(b.c * b.c)), 0), 6)
+             AS cosine
+         FROM c a JOIN c b ON a.pos = b.pos AND a.g < b.g
+         GROUP BY a.g, b.g""",
+    "ev06_interevent" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         g AS (SELECT event_type,
+             ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) AS gap
+           FROM e)
+         SELECT event_type, count(*) AS n_gaps, max(gap) AS max_gap_us,
+           sum(gap)::BIGINT AS sum_gap_us, quantile_cont(gap, 0.5) AS p50_gap_us
+         FROM g WHERE gap IS NOT NULL GROUP BY event_type""",
+    "ts42_mad" ->
+      """WITH e AS (SELECT user_id, value FROM events WHERE value IS NOT NULL),
+         m AS (SELECT user_id, value,
+             quantile_cont(value, 0.5) OVER (PARTITION BY user_id) AS med
+           FROM e)
+         SELECT user_id, count(*) AS n_obs, max(med) AS median,
+           quantile_cont(abs(value - med), 0.5) AS mad
+         FROM m GROUP BY user_id""",
+    "ev07_bursts" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         b AS (SELECT user_id, count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+             RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS burst
+           FROM e)
+         SELECT user_id, count(*) AS n_events, max(burst) AS max_burst
+         FROM b GROUP BY user_id""",
+    "q06_ship_priority" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS orderdate_us,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+           AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+         GROUP BY l_orderkey, orderdate_us
+         ORDER BY revenue DESC, l_orderkey LIMIT 10"""
   )
 }

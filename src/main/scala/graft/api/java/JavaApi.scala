@@ -364,4 +364,41 @@ object JavaPipelineOps {
   def seasonalStrength(df: DataFrame, period: Int,
       key: String, ts: String, value: String): DataFrame =
     graft.ts.TimeSeriesOps.seasonalStrength(df, period, key, ts, value)
+
+  def maxDrawdown(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.maxDrawdown(df, key, ts, value)
+
+  def gapStats(df: DataFrame, key: String, ts: String): DataFrame =
+    graft.ts.TimeSeriesOps.gapStats(df, key, ts)
+
+  def valueEntropy(df: DataFrame, bins: Int, key: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.valueEntropy(df, bins, key, value)
+
+  def meanCrossings(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.meanCrossings(df, key, ts, value)
+
+  def shingleCommonality(df: DataFrame, k: Int, idCol: String, textCol: String): DataFrame =
+    graft.text.TextFunctions.shingleCommonality(df, k, idCol, textCol)
+
+  def topKNgrams(df: DataFrame, n: Int, k: Int, idCol: String, textCol: String): DataFrame =
+    graft.text.TextFunctions.topKNgrams(df, n, k, idCol, textCol)
+
+  def qualityTierSample(df: DataFrame, hiThreshold: Double, midThreshold: Double,
+      hiRate: Double, midRate: Double, lowRate: Double,
+      idCol: String, textCol: String): DataFrame =
+    graft.text.TextFunctions.qualityTierSample(df, hiThreshold, midThreshold,
+      hiRate, midRate, lowRate, idCol, textCol)
+
+  def centroidSimilarity(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
+    graft.sim.Embeddings.centroidSimilarity(df, groupCol, vecCol)
+
+  def interEventStats(df: DataFrame, key: String, ts: String,
+      eventType: String): DataFrame =
+    graft.events.EventOps.interEventStats(df, key, ts, eventType)
+
+  def madStats(df: DataFrame, key: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.madStats(df, key, value)
+
+  def bursts(df: DataFrame, windowUs: Long, key: String, ts: String): DataFrame =
+    graft.events.EventOps.bursts(df, windowUs, key, ts)
 }

@@ -109,6 +109,44 @@ object EventOps {
   }
 
   /**
+   * Inter-event time distribution per event type: the gap between each
+   * event and the key's previous event (any type), attributed to the LATER
+   * event's type — "how long does a user idle before doing X". One lag
+   * window over the key shuffle, then a groupBy on the tiny type grid
+   * (partial aggregation collapses the second shuffle to |types| rows per
+   * task). Max/sum are integer-exact; the median is the exact interpolated
+   * percentile both engines compute identically.
+   */
+  def interEventStats(df: DataFrame, key: String = "user_id",
+      ts: String = "ts_us", eventType: String = "event_type"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+    df.withColumn("__gap", col(ts) - lag(col(ts), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(eventType))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("__gap")).as("max_gap_us"),
+        sum(col("__gap")).as("sum_gap_us"),
+        percentile(col("__gap"), lit(0.5)).as("p50_gap_us"))
+  }
+
+  /**
+   * Burst detection: each key's peak event count inside any trailing
+   * `windowUs` time window — the rate-limiting / attack-detection primitive.
+   * A RANGE-framed count over the event-time ordering (the frame bound is a
+   * time offset, not a row offset, so irregular sampling is handled
+   * exactly), then one keyed max; both reuse the same key shuffle.
+   * Integer-exact output.
+   */
+  def bursts(df: DataFrame, windowUs: Long, key: String = "user_id",
+      ts: String = "ts_us"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(ts))
+      .rangeBetween(-(windowUs - 1), Window.currentRow)
+    df.withColumn("__burst", count(lit(1)).over(w))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"), max(col("__burst")).as("max_burst"))
+  }
+
+  /**
    * Cohort retention: cohort = the key's first active day; one row per
    * (cohort day, day offset) with the distinct keys active that day.
    * Two keyed aggregates + one key join — the join's build side is one row

@@ -50,6 +50,30 @@ object Embeddings {
   }
 
   /**
+   * Pairwise cosine similarity between group centroids — the cluster
+   * separation matrix (which labels are about to merge, which IVF cells
+   * overlap). Unrounded centroids are aggregated per (group, pos), then the
+   * k x dim long form self-joins on pos and reduces per (group, group)
+   * pair; k² x dim join rows are tiny for any sane k, and both sides of
+   * the join come from one shared aggregation (ReuseExchange). Output is
+   * the upper triangle (g1 < g2) with similarity rounded to 6 decimals.
+   */
+  def centroidSimilarity(df: DataFrame, groupCol: String = "label",
+      vecCol: String = "embedding"): DataFrame = {
+    val cent = df.select(col(groupCol).as("g"),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("g"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("c"))
+    val a = cent.select(col("g").as("g1"), col("pos"), col("c").as("c1"))
+    val b = cent.select(col("g").as("g2"), col("pos"), col("c").as("c2"))
+    a.join(b, Seq("pos")).filter(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(round(try_divide(sum(col("c1") * col("c2")),
+        sqrt(sum(col("c1") * col("c1"))) * sqrt(sum(col("c2") * col("c2")))), 6)
+        .as("cosine"))
+  }
+
+  /**
    * Per-vector 8-bit scalar quantization: code_i = floor((v_i - min) *
    * (255 / (max - min))) with per-vector min/max, plus the round-trip
    * reconstruction MSE. Pure per-row expressions (no shuffle, no UDF). All

@@ -325,6 +325,78 @@ object TextFunctions {
           .as("zipf_intercept"))
   }
 
+  /**
+   * Corpus top-k word n-grams with document frequency — the generalized
+   * sibling of [[topKBigrams]] and the detector for boilerplate phrases
+   * (an n-gram whose doc frequency approaches its total count is a
+   * template fragment repeated across documents). Explode → one keyed
+   * aggregation carrying distinct (doc, ngram) pairs → global top-k via
+   * TakeOrderedAndProject (partial per-partition top-k, no global sort).
+   */
+  def topKNgrams(df: DataFrame, n: Int, k: Int, idCol: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(n >= 1, "n must be positive")
+    val w = tokens(col(text))
+    val grams = when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol), explode(grams).as("ngram"))
+      .groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("ngram"))
+      .agg(sum(col("__c")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_docs"))
+      .orderBy(col("n").desc, col("ngram")).limit(k)
+  }
+
+  /**
+   * Per-document shingle commonality: the fraction of a document's
+   * distinct k-shingles that also occur in at least one OTHER document —
+   * a continuous near-duplication risk score (1.0 = every phrase is shared
+   * somewhere; the soft sibling of [[graft.text.Dedup]]'s pair detectors).
+   * One explode of distinct shingles, one shingle-keyed doc-frequency
+   * aggregation, one equi-join back, one doc-keyed aggregation; the ratio
+   * is an int/int double division, bit-exact vs the oracle.
+   */
+  def shingleCommonality(df: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val sh = df.select(col(idCol),
+        explode(array_distinct(WordShingles.ofColumn(col(text), k))).as("sh"))
+    val docFreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
+    sh.join(docFreq, "sh")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_shared"),
+        try_divide(sum(when(col("__df") > 1, 1L).otherwise(0L)).cast("double"),
+          count(lit(1)).cast("double")).as("shared_ratio"))
+  }
+
+  /**
+   * Quality-tiered deterministic sampling: bucket every document by its
+   * [[qualityScore]], then keep each tier at its own rate via the same
+   * content-hash bound as [[stratifiedSample]] — the "train mostly on the
+   * good slice but keep a floor of everything" mixture step of a
+   * pre-training pipeline. Reproducible across engines/runs and
+   * partitioning; a narrow map+filter, no shuffle.
+   */
+  def qualityTierSample(df: DataFrame, hiThreshold: Double = 0.85,
+      midThreshold: Double = 0.78, hiRate: Double = 1.0, midRate: Double = 0.25,
+      lowRate: Double = 0.0625, idCol: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    def bound(r: Double): String =
+      if (r >= 1.0) "g" else f"${(math.max(r, 0.0) * 65536.0 * 65536.0).toLong}%08x"
+    val scored = qualityScore(df)
+    val tier = when(col("quality_score") >= hiThreshold, lit("high"))
+      .when(col("quality_score") >= midThreshold, lit("mid"))
+      .otherwise(lit("low"))
+    val thr = when(tier === "high", lit(bound(hiRate)))
+      .when(tier === "mid", lit(bound(midRate)))
+      .otherwise(lit(bound(lowRate)))
+    scored.withColumn("tier", tier)
+      .filter(md5(col(text).cast("binary")) < thr)
+      .select(col(idCol), col("tier"), col("quality_score"))
+  }
+
   /** Canonical fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text — near-dup resilient to formatting noise. */
   def canonicalFingerprint(text: Column): Column =

@@ -594,6 +594,46 @@ object TimeSeriesOps {
   }
 
   /**
+   * Engine-exact variant of [[linearTrend]]: the regressand is quantized to
+   * integers on the 1/gridScale grid and the normal equations are solved
+   * from exact DECIMAL(38,0) sums — every intermediate through the final
+   * numerator/denominator is integer-exact (independent of partial-
+   * aggregation order, unlike the streaming-moment `regr_*` aggregates,
+   * whose last-ulp noise differs between engines), so the slope/intercept
+   * are bit-identical on any engine computing the same closed form. The
+   * estimate differs from [[linearTrend]] by O(1/gridScale). Bounds: with
+   * |value|·gridScale ≤ V and series length n, the largest product is
+   * n²·V·n ≈ n³·V — DECIMAL(38) holds series up to ~10^9 points at V=10^8.
+   */
+  def linearTrendQuantized(df: DataFrame, gridScale: Double = 1e6,
+      key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    val w = wKey(key, ts)
+    val dec = "decimal(38,0)"
+    val sums = df.filter(col(value).isNotNull)
+      .withColumn("__x", (row_number().over(w) - 1).cast("double"))
+      .withColumn("__vq", round(col(value) * gridScale, 0))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("__x").cast(dec)).as("__sx"),
+        sum((col("__x") * col("__x")).cast(dec)).as("__sxx"),
+        sum(col("__vq").cast(dec)).as("__sy"),
+        sum((col("__x") * col("__vq")).cast(dec)).as("__sxy"))
+    val n = col("n_obs").cast(dec)
+    // numerator/denominator are exact integers; ONE double division each,
+    // then the grid un-scale — deterministic on identical inputs
+    val slopeU = try_divide((n * col("__sxy") - col("__sx") * col("__sy")).cast("double"),
+      (n * col("__sxx") - col("__sx") * col("__sx")).cast("double"))
+    sums
+      .withColumn("__slope_u", slopeU)
+      .withColumn("slope", col("__slope_u") / gridScale)
+      .withColumn("intercept",
+        (col("__sy").cast("double") - col("__slope_u") * col("__sx").cast("double"))
+          / col("n_obs").cast("double") / gridScale)
+      .select(col(key), col("n_obs"), col("slope"), col("intercept"))
+  }
+
+  /**
    * Sliding min/max/range of width n (full windows only, like the other
    * rolling ops): the envelope primitive behind range-based volatility and
    * band charts. Three frame aggregates over one key shuffle; min and max
@@ -638,6 +678,119 @@ object TimeSeriesOps {
     }
     val aggs = lagsWanted.map(l => corr(col(value), col(s"__lag_$l")).as(s"acf_$l"))
     withLags.groupBy(col(key)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /**
+   * Per-key maximum drawdown: the largest peak-to-trough decline of each
+   * series (running peak via an ordered window, global max via the
+   * unordered key window — both share ONE hash shuffle on the key), plus
+   * the timestamp of the earliest trough attaining it. Subtraction and max
+   * are exact double ops, so the output is engine-bit-exact unrounded.
+   */
+  def maxDrawdown(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    val wRun = wKey(key, ts).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(key))
+    df.withColumn("__dd", max(col(value)).over(wRun) - col(value))
+      .withColumn("__mx", max(col("__dd")).over(wAll))
+      .filter(col("__dd") === col("__mx"))
+      .groupBy(col(key))
+      .agg(max(col("__dd")).as("max_drawdown"), min(col(ts)).as("trough_ts"))
+  }
+
+  /**
+   * Per-key sampling-gap diagnostics: count/max/sum of the deltas between
+   * consecutive observation timestamps plus the exact interpolated median
+   * gap. The data-quality probe run before choosing a resample width or an
+   * as-of tolerance; one window + one aggregate over a single key shuffle.
+   */
+  def gapStats(df: DataFrame, key: String = "key", ts: String = "ts_nanos"): DataFrame = {
+    val w = wKey(key, ts)
+    df.withColumn("__gap", col(ts) - lag(col(ts), 1).over(w))
+      .filter(col("__gap").isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_gaps"),
+        max(col("__gap")).as("max_gap"),
+        sum(col("__gap")).as("sum_gap"),
+        percentile(col("__gap"), lit(0.5)).as("p50_gap"))
+  }
+
+  /**
+   * Per-key Shannon entropy (nats) of the value distribution over `bins`
+   * equal-width bins between the series min and max — a distributional
+   * collapse detector (constant/degenerate series score 0). Bin edges come
+   * from unordered key windows, the histogram is one groupBy(key, bin),
+   * the entropy one groupBy(key): all three reuse the same key-hash
+   * partitioning, so Catalyst plans a single exchange.
+   */
+  def valueEntropy(df: DataFrame, bins: Int = 10, key: String = "key",
+      value: String = "value"): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    val wAll = Window.partitionBy(col(key))
+    df.filter(col(value).isNotNull)
+      .withColumn("__bin",
+        least(lit(bins - 1), coalesce(floor(try_divide(
+          (col(value) - min(col(value)).over(wAll)) * bins,
+          max(col(value)).over(wAll) - min(col(value)).over(wAll))), lit(0L)))
+          .cast("int"))
+      .groupBy(col(key), col("__bin")).agg(count(lit(1)).as("__c"))
+      .withColumn("__n", sum(col("__c")).over(Window.partitionBy(col(key))))
+      .groupBy(col(key))
+      .agg(sum(col("__c")).cast("long").as("n_obs"),
+        count(lit(1)).cast("long").as("n_bins_used"),
+        round(-sum((col("__c") / col("__n")) * log(col("__c") / col("__n"))), 6)
+          .as("entropy"))
+  }
+
+  /**
+   * Per-key mean-crossing statistics: how often the series crosses its own
+   * mean, how many observations sit above it, and the longest
+   * above-the-mean run (gaps-and-islands: run id = global row_number minus
+   * per-side row_number, both over the same key shuffle). A cheap
+   * oscillation-vs-drift diagnostic; all outputs are integer-exact.
+   */
+  def meanCrossings(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    val wAll = Window.partitionBy(col(key))
+    val w = wKey(key, ts)
+    val sided = df.filter(col(value).isNotNull)
+      .withColumn("__above", (col(value) > avg(col(value)).over(wAll)).cast("int"))
+    val crossings = sided
+      .withColumn("__prev", lag(col("__above"), 1).over(w))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("__above")).cast("long").as("n_above"),
+        sum(when(col("__prev").isNotNull && col("__above") =!= col("__prev"), 1L)
+          .otherwise(0L)).as("n_crossings"))
+    val longest = sided
+      .withColumn("__grp",
+        row_number().over(w) - row_number().over(
+          Window.partitionBy(col(key), col("__above")).orderBy(col(ts))))
+      .filter(col("__above") === 1)
+      .groupBy(col(key), col("__grp")).agg(count(lit(1)).as("__len"))
+      .groupBy(col(key)).agg(max(col("__len")).as("longest_above_run"))
+    // longest is one row per key — un-hinted join, AQE broadcasts iff it fits
+    crossings.join(longest, Seq(key), "left")
+      .withColumn("longest_above_run", coalesce(col("longest_above_run"), lit(0L)))
+  }
+
+  /**
+   * Per-key robust location/dispersion: the exact median and the median
+   * absolute deviation (MAD) — the outlier-resistant sibling of
+   * [[seriesStats]]' mean/stddev, and the scale estimate robust z-scoring
+   * uses (0.6745·(x−med)/mad). Median via one unordered key window, MAD via
+   * one keyed aggregation over the same partitioning — a single shuffle.
+   * Both quantiles are p50, whose interpolation fraction (0.5) is an exact
+   * binary value, so the medians are engine-bit-exact unrounded.
+   */
+  def madStats(df: DataFrame, key: String = "key", value: String = "value"): DataFrame = {
+    val w = Window.partitionBy(col(key))
+    df.filter(col(value).isNotNull)
+      .withColumn("__med", percentile(col(value), lit(0.5)).over(w))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_obs"),
+        max(col("__med")).as("median"), // constant per key
+        percentile(abs(col(value) - col("__med")), lit(0.5)).as("mad"))
   }
 
   // ---------------------------------------------------------------- alignment / rebase

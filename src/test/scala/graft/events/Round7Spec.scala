@@ -1,0 +1,209 @@
+package graft.events
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+import graft.sim.Embeddings
+import graft.text.TextFunctions
+import graft.ts.TimeSeriesOps
+
+/** Specs for the round-6 diagnostic operators: drawdown, gap stats, value
+  * entropy, mean crossings, shingle commonality, n-gram top-k, quality-tier
+  * sampling, centroid similarity, inter-event gaps. */
+class Round7Spec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  test("maxDrawdown finds the largest peak-to-trough drop and earliest trough") {
+    val s = spark
+    import s.implicits._
+    // series: 1, 3, 2, 5, 1, 4 -> peak 5 at t=4, trough 1 at t=5: dd 4
+    // key b: monotone rising -> dd 0, trough at the first instant
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 3.0), ("a", 3L, 2.0),
+      ("a", 4L, 5.0), ("a", 5L, 1.0), ("a", 6L, 4.0),
+      ("b", 1L, 1.0), ("b", 2L, 2.0))
+      .toDF("key", "ts_nanos", "value")
+    val out = TimeSeriesOps.maxDrawdown(df).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    out shouldBe Map("a" -> (4.0, 5L), "b" -> (0.0, 1L))
+  }
+
+  test("gapStats reports count, max, sum and exact median of ts deltas") {
+    val s = spark
+    import s.implicits._
+    // gaps for key a: 10, 30, 20 -> n=3, max=30, sum=60, p50=20
+    val df = Seq(("a", 0L), ("a", 10L), ("a", 40L), ("a", 60L), ("b", 5L))
+      .toDF("key", "ts_nanos")
+    val out = TimeSeriesOps.gapStats(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    out shouldBe Map("a" -> (3L, 30L, 60L, 20.0)) // b has one obs: no gaps
+  }
+
+  test("valueEntropy is 0 for constant series and ln(2) for a 50/50 split") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      ("const", 7.0), ("const", 7.0), ("const", 7.0),
+      ("split", 0.0), ("split", 0.0), ("split", 1.0), ("split", 1.0))
+      .toDF("key", "value")
+    val out = TimeSeriesOps.valueEntropy(df, bins = 10).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    out("const")._1 shouldBe 3L
+    out("const")._2 shouldBe 1L
+    out("const")._3 shouldBe (0.0 +- 1e-12)
+    out("split")._1 shouldBe 4L
+    out("split")._2 shouldBe 2L
+    out("split")._3 shouldBe (math.log(2.0) +- 1e-6)
+  }
+
+  test("meanCrossings counts sign flips around the mean and the longest run") {
+    val s = spark
+    import s.implicits._
+    // values 1,5,1,5,5 (mean 3.4): above = 0,1,0,1,1 -> 3 crossings,
+    // 3 above, longest above-run 2
+    val df = Seq(("a", 1L, 1.0), ("a", 2L, 5.0), ("a", 3L, 1.0),
+      ("a", 4L, 5.0), ("a", 5L, 5.0)).toDF("key", "ts_nanos", "value")
+    val r = TimeSeriesOps.meanCrossings(df).collect().head
+    (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) shouldBe
+      ((5L, 3L, 3L, 2L))
+  }
+
+  test("meanCrossings: all-below series has a zero longest run, not null") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1L, 2.0), ("a", 2L, 2.0)).toDF("key", "ts_nanos", "value")
+    val r = TimeSeriesOps.meanCrossings(df).collect().head
+    (r.getLong(2), r.getLong(4)) shouldBe ((0L, 0L)) // nothing strictly above the mean
+  }
+
+  test("shingleCommonality scores shared phrases, 0 for unique docs") {
+    val s = spark
+    import s.implicits._
+    // doc 1 and 2 share their one 3-shingle; doc 3 is disjoint
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val out = TextFunctions.shingleCommonality(df, k = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    out(1L) shouldBe ((1L, 1L, 1.0))
+    out(2L) shouldBe ((1L, 1L, 1.0))
+    out(3L) shouldBe ((2L, 0L, 0.0))
+  }
+
+  test("topKNgrams counts 5-grams with doc frequency, ordered by count") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "a b c d e f"),       // 5-grams: "a b c d e", "b c d e f"
+      (2L, "a b c d e"),         // "a b c d e"
+      (3L, "x y"))               // too short: none
+      .toDF("doc_id", "text")
+    val out = TextFunctions.topKNgrams(df, n = 5, k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out shouldBe Array(("a b c d e", 2L, 2L), ("b c d e f", 1L, 1L))
+  }
+
+  test("qualityTierSample keeps every high-tier doc and is deterministic") {
+    val s = spark
+    import s.implicits._
+    // long stopword-rich docs score high; terse punctuation soup scores low
+    val good = "the cat and the dog sat on the mat with a hat for the rat " +
+      "and a bat in the vat of this that it was on and for with as is are"
+    val docs = (1L to 40L).map { i =>
+      if (i % 2 == 0) (i, s"$good extra$i") else (i, s"@@@!!! ## x$i")
+    }.toDF("doc_id", "text")
+    val once = TextFunctions.qualityTierSample(docs).collect()
+    val twice = TextFunctions.qualityTierSample(docs.repartition(7)).collect()
+    once.map(_.getLong(0)).sorted shouldBe twice.map(_.getLong(0)).sorted
+    // a high-tier doc passes the 'g' bound unconditionally
+    val nHigh = TextFunctions.qualityScore(docs)
+      .filter(col("quality_score") >= 0.85).count()
+    nHigh should be > 0L
+    once.count(_.getString(1) == "high") shouldBe nHigh
+  }
+
+  test("centroidSimilarity: identical groups score 1, orthogonal score 0") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, Seq(1.0f, 0.0f), 0), (2L, Seq(1.0f, 0.0f), 1), // same direction
+      (3L, Seq(0.0f, 2.0f), 2))                           // orthogonal
+      .toDF("vec_id", "embedding", "label")
+    val out = Embeddings.centroidSimilarity(df).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    out((0, 1)) shouldBe 1.0
+    out((0, 2)) shouldBe 0.0
+    out((1, 2)) shouldBe 0.0
+  }
+
+  test("linearTrendQuantized matches linearTrend to the grid resolution") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 50).flatMap { i =>
+      Seq(("a", i.toLong, 2.5 * i + 7.25 + math.sin(i) * 3.0),
+        ("b", i.toLong, -0.75 * i + 100.0 + math.cos(i)))
+    }.toDF("key", "ts_nanos", "value")
+    val raw = TimeSeriesOps.linearTrend(df).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    val qd = TimeSeriesOps.linearTrendQuantized(df, 1e6).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3))).toMap
+    for (k <- Seq("a", "b")) {
+      qd(k)._1 shouldBe (raw(k)._1 +- 1e-4)
+      qd(k)._2 shouldBe (raw(k)._2 +- 1e-3)
+    }
+  }
+
+  test("theilSen grid quantization moves the estimate by at most the grid") {
+    val s = spark
+    import s.implicits._
+    val df = ((0 until 30).map(i => ("a", i.toLong, 3.0 * i + 1.0)) :+
+      (("a", 15L, 1000.0))).toDF("key", "ts_nanos", "value")
+    val raw = graft.stats.RobustRegression.theilSen(df).collect().head
+    val qd = graft.stats.RobustRegression
+      .theilSen(df, gridScale = Some(1e9)).collect().head
+    qd.getDouble(2) shouldBe (raw.getDouble(2) +- 1e-8)
+    qd.getDouble(3) shouldBe (raw.getDouble(3) +- 1e-8)
+  }
+
+  test("madStats computes the exact median and median absolute deviation") {
+    val s = spark
+    import s.implicits._
+    // values 1,2,3,10: median 2.5; |x-med| = 1.5,0.5,0.5,7.5 -> MAD 1.0
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 10.0))
+      .toDF("key", "value")
+    val r = TimeSeriesOps.madStats(df).collect().head
+    (r.getLong(1), r.getDouble(2), r.getDouble(3)) shouldBe ((4L, 2.5, 1.0))
+  }
+
+  test("bursts finds the peak event count in a trailing time window") {
+    val s = spark
+    import s.implicits._
+    // user 1: events at 0,10,20 then 3000 -> with a 100us window the first
+    // three cluster (burst 3), the last is alone
+    val df = Seq((1L, 0L), (1L, 10L), (1L, 20L), (1L, 3000L), (2L, 5L))
+      .toDF("user_id", "ts_us")
+    val out = EventOps.bursts(df, windowUs = 100L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out shouldBe Map(1L -> (4L, 3L), 2L -> (1L, 1L))
+  }
+
+  test("interEventStats attributes the idle gap to the later event's type") {
+    val s = spark
+    import s.implicits._
+    // user 1: a(0) b(10) a(40); user 2: b(0) b(5)
+    // gaps: type b gets {10, 5}, type a gets {30}
+    val df = Seq(
+      (1L, 0L, "a"), (1L, 10L, "b"), (1L, 40L, "a"),
+      (2L, 0L, "b"), (2L, 5L, "b"))
+      .toDF("user_id", "ts_us", "event_type")
+    val out = EventOps.interEventStats(df).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    out shouldBe Map("b" -> (2L, 10L, 15L, 7.5), "a" -> (1L, 30L, 30L, 30.0))
+  }
+}
