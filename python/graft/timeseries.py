@@ -327,3 +327,31 @@ def linear_trend_quantized(df, grid_scale=1e6, key="key", ts="ts_nanos",
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.ts.TimeSeriesOps.linearTrendQuantized(
         df._jdf, float(grid_scale), key, ts, value))
+
+
+def pacf(df, max_lag=3, key="key", ts="ts_nanos", value="value"):
+    """Per-key partial autocorrelation at lags 1..max_lag (Durbin-Levinson)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.pacf(
+        df._jdf, int(max_lag), key, ts, value))
+
+
+def cointegration_eg(df, key="key", ts="ts_nanos", y="y", x="x"):
+    """Engle-Granger cointegration stat of y vs x per key (residual DF t)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.cointegrationEG(
+        df._jdf, key, ts, y, x))
+
+
+def granger_f(df, key="key", ts="ts_nanos", y="y", x="x"):
+    """Single-lag Granger-causality F statistic of x -> y per key."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.grangerF(
+        df._jdf, key, ts, y, x))
+
+
+def roll_corr(df, n, align="right", key="key", ts="ts_nanos", x="x", y="y"):
+    """Rolling correlation of two co-sampled columns over an n-row window."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.rollCorr(
+        df._jdf, int(n), roll_align(jvm, align), key, ts, x, y))

@@ -15,6 +15,19 @@ object SparkEntry {
 
   private val dayUsTick = 86400000000L
 
+  /** Per-user daily mean joined with the cross-sectional daily mean
+    * ("market") — the co-sampled two-series frame behind ts29/m24/m25/ts43.
+    * The market side is one row per day; the join is un-hinted (AQE
+    * broadcasts it iff it fits, same reasoning as seriesBeta). */
+  private def dailyWithMarket(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), unix_micros(date_trunc("DAY",
+        timestamp_micros(col("ts_us")))).as("day_us"))
+      .agg(avg("value").as("value"))
+    val mkt = daily.groupBy(col("day_us")).agg(avg(col("value")).as("mkt"))
+    daily.join(mkt, Seq("day_us"))
+  }
+
   /** [lo, hi] day bounds (micros) from the RAW ts column: day truncation is
     * monotone, so trunc(min(ts)) == min(trunc(ts)) — the prelim bounds job
     * is a shuffle-free scalar column scan instead of re-running the whole
@@ -846,7 +859,37 @@ object SparkEntry {
           .as("revenue"), count(lit(1)).as("n_items"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
-    })
+    }),
+
+    // ---------------- round-6 cont.: PACF, cointegration, Granger
+    // causality, rolling correlation vs the market series ----------------
+    "m23_pacf" -> ((s, dir) =>
+      // partial autocorrelation at lags 1-3 (Durbin-Levinson on the sample
+      // ACF); the oracle unrolls the identical recursion in SQL
+      TS.pacf(obs(s, dir), 3, key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), round(col("pacf_1"), 6).as("pacf_1"),
+          round(col("pacf_2"), 6).as("pacf_2"),
+          round(col("pacf_3"), 6).as("pacf_3"))),
+    "m24_coint_eg" -> ((s, dir) =>
+      // Engle-Granger: is each user's daily series cointegrated with the
+      // cross-sectional daily mean ("market")? Residual DF t-ratio.
+      TS.cointegrationEG(dailyWithMarket(s, dir), key = "user_id",
+        ts = "day_us", y = "value", x = "mkt")
+        .select(col("user_id"), col("n_obs"),
+          round(col("eg_stat"), 6).as("eg_stat"))),
+    "m25_granger" -> ((s, dir) =>
+      // single-lag Granger F: does yesterday's market improve the AR(1)
+      // prediction of each user's daily mean?
+      TS.grangerF(dailyWithMarket(s, dir), key = "user_id",
+        ts = "day_us", y = "value", x = "mkt")
+        .select(col("user_id"), col("n_obs"),
+          round(col("granger_f"), 6).as("granger_f"))),
+    "ts43_rollcorr" -> ((s, dir) =>
+      // 7-day rolling correlation of each user's daily mean vs the market
+      TS.rollCorr(dailyWithMarket(s, dir), 7, RollAlign.Right,
+        key = "user_id", ts = "day_us", x = "value", y = "mkt")
+        .select(col("user_id"), col("day_us"),
+          round(col("roll_corr"), 6).as("roll_corr")))
   )
 
   /** DuckDB string literal composed to be byte-pure ASCII: any char outside
@@ -1891,6 +1934,102 @@ object SparkEntry {
            AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
            AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
          GROUP BY l_orderkey, orderdate_us
-         ORDER BY revenue DESC, l_orderkey LIMIT 10"""
+         ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "m23_pacf" ->
+      """WITH b AS (
+           SELECT user_id, value, epoch_us(ts) AS ts_us,
+             avg(value) OVER (PARTITION BY user_id) AS mu
+           FROM events
+         ), l AS (
+           SELECT user_id, value - mu AS e,
+             lag(value - mu, 1) OVER w AS e1,
+             lag(value - mu, 2) OVER w AS e2,
+             lag(value - mu, 3) OVER w AS e3
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+         ), a AS (
+           SELECT user_id, sum(e*e) AS c0, sum(e*e1) AS c1,
+             sum(e*e2) AS c2, sum(e*e3) AS c3
+           FROM l GROUP BY user_id
+         ), r AS (
+           SELECT user_id, c1/c0 AS r1, c2/c0 AS r2, c3/c0 AS r3 FROM a
+         ), p AS (
+           SELECT user_id, r1, r2, r3,
+             (r2 - r1*r1)/(1 - r1*r1) AS p2
+           FROM r
+         ), q AS (
+           SELECT user_id, r1, r2, r3, p2, r1 - p2*r1 AS phi21 FROM p
+         )
+         SELECT user_id, round(r1, 6) AS pacf_1, round(p2, 6) AS pacf_2,
+           round((r3 - phi21*r2 - p2*r1)/(1 - phi21*r1 - p2*r2), 6) AS pacf_3
+         FROM q""",
+    "m24_coint_eg" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             avg(value) AS y
+           FROM events GROUP BY 1, 2
+         ), market AS (SELECT day_us, avg(y) AS x FROM daily GROUP BY 1),
+         j AS (SELECT user_id, day_us, y, x FROM daily JOIN market USING (day_us)),
+         coef AS (
+           SELECT user_id, regr_slope(y, x) AS b, regr_intercept(y, x) AS a
+           FROM j GROUP BY user_id
+         ), e AS (
+           SELECT j.user_id, j.day_us, j.y - c.a - c.b * j.x AS e
+           FROM j JOIN coef c ON j.user_id = c.user_id
+         ), l AS (
+           SELECT user_id, e,
+             lag(e) OVER (PARTITION BY user_id ORDER BY day_us) AS e1
+           FROM e
+         ), d2 AS (SELECT user_id, e - e1 AS de, e1 FROM l WHERE e1 IS NOT NULL),
+         a AS (
+           SELECT user_id, count(*) AS n,
+             regr_slope(de, e1) AS phi, regr_r2(de, e1) AS r2,
+             regr_syy(de, e1) AS syy, regr_sxx(de, e1) AS sxx
+           FROM d2 GROUP BY user_id
+         )
+         SELECT user_id, n AS n_obs,
+           round(phi / sqrt(((1 - r2) * syy / (n - 2)) / sxx), 6) AS eg_stat
+         FROM a""",
+    "m25_granger" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             avg(value) AS y
+           FROM events GROUP BY 1, 2
+         ), market AS (SELECT day_us, avg(y) AS x FROM daily GROUP BY 1),
+         j AS (SELECT user_id, day_us, y, x FROM daily JOIN market USING (day_us)),
+         l AS (
+           SELECT user_id, y, lag(y) OVER w AS u, lag(x) OVER w AS v
+           FROM j WINDOW w AS (PARTITION BY user_id ORDER BY day_us)
+         ), d2 AS (
+           SELECT user_id, y, u, v FROM l
+           WHERE u IS NOT NULL AND v IS NOT NULL
+         ), a AS (
+           SELECT user_id, count(*) AS n,
+             covar_pop(u, y)*count(*) AS suy, covar_pop(v, y)*count(*) AS svy,
+             covar_pop(u, v)*count(*) AS suv, var_pop(u)*count(*) AS suu,
+             var_pop(v)*count(*) AS svv, var_pop(y)*count(*) AS syy
+           FROM d2 GROUP BY user_id
+         ), f AS (
+           SELECT user_id, n,
+             syy - ((suy*svv - svy*suv)/(suu*svv - suv*suv))*suy
+                 - ((svy*suu - suy*suv)/(suu*svv - suv*suv))*svy AS sse_u,
+             syy - suy*suy/suu AS sse_r
+           FROM a
+         )
+         SELECT user_id, n AS n_obs,
+           round((sse_r - sse_u)/(sse_u/(n - 3)), 6) AS granger_f
+         FROM f""",
+    "ts43_rollcorr" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             avg(value) AS v
+           FROM events GROUP BY 1, 2
+         ), market AS (SELECT day_us, avg(v) AS m FROM daily GROUP BY 1),
+         j AS (SELECT user_id, day_us, v, m FROM daily JOIN market USING (day_us)),
+         r AS (
+           SELECT user_id, day_us, corr(v, m) OVER w AS rc, count(*) OVER w AS cnt
+           FROM j WINDOW w AS (PARTITION BY user_id ORDER BY day_us
+                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         )
+         SELECT user_id, day_us, round(rc, 6) AS roll_corr FROM r WHERE cnt = 7"""
   )
 }

@@ -377,6 +377,22 @@ object JavaPipelineOps {
   def meanCrossings(df: DataFrame, key: String, ts: String, value: String): DataFrame =
     graft.ts.TimeSeriesOps.meanCrossings(df, key, ts, value)
 
+  def pacf(df: DataFrame, maxLag: Int, key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.pacf(df, maxLag, key, ts, value)
+
+  def cointegrationEG(df: DataFrame, key: String, ts: String,
+      y: String, x: String): DataFrame =
+    graft.ts.TimeSeriesOps.cointegrationEG(df, key, ts, y, x)
+
+  def grangerF(df: DataFrame, key: String, ts: String,
+      y: String, x: String): DataFrame =
+    graft.ts.TimeSeriesOps.grangerF(df, key, ts, y, x)
+
+  def rollCorr(df: DataFrame, n: Int, alignment: String,
+      key: String, ts: String, x: String, y: String): DataFrame =
+    graft.ts.TimeSeriesOps.rollCorr(df, n, JavaTimeSeriesOps.alignOf(alignment),
+      key, ts, x, y)
+
   def shingleCommonality(df: DataFrame, k: Int, idCol: String, textCol: String): DataFrame =
     graft.text.TextFunctions.shingleCommonality(df, k, idCol, textCol)
 

@@ -716,6 +716,145 @@ object TimeSeriesOps {
   }
 
   /**
+   * Per-key partial autocorrelation at lags 1..maxLag via the
+   * Durbin-Levinson recursion on the sample ACF (the statistic behind the
+   * reference's `pacfPlot`, which fits ARs of increasing order —
+   * EasyPlot.scala:82-96; Durbin-Levinson is the closed form of those
+   * successive fits). The autocovariances come from ONE key shuffle
+   * (lag windows + a single aggregate); the recursion is unrolled into
+   * column algebra on the per-key scalars, so the whole operator is one
+   * exchange + whole-stage codegen regardless of series count. `maxLag`
+   * is capped at 5 because the unrolled expression tree doubles per lag;
+   * deeper diagnostics belong in ModelOps.fitAr.
+   */
+  def pacf(df: DataFrame, maxLag: Int = 3, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 5, "pacf supports maxLag in [1, 5]")
+    val w = wKey(key, ts)
+    val wAll = Window.partitionBy(col(key))
+    val d0 = df.withColumn("__e", col(value) - avg(col(value)).over(wAll))
+    val withLags = (1 to maxLag).foldLeft(d0) { (d, l) =>
+      d.withColumn(s"__e_$l", lag(col("__e"), l).over(w))
+    }
+    val agg = withLags.groupBy(col(key)).agg(
+      sum(col("__e") * col("__e")).as("__c0"),
+      (1 to maxLag).map(l => sum(col("__e") * col(s"__e_$l")).as(s"__c$l")): _*)
+    // r_k = c_k / c_0; Durbin-Levinson unrolled over Column expressions:
+    //   phi_kk = (r_k - sum_j phi_{k-1,j} r_{k-j}) / (1 - sum_j phi_{k-1,j} r_j)
+    //   phi_kj = phi_{k-1,j} - phi_kk * phi_{k-1,k-j}
+    val r = (1 to maxLag).map(l => try_divide(col(s"__c$l"), col("__c0"))).toVector
+    var phiPrev = Vector.empty[Column] // phi_{k-1, 1..k-1}
+    var diag = Vector.empty[Column]
+    for (k <- 1 to maxLag) {
+      val num =
+        if (k == 1) r(0)
+        else r(k - 1) - phiPrev.zipWithIndex.map { case (p, j) => p * r(k - 2 - j) }.reduce(_ + _)
+      val den =
+        if (k == 1) lit(1.0)
+        else lit(1.0) - phiPrev.zipWithIndex.map { case (p, j) => p * r(j) }.reduce(_ + _)
+      val phikk = try_divide(num, den)
+      diag = diag :+ phikk
+      phiPrev = phiPrev.zipWithIndex.map { case (p, j) =>
+        p - phikk * phiPrev(k - 2 - j)
+      } :+ phikk
+    }
+    agg.select(col(key) +: diag.zipWithIndex.map { case (c, i) =>
+      c.as(s"pacf_${i + 1}")
+    }: _*)
+  }
+
+  /**
+   * Engle-Granger cointegration statistic of each key's series `y` against
+   * a shared regressor series `x` (same row grid — build it with a
+   * resample + join, e.g. against the cross-sectional mean as in
+   * [[seriesBeta]]). Step 1 (the cointegrating OLS y = a + b x) runs as
+   * window aggregates over the key partition — no extra shuffle; step 2 is
+   * the Dickey-Fuller t-ratio of the OLS residuals (with constant,
+   * maxLag 0), the same regr-aggregate algebra as the ADF statistic. One
+   * keyed shuffle end-to-end; compare against the Engle-Granger critical
+   * values (-3.34 at 5% for one regressor), NOT the plain DF table.
+   */
+  def cointegrationEG(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      y: String = "y", x: String = "x"): DataFrame = {
+    val wAll = Window.partitionBy(col(key))
+    val slope = try_divide(covar_pop(col(y), col(x)).over(wAll),
+      var_pop(col(x)).over(wAll))
+    val icept = avg(col(y)).over(wAll) - slope * avg(col(x)).over(wAll)
+    val w = wKey(key, ts)
+    val resid = df.filter(col(y).isNotNull && col(x).isNotNull)
+      .withColumn("__e", col(y) - icept - slope * col(x))
+      .withColumn("__e1", lag(col("__e"), 1).over(w))
+      .filter(col("__e1").isNotNull)
+      .withColumn("__de", col("__e") - col("__e1"))
+    val agg = resid.groupBy(col(key)).agg(
+      count(lit(1)).as("n_obs"),
+      try_divide(covar_pop(col("__de"), col("__e1")),
+        var_pop(col("__e1"))).as("__phi"),
+      corr(col("__de"), col("__e1")).as("__r"),
+      var_pop(col("__de")).as("__vyy"),
+      var_pop(col("__e1")).as("__vxx"))
+    agg.select(col(key), col("n_obs"),
+      try_divide(col("__phi"),
+        sqrt(try_divide(
+          try_divide((lit(1.0) - col("__r") * col("__r")) * col("__vyy") * col("n_obs"),
+            col("n_obs") - lit(2)),
+          col("__vxx") * col("n_obs")))).as("eg_stat"))
+  }
+
+  /**
+   * Single-lag Granger-causality F statistic per key: does x_{t-1} improve
+   * the AR(1) prediction of y_t? Restricted model y_t = c + b y_{t-1};
+   * unrestricted adds x_{t-1}. Both OLS fits reduce to centered second
+   * moments of (y_t, y_{t-1}, x_{t-1}) over the SAME sample (rows where
+   * both lags exist), solved in closed form (Cramer on the 2x2 normal
+   * equations) — one lag window + one aggregate, one keyed shuffle, no
+   * matrix code. F ~ F(1, n-3) under the no-causality null.
+   */
+  def grangerF(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      y: String = "y", x: String = "x"): DataFrame = {
+    val w = wKey(key, ts)
+    val d = df
+      .withColumn("__u", lag(col(y), 1).over(w))
+      .withColumn("__v", lag(col(x), 1).over(w))
+      .filter(col(y).isNotNull && col("__u").isNotNull && col("__v").isNotNull)
+    val n = count(lit(1))
+    val agg = d.groupBy(col(key)).agg(
+      n.as("n_obs"),
+      (covar_pop(col("__u"), col(y)) * n).as("__suy"),
+      (covar_pop(col("__v"), col(y)) * n).as("__svy"),
+      (covar_pop(col("__u"), col("__v")) * n).as("__suv"),
+      (var_pop(col("__u")) * n).as("__suu"),
+      (var_pop(col("__v")) * n).as("__svv"),
+      (var_pop(col(y)) * n).as("__syy"))
+    val det = col("__suu") * col("__svv") - col("__suv") * col("__suv")
+    val b1 = try_divide(col("__suy") * col("__svv") - col("__svy") * col("__suv"), det)
+    val b2 = try_divide(col("__svy") * col("__suu") - col("__suy") * col("__suv"), det)
+    val sseU = col("__syy") - b1 * col("__suy") - b2 * col("__svy")
+    val sseR = col("__syy") - try_divide(col("__suy") * col("__suy"), col("__suu"))
+    agg.select(col(key), col("n_obs"),
+      try_divide(sseR - sseU,
+        try_divide(sseU, col("n_obs") - lit(3))).as("granger_f"))
+  }
+
+  /**
+   * Rolling correlation of two co-sampled columns over an n-row window per
+   * key (the moving co-movement diagnostic pairing [[rollRange]]'s shape
+   * with [[seriesBeta]]'s statistic). Emits only full windows; pairs where
+   * either side is null are skipped by `corr` itself, exactly as in the
+   * global [[crossCorrelation]]. One window, zero extra shuffles.
+   */
+  def rollCorr(df: DataFrame, n: Int, align: RollAlign.Value = RollAlign.Right,
+      key: String = "key", ts: String = "ts_nanos",
+      x: String = "x", y: String = "y"): DataFrame = {
+    require(n >= 2, "rolling correlation needs window >= 2")
+    val f = rollFrame(wKey(key, ts), n, align)
+    df.withColumn("roll_corr", corr(col(x), col(y)).over(f))
+      .withColumn("__cnt", count(lit(1)).over(f))
+      .filter(col("__cnt") === n)
+      .drop("__cnt")
+  }
+
+  /**
    * Per-key Shannon entropy (nats) of the value distribution over `bins`
    * equal-width bins between the series min and max — a distributional
    * collapse detector (constant/degenerate series score 0). Bin edges come
