@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must NOT go through sbt's logger: the logger prefixes
+// every stdout line with "[info] ", which breaks machine parsing of
+// Bench/Verify's one-line JSON (every BENCH_r{1..5} artifact shows
+// "parsed": null). StdoutOutput passes the child's stdout/stderr through
+// verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
@@ -27,4 +33,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 120+ benched queries generate enough whole-stage-codegen classes to fill
+  // the default ~240m code cache; once it fills the JIT disables and late
+  // CPU-bound kernels run interpreted (m16 benched 28s in-suite vs 2.4s
+  // isolated). Reserve enough that the compiler never turns off.
+  "-XX:ReservedCodeCacheSize=512m",
 )

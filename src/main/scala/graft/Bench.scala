@@ -14,7 +14,13 @@ object Bench {
     Tables.events(spark, sfDir).count()
     // a crashed query must fail LOUDLY: its error is recorded per-query in
     // the JSON (never a silent time-to-crash masquerading as a fast pass)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // local iteration aid: SPARK_GRAFT_ONLY=m16,dd06 times just those ids
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
+      only.forall(ids => ids.exists(id => n == id || n.startsWith(id)))
+    }
+    val results = selected.map { case (name, fn) =>
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err: Option[String] =
