@@ -51,3 +51,17 @@ def bursts(df, window_us, key="user_id", ts="ts_us"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.events.EventOps.bursts(
         df._jdf, int(window_us), key, ts))
+
+
+def stickiness(df, key="user_id", ts="ts_us"):
+    """DAU/WAU engagement stickiness per 7-epoch-day window."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.events.EventOps.stickiness(df._jdf, key, ts))
+
+
+def top_paths(df, gap_us, n=3, k=20, key="user_id", ts="ts_us",
+              event_type="event_type", event_id="event_id"):
+    """Top-k first-n-event session paths (deterministic tie-break)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.events.EventOps.topPaths(
+        df._jdf, int(gap_us), int(n), int(k), key, ts, event_type, event_id))

@@ -119,3 +119,9 @@ def holt_smoothed(df, alpha, beta, key="key", ts="ts_nanos", value="value"):
     spark, jvm = ctx(df)
     return lift(spark, _m(jvm).holtSmoothed(
         df._jdf, float(alpha), float(beta), key, ts, value).toDF())
+
+
+def mann_kendall_all(df, key="key", ts="ts_nanos", value="value"):
+    """Mann-Kendall monotone-trend test per key: S, tau, Var(S), z."""
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).mannKendallAll(df._jdf, key, ts, value).toDF())

@@ -170,3 +170,18 @@ def quality_tier_sample(df, hi_threshold=0.85, mid_threshold=0.78,
     return lift(spark, jvm.graft.text.TextFunctions.qualityTierSample(
         df._jdf, float(hi_threshold), float(mid_threshold), float(hi_rate),
         float(mid_rate), float(low_rate), id_col, text))
+
+
+def dedup_chunks(df, chunk_tokens=20, text="text", id_col="doc_id"):
+    """C4-style chunk dedup: keep the first corpus-wide occurrence of each
+    chunk_tokens-token chunk; returns per-doc n_chunks/n_kept/kept_text."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.Dedup.dedupChunks(
+        df._jdf, int(chunk_tokens), text, id_col))
+
+
+def bigram_logprob(df, id_col="doc_id", text="text"):
+    """Corpus bigram-LM conditional perplexity proxy per document."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.bigramLogProb(
+        df._jdf, id_col, text))

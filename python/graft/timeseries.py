@@ -355,3 +355,17 @@ def roll_corr(df, n, align="right", key="key", ts="ts_nanos", x="x", y="y"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.ts.TimeSeriesOps.rollCorr(
         df._jdf, int(n), roll_align(jvm, align), key, ts, x, y))
+
+
+def half_life(df, key="key", ts="ts_nanos", value="value"):
+    """AR(1) phi + mean-reversion half-life (-ln2/ln(phi)) per key."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.halfLife(
+        df._jdf, key, ts, value))
+
+
+def spearman_corr(df, key="key", x="x", y="y"):
+    """Per-key Spearman rank correlation (mid-ranks for ties)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.spearmanCorr(
+        df._jdf, key, x, y))

@@ -889,7 +889,61 @@ object SparkEntry {
       TS.rollCorr(dailyWithMarket(s, dir), 7, RollAlign.Right,
         key = "user_id", ts = "day_us", x = "value", y = "mkt")
         .select(col("user_id"), col("day_us"),
-          round(col("roll_corr"), 6).as("roll_corr")))
+          round(col("roll_corr"), 6).as("roll_corr"))),
+
+    // ---------------- round-6 cont.: mean-reversion, rank statistics,
+    // engagement, C4 chunk dedup, bigram LM, as-of ----------------
+    "ts44_halflife" -> ((s, dir) =>
+      // AR(1) phi + mean-reversion half-life per user
+      TS.halfLife(obs(s, dir), key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("n_pairs"), round(col("phi"), 6).as("phi"),
+          round(col("half_life"), 6).as("half_life"))),
+    "ts45_spearman" -> ((s, dir) =>
+      // Spearman rank correlation of each user's daily mean vs the market
+      TS.spearmanCorr(dailyWithMarket(s, dir), key = "user_id",
+        x = "value", y = "mkt")
+        .select(col("user_id"), col("n_obs"),
+          round(col("spearman_rho"), 6).as("spearman_rho"))),
+    "ts46_asof" -> ((s, dir) => {
+      // as-of join of raw events to each user's daily-mean series (value of
+      // the most recent day bucket at or before the event) — the oracle is
+      // DuckDB's native ASOF JOIN, so the operator's full semantics are
+      // hash-checked, not just the differencing slice (ts21)
+      val daily = TS.resampleCalendar(obs(s, dir), "DAY", avg(_: Column),
+        key = "user_id", ts = "ts_us", value = "value", tickNanos = 1000L)
+        .select(col("user_id"), unix_micros(col("bucket_ts")).as("ts_us"),
+          col("value"))
+      TS.asofJoin(obs(s, dir).select("user_id", "ts_us", "value"), daily,
+        key = "user_id", ts = "ts_us", rightValue = "value")
+        .select(col("user_id"), col("ts_us"), col("value"),
+          round(col("asof_value"), 6).as("asof_value"))
+    }),
+    "m26_mann_kendall" -> ((s, dir) =>
+      // Mann-Kendall monotone-trend test per user: S and Var(S) are
+      // integer-exact, tau/z one deterministic division each
+      graft.models.ModelOps.mannKendallAll(obs(s, dir),
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key").cast("long").as("user_id"), col("s"),
+          col("nPairs").as("n_pairs"), round(col("tau"), 6).as("tau"),
+          col("varS").as("var_s"), round(col("z"), 6).as("z"))),
+    "ev08_stickiness" -> ((s, dir) =>
+      // DAU/WAU engagement stickiness per 7-epoch-day window
+      graft.events.EventOps.stickiness(Tables.events(s, dir))
+        .select(col("week_no"), col("wau"), col("n_active_days"),
+          round(col("avg_dau"), 6).as("avg_dau"),
+          round(col("stickiness"), 6).as("stickiness"))),
+    "ev09_top_paths" -> ((s, dir) =>
+      // 20 most common first-3-event session paths (4h session gap)
+      graft.events.EventOps.topPaths(Tables.events(s, dir),
+        gapUs = 14400000000L, n = 3, k = 20)),
+    "dd11_chunk_dedup" -> ((s, dir) =>
+      // C4-style corpus chunk dedup: 20-token chunks, keep first occurrence
+      graft.text.Dedup.dedupChunks(Tables.documents(s, dir), 20)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+          md5(col("kept_text").cast("binary")).as("kept_md5"))),
+    "tx17_bigram_logprob" -> ((s, dir) =>
+      // corpus bigram-LM conditional perplexity proxy per document
+      graft.text.TextFunctions.bigramLogProb(Tables.documents(s, dir)))
   )
 
   /** DuckDB string literal composed to be byte-pure ASCII: any char outside
@@ -2030,6 +2084,134 @@ object SparkEntry {
            FROM j WINDOW w AS (PARTITION BY user_id ORDER BY day_us
                                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          )
-         SELECT user_id, day_us, round(rc, 6) AS roll_corr FROM r WHERE cnt = 7"""
+         SELECT user_id, day_us, round(rc, 6) AS roll_corr FROM r WHERE cnt = 7""",
+    "ts44_halflife" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+                    WHERE value IS NOT NULL),
+         p AS (SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+           FROM e),
+         r AS (SELECT user_id, count(*) AS n_pairs,
+             regr_slope(value, prev) AS phi
+           FROM p WHERE prev IS NOT NULL GROUP BY user_id)
+         SELECT user_id, n_pairs, round(phi, 6) AS phi,
+           round(CASE WHEN phi > 0 AND phi < 1 THEN -ln(2)/ln(phi) END, 6)
+             AS half_life
+         FROM r""",
+    "ts45_spearman" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             avg(value) AS v
+           FROM events GROUP BY 1, 2
+         ), market AS (SELECT day_us, avg(v) AS m FROM daily GROUP BY 1),
+         j AS (SELECT user_id, v, m FROM daily JOIN market USING (day_us)),
+         r AS (SELECT user_id,
+             rank() OVER (PARTITION BY user_id ORDER BY v)
+               + (count(*) OVER (PARTITION BY user_id, v) - 1) / 2.0 AS rx,
+             rank() OVER (PARTITION BY user_id ORDER BY m)
+               + (count(*) OVER (PARTITION BY user_id, m) - 1) / 2.0 AS ry
+           FROM j)
+         SELECT user_id, count(*) AS n_obs, round(corr(rx, ry), 6)
+           AS spearman_rho
+         FROM r GROUP BY user_id""",
+    "ts46_asof" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+         daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS dts,
+             avg(value) AS dval
+           FROM events GROUP BY 1, 2)
+         SELECT e.user_id, e.ts_us, e.value, round(d.dval, 6) AS asof_value
+         FROM e ASOF LEFT JOIN daily d
+           ON e.user_id = d.user_id AND e.ts_us >= d.dts""",
+    "m26_mann_kendall" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+                    WHERE value IS NOT NULL),
+         pr AS (SELECT a.user_id,
+             CASE WHEN b.value > a.value THEN 1
+                  WHEN b.value < a.value THEN -1 ELSE 0 END AS sgn
+           FROM e a JOIN e b
+             ON a.user_id = b.user_id AND b.ts_us > a.ts_us),
+         s AS (SELECT user_id, sum(sgn)::BIGINT AS s, count(*)::BIGINT AS n_pairs
+           FROM pr GROUP BY user_id),
+         n AS (SELECT user_id, count(*)::BIGINT AS n FROM e GROUP BY user_id),
+         t AS (SELECT user_id,
+             coalesce(sum(CASE WHEN c > 1 THEN c*(c-1)*(2*c+5) ELSE 0 END), 0)
+               AS tie_term
+           FROM (SELECT user_id, value, count(*)::BIGINT AS c
+                 FROM e GROUP BY 1, 2) GROUP BY user_id),
+         v AS (SELECT n.user_id, s.s, s.n_pairs,
+             (n.n*(n.n-1)*(2*n.n+5) - t.tie_term) / 18.0 AS var_s
+           FROM n JOIN s USING (user_id) JOIN t USING (user_id))
+         SELECT user_id, s, n_pairs, round(s::DOUBLE / n_pairs, 6) AS tau, var_s,
+           round(CASE WHEN var_s <= 0 THEN 0.0
+                      WHEN s > 0 THEN (s - 1) / sqrt(var_s)
+                      WHEN s < 0 THEN (s + 1) / sqrt(var_s)
+                      ELSE 0.0 END, 6) AS z
+         FROM v""",
+    "ev08_stickiness" ->
+      """WITH a AS (SELECT DISTINCT user_id,
+             epoch_us(ts) // 86400000000 AS day
+           FROM events),
+         aw AS (SELECT user_id, day, day // 7 AS week FROM a),
+         d AS (SELECT week, day, count(DISTINCT user_id) AS dau
+           FROM aw GROUP BY 1, 2),
+         dd AS (SELECT week, count(*) AS n_active_days, avg(dau) AS avg_dau
+           FROM d GROUP BY week),
+         w AS (SELECT week, count(DISTINCT user_id) AS wau FROM aw GROUP BY week)
+         SELECT w.week AS week_no, w.wau, dd.n_active_days,
+           round(dd.avg_dau, 6) AS avg_dau,
+           round(dd.avg_dau / w.wau, 6) AS stickiness
+         FROM w JOIN dd USING (week)""",
+    "ev09_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         flag AS (SELECT user_id, event_id, event_type, ts_us,
+             CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+                  WHEN ts_us - lag(ts_us) OVER w > 14400000000 THEN 1 ELSE 0 END AS f
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         sess AS (SELECT user_id, event_id, event_type, ts_us,
+             sum(f) OVER (PARTITION BY user_id ORDER BY ts_us
+                          ROWS UNBOUNDED PRECEDING) AS session_no
+           FROM flag),
+         step AS (SELECT user_id, session_no, event_type,
+             row_number() OVER (PARTITION BY user_id, session_no
+                                ORDER BY ts_us, event_id) AS stp
+           FROM sess),
+         p AS (SELECT user_id, session_no,
+             string_agg(event_type, '>' ORDER BY stp) AS path
+           FROM step WHERE stp <= 3 GROUP BY 1, 2)
+         SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+         ORDER BY n_sessions DESC, path LIMIT 20""",
+    "dd11_chunk_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         ch AS (SELECT doc_id, i AS chunk_pos,
+             array_to_string(list_slice(toks, i*20 + 1, i*20 + 20), ' ') AS chunk
+           FROM t, UNNEST(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT)))
+             AS u(i)),
+         k AS (SELECT doc_id, chunk_pos, chunk,
+             row_number() OVER (PARTITION BY chunk
+                                ORDER BY doc_id, chunk_pos) AS rn
+           FROM ch)
+         SELECT doc_id, count(*) AS n_chunks,
+           sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' '
+             ORDER BY chunk_pos), '')) AS kept_md5
+         FROM k GROUP BY doc_id""",
+    "tx17_bigram_logprob" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+           FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+         c AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         v AS (SELECT bigram, sum(cnt) AS cb FROM c GROUP BY bigram),
+         pv AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(cb) AS cu
+           FROM v GROUP BY 1)
+         SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+           round(-sum(cnt * ln(cb::DOUBLE / cu)) / sum(cnt), 6)
+             AS avg_neg_logprob
+         FROM c JOIN v USING (bigram)
+           JOIN pv ON string_split(bigram, ' ')[1] = pv.w1
+         GROUP BY doc_id"""
   )
 }

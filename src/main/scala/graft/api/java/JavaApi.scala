@@ -417,4 +417,27 @@ object JavaPipelineOps {
 
   def bursts(df: DataFrame, windowUs: Long, key: String, ts: String): DataFrame =
     graft.events.EventOps.bursts(df, windowUs, key, ts)
+
+  def halfLife(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.halfLife(df, key, ts, value)
+
+  def spearmanCorr(df: DataFrame, key: String, x: String, y: String): DataFrame =
+    graft.ts.TimeSeriesOps.spearmanCorr(df, key, x, y)
+
+  def mannKendallAll(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    graft.models.ModelOps.mannKendallAll(df, key, ts, value).toDF()
+
+  def stickiness(df: DataFrame, key: String, ts: String): DataFrame =
+    graft.events.EventOps.stickiness(df, key, ts)
+
+  def topPaths(df: DataFrame, gapUs: Long, n: Int, k: Int, key: String,
+      ts: String, eventType: String, eventId: String): DataFrame =
+    graft.events.EventOps.topPaths(df, gapUs, n, k, key, ts, eventType, eventId)
+
+  def dedupChunks(df: DataFrame, chunkTokens: Int, textCol: String,
+      idCol: String): DataFrame =
+    graft.text.Dedup.dedupChunks(df, chunkTokens, textCol, idCol)
+
+  def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.text.TextFunctions.bigramLogProb(df, idCol, textCol)
 }

@@ -165,4 +165,57 @@ object EventOps {
         ((col("day_us") - col("cohort_day_us")) / dayUs).cast("long").as("day_offset"))
       .agg(countDistinct(col(key)).as("n_users"))
   }
+
+  /**
+   * Engagement stickiness per 7-day epoch window (days since the Unix
+   * epoch, floor-divided by 7 — no calendar-week-start ambiguity between
+   * engines): weekly active users, the mean of the seven daily-active
+   * counts, and their ratio (the DAU/WAU stickiness metric). One distinct
+   * on (key, day) — the only shuffle carrying per-user data — then per-day
+   * and per-week counts joined on the tiny week grid.
+   */
+  def stickiness(df: DataFrame, key: String = "user_id",
+      ts: String = "ts_us"): DataFrame = {
+    val dayUs = 86400000000L
+    val active = df
+      .select(col(key), floor(col(ts) / dayUs).cast("long").as("__day"))
+      .distinct()
+      .withColumn("__week", floor(col("__day") / 7).cast("long"))
+    val daily = active.groupBy(col("__week"), col("__day"))
+      .agg(countDistinct(col(key)).as("__dau"))
+      .groupBy(col("__week"))
+      .agg(count(lit(1)).as("n_active_days"), avg(col("__dau")).as("avg_dau"))
+    val weekly = active.groupBy(col("__week"))
+      .agg(countDistinct(col(key)).as("wau"))
+    weekly.join(daily, Seq("__week"))
+      .select(col("__week").as("week_no"), col("wau"), col("n_active_days"),
+        col("avg_dau"), (col("avg_dau") / col("wau")).as("stickiness"))
+  }
+
+  /**
+   * Top-k session paths: the first `n` event types of each session (time
+   * order, event-id tie-break for simultaneous events) joined with '>',
+   * counted across all sessions, ranked by frequency with the path string
+   * as the deterministic tie-break. The per-session prefix is a filtered
+   * window over the sessionize shuffle; the final ranking is a global
+   * orderBy+limit, which Catalyst executes as TakeOrderedAndProject —
+   * per-partition partial top-k, no full sort.
+   */
+  def topPaths(df: DataFrame, gapUs: Long, n: Int = 3, k: Int = 20,
+      key: String = "user_id", ts: String = "ts_us",
+      eventType: String = "event_type", eventId: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(key), col("session_no"))
+      .orderBy(col(ts), col(eventId))
+    sessionize(df, gapUs, key, ts)
+      .withColumn("__step", row_number().over(w))
+      .filter(col("__step") <= n)
+      .groupBy(col(key), col("session_no"))
+      .agg(array_join(transform(array_sort(collect_list(
+        struct(col("__step"), col(eventType).as("t")))), s => s("t")), ">")
+        .as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
 }

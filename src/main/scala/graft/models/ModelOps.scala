@@ -19,6 +19,8 @@ case class TestResult(key: String, statistic: Double, pValue: Double)
 case class SmoothedPoint(key: String, ts: Long, smoothed: Double)
 case class HoltPoint(key: String, ts: Long, level: Double, trend: Double)
 case class DwResult(key: String, dw: Double)
+case class MannKendallResult(key: String, s: Long, nPairs: Long, tau: Double,
+    varS: Double, z: Double)
 
 /**
  * DataFrame lift of the model kernels: every fit is embarrassingly parallel
@@ -267,6 +269,18 @@ object ModelOps {
           ForecastPoint(k, i + 1, tss.last + step * (i + 1), v)
         }
       } catch { case _: Throwable => Nil }
+    }
+  }
+
+  /** Mann-Kendall trend test of every series (monotone-trend detection
+    * without a linearity assumption — the robust sibling of linearTrend). */
+  def mannKendallAll(df: DataFrame, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): Dataset[MannKendallResult] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    grouped(df, key, ts, value).map { case (k, arr) =>
+      val (s, nPairs, tau, varS, z) = graft.stats.StatTests.mannKendall(arr)
+      MannKendallResult(k, s, nPairs, tau, varS, z)
     }
   }
 

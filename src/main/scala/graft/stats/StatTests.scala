@@ -225,6 +225,43 @@ object StatTests {
   }
 
   /**
+   * Mann-Kendall trend test over a time-ordered series: S = Σ_{i<j}
+   * sign(x_j − x_i) (integer-exact), Kendall's tau-a = S / (n(n−1)/2),
+   * tie-corrected Var(S) = [n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)] / 18 over the
+   * tie groups t, and the continuity-corrected normal statistic
+   * z = (S ∓ 1)/√Var(S). Runs as a per-series kernel — O(n²) pair loop,
+   * fine at the reference's one-series-per-task design point (n² ≈ 10⁶ for
+   * the "ten years of minutes" sizing is microseconds of work).
+   * Returns (S, nPairs, tau, varS, z).
+   */
+  def mannKendall(x: Array[Double]): (Long, Long, Double, Double, Double) = {
+    val n = x.length
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val d = x(j) - x(i)
+        if (d > 0) s += 1 else if (d < 0) s -= 1
+        j += 1
+      }
+      i += 1
+    }
+    val nPairs = n.toLong * (n - 1) / 2
+    val tau = if (nPairs > 0) s.toDouble / nPairs else Double.NaN
+    // tie groups: counts of equal values
+    val ties = x.groupBy(identity).valuesIterator.map(_.length.toLong).filter(_ > 1)
+    val tieTerm = ties.map(t => t * (t - 1) * (2 * t + 5)).sum
+    val varS = (n.toLong * (n - 1) * (2L * n + 5) - tieTerm) / 18.0
+    val z =
+      if (varS <= 0) 0.0
+      else if (s > 0) (s - 1) / math.sqrt(varS)
+      else if (s < 0) (s + 1) / math.sqrt(varS)
+      else 0.0
+    (s, nPairs, tau, varS, z)
+  }
+
+  /**
    * Breusch-Pagan heteroskedasticity test: regression of squared residuals
    * of y ~ X back on X; statistic = n·R².
    */

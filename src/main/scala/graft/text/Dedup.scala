@@ -231,6 +231,44 @@ object Dedup {
           .as("dup_span_ratio"))
   }
 
+  /**
+   * C4-style chunk-level dedup: split each document into consecutive
+   * `chunkTokens`-token chunks, keep only the globally FIRST occurrence of
+   * every distinct chunk text (first = smallest (doc_id, chunk position)),
+   * and reassemble each document from its surviving chunks in order. This is
+   * the "drop any line that appears elsewhere in the corpus" cleaning pass
+   * of C4/RefinedWeb, with fixed token windows standing in for lines.
+   *
+   * Shape: chunking is a narrow map (sequence + slice expressions, no
+   * explode-then-regroup); the keeper election is ONE min-aggregate keyed by
+   * chunk text; the verdict join is keyed by the same chunk text, so both
+   * sides arrive co-partitioned; the rebuild groupBy reuses the doc-id
+   * shuffle. Nothing is driver-side and no stage holds more than a
+   * document's chunks per row — scales like exact dedup.
+   */
+  def dedupChunks(df: DataFrame, chunkTokens: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    val ck = spread(df)
+      .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), ceil(size(col("__toks")).cast("double") / chunkTokens)
+          .cast("int") - 1),
+        i => array_join(slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
+        .as(Seq("chunk_pos", "chunk")))
+    val keeper = ck.groupBy(col("chunk"))
+      .agg(min(struct(col(idCol), col("chunk_pos"))).as("__keep"))
+    ck.join(keeper, Seq("chunk"))
+      .withColumn("__kept",
+        col("__keep")(idCol) === col(idCol) && col("__keep")("chunk_pos") === col("chunk_pos"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("__kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(when(col("__kept"),
+          struct(col("chunk_pos"), col("chunk"))))), s => s("chunk")), " ")
+          .as("kept_text"))
+  }
+
   // ---------------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens (per-doc local UDF). */

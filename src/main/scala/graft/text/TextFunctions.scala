@@ -272,6 +272,43 @@ object TextFunctions {
   }
 
   /**
+   * Corpus bigram-LM scoring: per document, the average negative conditional
+   * log-probability −Σ c·ln P(w₂|w₁) / Σ c under the corpus MLE
+   * P(w₂|w₁) = c(w₁w₂) / Σ_w c(w₁w) — the order-2 upgrade of
+   * [[unigramLogProb]] (CCNet scores with an LM; a corpus-trained bigram
+   * model is its engine-checkable stand-in). Every probability is a ratio
+   * of two corpus counts, so no smoothing is needed: a bigram always has a
+   * nonzero count in the model trained on the same corpus.
+   *
+   * Shape: bigram extraction is a narrow map (zip of the token array with
+   * its own tail); then two keyed aggregations (per-doc and corpus bigram
+   * counts — the corpus count partial-aggregates map-side), a
+   * predecessor-count aggregation over the corpus bigrams (tiny), and two
+   * keyed joins. No driver-side state.
+   */
+  def bigramLogProb(df: DataFrame, idCol: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val big = df
+      .select(col(idCol), tokens(col(text)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy(col(idCol), col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+    val corpus = big.groupBy(col("bigram")).agg(sum("cnt").as("cb"))
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+    val prev = corpus.groupBy(col("__w1")).agg(sum("cb").as("cu"))
+    big.join(corpus, "bigram")
+      .join(prev, "__w1")
+      .groupBy(col(idCol))
+      .agg(sum("cnt").as("n_bigrams"),
+        round(-sum(col("cnt") * log(col("cb").cast("double") / col("cu"))) /
+          sum("cnt"), 6).as("avg_neg_logprob"))
+  }
+
+  /**
    * Per-document top-k TF-IDF terms (tfidf = tf · ln(N / df), ranked on the
    * 6-decimal-rounded score with the token string as tie-break): the
    * keyword-extraction primitive. Ranking on the ROUNDED score is what makes

@@ -1108,6 +1108,50 @@ object TimeSeriesOps {
         .as("series"))
   }
 
+  /**
+   * Per-key AR(1) mean-reversion diagnostics: phi is the OLS slope of x_t on
+   * x_{t-1} (with intercept, native `regr_slope` — partial-aggregated
+   * map-side), and the half-life of a shock is -ln(2)/ln(phi), defined only
+   * for 0 < phi < 1 (otherwise null: a non-mean-reverting or oscillating
+   * series has no half-life). One lag window + one keyed aggregate over a
+   * single key shuffle.
+   */
+  def halfLife(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    val w = wKey(key, ts)
+    val phi = col("phi")
+    df.filter(col(value).isNotNull)
+      .withColumn("__prev", lag(col(value), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_pairs"),
+        regr_slope(col(value), col("__prev")).as("phi"))
+      .withColumn("half_life",
+        when(phi > 0 && phi < 1, -log(lit(2.0)) / log(phi)))
+  }
+
+  /**
+   * Per-key Spearman rank correlation of two co-sampled columns: Pearson
+   * `corr` over mid-ranks (rank + (ties-1)/2 — the average-rank convention,
+   * so tied values contribute identically on any engine). Two unordered tie
+   * windows + one ordered rank window + one aggregate, all partitioned by
+   * the key: Catalyst plans a single exchange. The rank windows sort within
+   * each key — fine at the reference's design point (a series fits in one
+   * task), the same bound every other per-key window op here carries.
+   */
+  def spearmanCorr(df: DataFrame, key: String = "key",
+      x: String = "x", y: String = "y"): DataFrame = {
+    def midRank(c: String) =
+      rank().over(Window.partitionBy(col(key)).orderBy(col(c))) +
+        (count(lit(1)).over(Window.partitionBy(col(key), col(c))) - 1) / 2.0
+    df.filter(col(x).isNotNull && col(y).isNotNull)
+      .withColumn("__rx", midRank(x))
+      .withColumn("__ry", midRank(y))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_obs"),
+        corr(col("__rx"), col("__ry")).as("spearman_rho"))
+  }
+
   /** series layout -> observations (reference toObservationsDataFrame:
     * TimeSeriesRDD.scala:419-443 — NaN observations dropped, like the reference). */
   def fromSeries(df: DataFrame, index: DateTimeIndex, key: String = "key",

@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the round-6 batch: AR(1) half-life, Spearman rank correlation,
+  * Mann-Kendall trend test, engagement stickiness, top session paths,
+  * C4-style chunk dedup, bigram-LM scoring. */
+class Round9Spec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private def seriesDf(vals: Seq[Double], key: String = "a") = {
+    val s = spark
+    import s.implicits._
+    vals.zipWithIndex.map { case (v, t) => (key, t.toLong, v) }
+      .toDF("key", "ts_nanos", "value")
+  }
+
+  test("halfLife recovers phi of a seeded AR(1) and nulls out non-reverting series") {
+    val rnd = new scala.util.Random(7)
+    val n = 5000
+    val xs = Array.ofDim[Double](n)
+    for (t <- 1 until n) xs(t) = 0.8 * xs(t - 1) + rnd.nextGaussian()
+    val row = graft.ts.TimeSeriesOps.halfLife(seriesDf(xs.toSeq)).collect().head
+    val phi = row.getAs[Double]("phi")
+    phi shouldBe (0.8 +- 0.03)
+    row.getAs[Double]("half_life") shouldBe (-math.log(2) / math.log(phi) +- 1e-9)
+    // a pure random walk has phi ~ 1; an explosive/oscillating series -> null
+    val osc = seriesDf(Seq.tabulate(100)(t => if (t % 2 == 0) 1.0 else -1.0))
+    val r2 = graft.ts.TimeSeriesOps.halfLife(osc).collect().head
+    r2.isNullAt(r2.fieldIndex("half_life")) shouldBe true
+  }
+
+  test("spearmanCorr is 1 on any monotone map and handles ties via mid-ranks") {
+    val s = spark
+    import s.implicits._
+    // y = exp(x): non-linear but monotone -> rho exactly 1
+    val df = (1 to 50).map(i => ("k", i.toDouble, math.exp(i.toDouble / 10)))
+      .toDF("key", "x", "y")
+    val rho = graft.ts.TimeSeriesOps.spearmanCorr(df, "key", "x", "y")
+      .collect().head.getAs[Double]("spearman_rho")
+    rho shouldBe (1.0 +- 1e-12)
+    // tie handling: mid-ranks match R's cor(method="spearman") convention
+    val tied = Seq(("k", 1.0, 3.0), ("k", 1.0, 1.0), ("k", 2.0, 2.0), ("k", 3.0, 4.0))
+      .toDF("key", "x", "y")
+    val rhoT = graft.ts.TimeSeriesOps.spearmanCorr(tied, "key", "x", "y")
+      .collect().head.getAs[Double]("spearman_rho")
+    // R: cor(c(1,1,2,3), c(3,1,2,4), method="spearman") = 0.6324555
+    rhoT shouldBe (0.6324555 +- 1e-6)
+  }
+
+  test("mannKendall: exact S/var/z on a hand-checked series, sign on trends") {
+    // x = [1, 3, 2, 4]: pairs (1,3)+ (1,2)+ (1,4)+ (3,2)- (3,4)+ (2,4)+ -> S=4
+    val (s1, np, tau, varS, z) = graft.stats.StatTests.mannKendall(Array(1.0, 3, 2, 4))
+    s1 shouldBe 4L
+    np shouldBe 6L
+    tau shouldBe (4.0 / 6 +- 1e-15)
+    varS shouldBe (4.0 * 3 * 13 / 18 +- 1e-12) // no ties: n(n-1)(2n+5)/18
+    z shouldBe ((4 - 1) / math.sqrt(varS) +- 1e-12)
+    // ties contribute t(t-1)(2t+5): x = [1,1,2] -> tie group of 2
+    val (_, _, _, varT, _) = graft.stats.StatTests.mannKendall(Array(1.0, 1, 2))
+    varT shouldBe ((3.0 * 2 * 11 - 2 * 1 * 9) / 18 +- 1e-12)
+    // strictly decreasing: S = -n(n-1)/2
+    val (sd, npd, taud, _, zd) = graft.stats.StatTests.mannKendall(
+      Array.tabulate(20)(t => -t.toDouble))
+    sd shouldBe -190L
+    taud shouldBe (-1.0 +- 1e-15)
+    zd should be < -4.0
+    npd shouldBe 190L
+  }
+
+  test("mannKendallAll lifts per key") {
+    val s = spark
+    import s.implicits._
+    val df = (Seq.tabulate(30)(t => ("up", t.toLong, t.toDouble)) ++
+      Seq.tabulate(30)(t => ("dn", t.toLong, -t.toDouble)))
+      .toDF("key", "ts_nanos", "value")
+    val out = graft.models.ModelOps.mannKendallAll(df).collect()
+      .map(r => r.key -> r.z).toMap
+    out("up") should be > 4.0
+    out("dn") should be < -4.0
+  }
+
+  test("stickiness: one week of synthetic days gives exact DAU/WAU") {
+    val s = spark
+    import s.implicits._
+    val dayUs = 86400000000L
+    // week 0 (days 0-6): users 1,2 active every day; user 3 active day 0 only
+    val rows = (for (d <- 0 until 7; u <- Seq(1L, 2L)) yield (u, d * dayUs + 1)) ++
+      Seq((3L, 1L))
+    val df = rows.toDF("user_id", "ts_us")
+    val r = graft.events.EventOps.stickiness(df).collect().head
+    r.getAs[Long]("wau") shouldBe 3L
+    r.getAs[Long]("n_active_days") shouldBe 7L
+    r.getAs[Double]("avg_dau") shouldBe ((2.0 * 6 + 3) / 7 +- 1e-12)
+    r.getAs[Double]("stickiness") shouldBe (((2.0 * 6 + 3) / 7) / 3 +- 1e-12)
+  }
+
+  test("topPaths extracts the first-n path per session and ranks deterministically") {
+    val s = spark
+    import s.implicits._
+    // user 1: session A>B>C>D (one session), then after a big gap B>A
+    val rows = Seq(
+      (1L, 1L, 100L, "A"), (1L, 2L, 200L, "B"), (1L, 3L, 300L, "C"), (1L, 4L, 400L, "D"),
+      (1L, 5L, 1000000L, "B"), (1L, 6L, 1000001L, "A"),
+      (2L, 7L, 100L, "A"), (2L, 8L, 150L, "B"), (2L, 9L, 160L, "C"))
+    val df = rows.toDF("user_id", "event_id", "ts_us", "event_type")
+    val out = graft.events.EventOps.topPaths(df, gapUs = 1000L, n = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    out.head shouldBe ("A>B>C", 2L)
+    out should contain ("B>A", 1L)
+  }
+
+  test("dedupChunks keeps the first occurrence of every chunk corpus-wide") {
+    val s = spark
+    import s.implicits._
+    val t1 = (1 to 40).map(i => s"w$i").mkString(" ")   // chunks c1 c2
+    val t2 = (21 to 60).map(i => s"w$i").mkString(" ")  // chunks c2 c3 (c2 dup)
+    val df = Seq((1L, t1), (2L, t2), (3L, t1)).toDF("doc_id", "text")
+    val out = graft.text.Dedup.dedupChunks(df, 20).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L)._1 shouldBe 2L; out(1L)._2 shouldBe 2L // doc 1 keeps both chunks
+    out(2L)._1 shouldBe 2L; out(2L)._2 shouldBe 1L // doc 2 loses its first chunk
+    out(3L)._1 shouldBe 2L; out(3L)._2 shouldBe 0L // exact dup keeps nothing
+    out(2L)._3 shouldBe (41 to 60).map(i => s"w$i").mkString(" ")
+    out(3L)._3 shouldBe ""
+  }
+
+  test("bigramLogProb: uniform corpus scores ln(2) per bigram") {
+    val s = spark
+    import s.implicits._
+    // corpus: "a b" and "a c" -> P(b|a) = P(c|a) = 1/2, avg_neg = ln 2
+    val df = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = graft.text.TextFunctions.bigramLogProb(df).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    out(1L) shouldBe (math.log(2) +- 1e-6)
+    out(2L) shouldBe (math.log(2) +- 1e-6)
+    // deterministic chain: "a b a b a b" -> P(b|a)=1 except P(a|b)=1 -> 0
+    val chain = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    val c = graft.text.TextFunctions.bigramLogProb(chain).collect().head
+    c.getAs[Long]("n_bigrams") shouldBe 5L
+    c.getAs[Double]("avg_neg_logprob") shouldBe (0.0 +- 1e-12)
+  }
+}
