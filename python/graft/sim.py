@@ -65,3 +65,9 @@ def centroid_similarity(df, group_col="label", vec_col="embedding"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.sim.Embeddings.centroidSimilarity(
         df._jdf, group_col, vec_col))
+
+
+def dim_stats(df, vec_col="embedding"):
+    """Per-dimension mean/var/min/max — embedding collapse detector."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.sim.Embeddings.dimStats(df._jdf, vec_col))

@@ -369,3 +369,31 @@ def spearman_corr(df, key="key", x="x", y="y"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.ts.TimeSeriesOps.spearmanCorr(
         df._jdf, key, x, y))
+
+
+def ks_drift(df, key="key", ts="ts_nanos", value="value"):
+    """First-half vs second-half two-sample KS D per key (drift detector)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.ksDrift(
+        df._jdf, key, ts, value))
+
+
+def hurst(df, key="key", ts="ts_nanos", value="value"):
+    """Aggregated-variance Hurst exponent (block sizes 1,2,4,8,16)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.hurst(
+        df._jdf, key, ts, value))
+
+
+def ou_fit(df, key="key", ts="ts_nanos", value="value"):
+    """Closed-form Ornstein-Uhlenbeck fit (kappa, theta, sigma) per key."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.ouFit(
+        df._jdf, key, ts, value))
+
+
+def benford_deviation(df, key="key", value="value"):
+    """Benford first-digit total-variation deviation per key."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.benfordDeviation(
+        df._jdf, key, value))

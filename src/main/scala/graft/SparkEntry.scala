@@ -943,7 +943,34 @@ object SparkEntry {
           md5(col("kept_text").cast("binary")).as("kept_md5"))),
     "tx17_bigram_logprob" -> ((s, dir) =>
       // corpus bigram-LM conditional perplexity proxy per document
-      graft.text.TextFunctions.bigramLogProb(Tables.documents(s, dir)))
+      graft.text.TextFunctions.bigramLogProb(Tables.documents(s, dir))),
+
+    // ---------------- round-6 cont.: drift/LRD/OU diagnostics, data
+    // quality, embedding health ----------------
+    "m27_ks_drift" -> ((s, dir) =>
+      // first-half vs second-half two-sample KS per user; D's numerator is
+      // integer-exact, the division deterministic — compared unrounded
+      TS.ksDrift(obs(s, dir), key = "user_id", ts = "ts_us", value = "value")),
+    "ts47_hurst" -> ((s, dir) =>
+      // aggregated-variance Hurst exponent over block sizes 1..16
+      TS.hurst(obs(s, dir), key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("n_scales"),
+          round(col("hurst"), 6).as("hurst"))),
+    "m28_ou_fit" -> ((s, dir) =>
+      // closed-form Ornstein-Uhlenbeck (AR(1) discretization) per user
+      TS.ouFit(obs(s, dir), key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("n_pairs"),
+          round(col("kappa"), 6).as("kappa"),
+          round(col("theta"), 6).as("theta"),
+          round(col("sigma"), 6).as("sigma"))),
+    "dq01_benford" -> ((s, dir) =>
+      // Benford first-digit total-variation deviation per user
+      TS.benfordDeviation(obs(s, dir), key = "user_id", value = "value")
+        .select(col("user_id"), col("n_obs"),
+          round(col("benford_tvd"), 6).as("benford_tvd"))),
+    "em05_dim_stats" -> ((s, dir) =>
+      // per-dimension moments: the feature-collapse detector
+      graft.sim.Embeddings.dimStats(Tables.embeddings(s, dir)))
   )
 
   /** DuckDB string literal composed to be byte-pure ASCII: any char outside
@@ -2212,6 +2239,91 @@ object SparkEntry {
              AS avg_neg_logprob
          FROM c JOIN v USING (bigram)
            JOIN pv ON string_split(bigram, ' ')[1] = pv.w1
-         GROUP BY doc_id"""
+         GROUP BY doc_id""",
+    "m27_ks_drift" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+                    WHERE value IS NOT NULL),
+         r AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts_us) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM e),
+         h AS (SELECT user_id, value, rn, n, n // 2 AS n1,
+             CASE WHEN rn <= n // 2 THEN 1 ELSE 0 END AS h1
+           FROM r),
+         c AS (SELECT user_id, n, n1,
+             sum(h1) OVER w AS c1, sum(1 - h1) OVER w AS c2
+           FROM h WINDOW w AS (PARTITION BY user_id ORDER BY value
+                               RANGE BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW))
+         SELECT user_id, max(n1)::BIGINT AS n_first,
+           (max(n) - max(n1))::BIGINT AS n_second,
+           max(abs(c1*(n - n1) - c2*n1))::BIGINT AS d_num,
+           max(abs(c1*(n - n1) - c2*n1))::DOUBLE
+             / (max(n1) * (max(n) - max(n1)))::DOUBLE AS ks_d
+         FROM c GROUP BY user_id""",
+    "ts47_hurst" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+                    WHERE value IS NOT NULL),
+         r AS (SELECT user_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts_us) - 1 AS rn
+           FROM e),
+         x AS (SELECT user_id, value, rn, m
+           FROM r, UNNEST([1, 2, 4, 8, 16]) AS t(m)),
+         b AS (SELECT user_id, m, rn // m AS blk, avg(value) AS bmean,
+             count(*) AS bn
+           FROM x GROUP BY 1, 2, 3),
+         v AS (SELECT user_id, m, var_samp(bmean) AS v, count(*) AS nblk
+           FROM b WHERE bn = m GROUP BY 1, 2),
+         f AS (SELECT user_id, m, v FROM v
+           WHERE v IS NOT NULL AND v > 0 AND nblk >= 2)
+         SELECT user_id, count(*) AS n_scales,
+           round(1.0 + regr_slope(ln(v), ln(m::DOUBLE)) / 2, 6) AS hurst
+         FROM f GROUP BY user_id""",
+    "m28_ou_fit" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
+                    WHERE value IS NOT NULL),
+         p AS (SELECT user_id, value,
+             lag(value) OVER (PARTITION BY user_id ORDER BY ts_us) AS prev
+           FROM e),
+         a AS (SELECT user_id, count(*) AS n_pairs,
+             covar_samp(prev, value) AS sxy, var_samp(prev) AS sxx,
+             var_samp(value) AS syy, avg(value) AS my, avg(prev) AS mx
+           FROM p WHERE prev IS NOT NULL GROUP BY user_id),
+         f AS (SELECT user_id, n_pairs, sxy / sxx AS b,
+             my - (sxy / sxx) * mx AS a2,
+             ((syy - sxy*sxy/sxx) * (n_pairs - 1)) / (n_pairs - 2) AS se2
+           FROM a)
+         SELECT user_id, n_pairs,
+           round(CASE WHEN b > 0 AND b < 1 THEN -ln(b) END, 6) AS kappa,
+           round(CASE WHEN b > 0 AND b < 1 THEN a2 / (1 - b) END, 6) AS theta,
+           round(CASE WHEN b > 0 AND b < 1 AND se2 >= 0
+                 THEN sqrt(se2 * (-2 * ln(b)) / (1 - b*b)) END, 6) AS sigma
+         FROM f""",
+    "dq01_benford" ->
+      """WITH e AS (SELECT user_id, abs(value) AS av FROM events
+                    WHERE value IS NOT NULL AND abs(value) > 0),
+         d AS (SELECT user_id,
+             least(9, greatest(1,
+               CAST(floor(av / power(10, floor(log10(av)))) AS INT))) AS dg
+           FROM e),
+         c AS (SELECT user_id, dg, count(*) AS c FROM d GROUP BY 1, 2),
+         n AS (SELECT user_id, sum(c) AS n FROM c GROUP BY 1),
+         g AS (SELECT user_id, n, i AS dg
+           FROM n, UNNEST(range(1, 10)) AS t(i)),
+         j AS (SELECT g.user_id, g.n, g.dg,
+             coalesce(c.c, 0)::DOUBLE / g.n AS p,
+             ln(1.0 + 1.0 / g.dg) / ln(10.0) AS bf
+           FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.dg = c.dg)
+         SELECT user_id, max(n)::BIGINT AS n_obs,
+           round(sum(abs(p - bf)), 6) AS benford_tvd
+         FROM j GROUP BY user_id""",
+    "em05_dim_stats" ->
+      """SELECT i AS pos, count(*)::BIGINT AS n,
+           round(avg(embedding[i+1]::DOUBLE), 6) AS dim_mean,
+           round(var_samp(embedding[i+1]::DOUBLE), 6) AS dim_var,
+           min(embedding[i+1]::DOUBLE) AS dim_min,
+           max(embedding[i+1]::DOUBLE) AS dim_max
+         FROM embeddings, unnest(range(len(embedding))) AS t(i)
+         GROUP BY 1"""
   )
 }

@@ -440,4 +440,19 @@ object JavaPipelineOps {
 
   def bigramLogProb(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.text.TextFunctions.bigramLogProb(df, idCol, textCol)
+
+  def ksDrift(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.ksDrift(df, key, ts, value)
+
+  def hurst(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.hurst(df, Seq(1, 2, 4, 8, 16), key, ts, value)
+
+  def ouFit(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.ouFit(df, key, ts, value)
+
+  def benfordDeviation(df: DataFrame, key: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.benfordDeviation(df, key, value)
+
+  def dimStats(df: DataFrame, vecCol: String): DataFrame =
+    graft.sim.Embeddings.dimStats(df, vecCol)
 }

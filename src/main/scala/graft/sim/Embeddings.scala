@@ -102,4 +102,22 @@ object Embeddings {
           lit(0.0), (acc, e) => acc + e) / size(v), 6))
       .select(col(idCol), col("code_sum"), col("recon_mse"))
   }
+
+  /**
+   * Per-dimension moment diagnostics over the whole collection: mean,
+   * variance, min/max per embedding coordinate — the feature-collapse
+   * detector (a dimension with ~zero variance carries no information; a
+   * wildly off-scale one breaks cosine geometry). One posexplode + one
+   * aggregation keyed by position; partial aggregation collapses the
+   * shuffle to `dim` rows per task regardless of collection size.
+   */
+  def dimStats(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.select(posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .select(col("pos").cast("long").as("pos"), col("v").cast("double").as("v"))
+      .groupBy(col("pos"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("v")), 6).as("dim_mean"),
+        round(var_samp(col("v")), 6).as("dim_var"),
+        min(col("v")).as("dim_min"),
+        max(col("v")).as("dim_max"))
 }

@@ -1152,6 +1152,135 @@ object TimeSeriesOps {
         corr(col("__rx"), col("__ry")).as("spearman_rho"))
   }
 
+  /**
+   * Per-key distribution-drift detector: two-sample Kolmogorov-Smirnov D
+   * between the FIRST and SECOND half of each series (split at the midpoint
+   * in time order). D's numerator max|c₁·n₂ − c₂·n₁| is integer-exact; the
+   * final D is one double division. The cumulative half-counts use a RANGE
+   * frame on the value ordering, so every row of a tied value group sees the
+   * whole group's counts — D is evaluated at distinct values only, the exact
+   * KS convention under ties. Two windows plus one aggregate, all over a
+   * single key shuffle.
+   */
+  def ksDrift(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    val wAll = Window.partitionBy(col(key))
+    val wVal = Window.partitionBy(col(key)).orderBy(col(value))
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(col(value).isNotNull)
+      .withColumn("__rn", row_number().over(wKey(key, ts)))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__n1", (col("__n") / 2).cast("long"))
+      .withColumn("__h1", (col("__rn") <= col("__n1")).cast("long"))
+      .withColumn("__c1", sum(col("__h1")).over(wVal))
+      .withColumn("__c2", sum(lit(1L) - col("__h1")).over(wVal))
+      .groupBy(col(key))
+      .agg(max(col("__n1")).as("n_first"),
+        (max(col("__n")) - max(col("__n1"))).as("n_second"),
+        max(abs(col("__c1") * (col("__n") - col("__n1")) -
+          col("__c2") * col("__n1"))).as("d_num"))
+      .withColumn("ks_d", col("d_num").cast("double") /
+        (col("n_first") * col("n_second")).cast("double"))
+  }
+
+  /**
+   * Hurst exponent by the aggregated-variance method: for each block size m
+   * in `blockSizes`, the variance of the m-point block means of the series;
+   * Var(X̄_m) ~ m^(2H−2), so H = 1 + slope/2 from the ln-ln OLS over the
+   * block sizes. Long-range-dependence diagnostic (H≈0.5 iid, H→1 trending,
+   * H→0 mean-reverting). One narrow explode over |blockSizes| copies, then
+   * (key, m, block) and (key, m) aggregates and a tiny per-key regression —
+   * two shuffles total, both key-prefixed.
+   */
+  def hurst(df: DataFrame, blockSizes: Seq[Int] = Seq(1, 2, 4, 8, 16),
+      key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    require(blockSizes.nonEmpty && blockSizes.forall(_ >= 1), "block sizes >= 1")
+    val blockVar = df.filter(col(value).isNotNull)
+      .withColumn("__rn", row_number().over(wKey(key, ts)) - 1)
+      .select(col(key), col("__rn"), col(value),
+        explode(array(blockSizes.map(lit): _*)).as("__m"))
+      .groupBy(col(key), col("__m"), (col("__rn") / col("__m")).cast("long").as("__blk"))
+      .agg(avg(col(value)).as("__bmean"), count(lit(1)).as("__bn"))
+      // only FULL blocks: a ragged tail mean has lower variance and biases H
+      .filter(col("__bn") === col("__m"))
+      .groupBy(col(key), col("__m"))
+      .agg(var_samp(col("__bmean")).as("__v"), count(lit(1)).as("__nblk"))
+      .filter(col("__v").isNotNull && col("__v") > 0 && col("__nblk") >= 2)
+    blockVar.groupBy(col(key))
+      .agg(count(lit(1)).as("n_scales"),
+        regr_slope(log(col("__v")), log(col("__m").cast("double"))).as("__slope"))
+      .withColumn("hurst", lit(1.0) + col("__slope") / 2)
+      .select(col(key), col("n_scales"), col("hurst"))
+  }
+
+  /**
+   * Ornstein-Uhlenbeck fit per key from the exact AR(1) discretization
+   * x_t = a + b·x_{t−1} + ε (unit time step): κ = −ln b, θ = a/(1−b),
+   * σ = σ_ε·√(−2 ln b / (1−b²)), defined for 0 < b < 1 (null otherwise).
+   * The regression runs on native covar/var aggregates; σ_ε² is the OLS
+   * residual variance sse/(n−2) with sse = S_yy − S_xy²/S_xx. One lag
+   * window + one keyed aggregate — a single key shuffle, closed form, no
+   * iterative optimizer (the reference fits AR(1) the same way and OU is
+   * its continuous-time reading).
+   */
+  def ouFit(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): DataFrame = {
+    val w = wKey(key, ts)
+    val paired = df.filter(col(value).isNotNull)
+      .withColumn("__prev", lag(col(value), 1).over(w))
+      .filter(col("__prev").isNotNull)
+    val agg = paired.groupBy(col(key))
+      .agg(count(lit(1)).as("n_pairs"),
+        covar_samp(col("__prev"), col(value)).as("__sxy"),
+        var_samp(col("__prev")).as("__sxx"),
+        var_samp(col(value)).as("__syy"),
+        avg(col(value)).as("__my"), avg(col("__prev")).as("__mx"))
+    val b = try_divide(col("__sxy"), col("__sxx"))
+    val a = col("__my") - b * col("__mx")
+    val nm1 = (col("n_pairs") - 1).cast("double")
+    val sse = (col("__syy") - try_divide(col("__sxy") * col("__sxy"), col("__sxx"))) * nm1
+    val sigEps2 = try_divide(sse, (col("n_pairs") - 2).cast("double"))
+    agg
+      .withColumn("__b", b).withColumn("__a", a).withColumn("__se2", sigEps2)
+      .withColumn("kappa", when(col("__b") > 0 && col("__b") < 1, -log(col("__b"))))
+      .withColumn("theta", when(col("__b") > 0 && col("__b") < 1,
+        col("__a") / (lit(1.0) - col("__b"))))
+      .withColumn("sigma", when(col("__b") > 0 && col("__b") < 1 && col("__se2") >= 0,
+        sqrt(col("__se2") * (lit(-2.0) * log(col("__b"))) /
+          (lit(1.0) - col("__b") * col("__b")))))
+      .select(col(key), col("n_pairs"), col("kappa"), col("theta"), col("sigma"))
+  }
+
+  /**
+   * Benford first-digit deviation per key: the distribution of the first
+   * significant digit of |value| against Benford's law p_d = log₁₀(1+1/d),
+   * reported as the total-variation-style score Σ_d |p̂_d − p_d| over the
+   * full 1..9 grid (absent digits contribute their Benford mass). The
+   * fraud/synthetic-data smell test. Digit extraction is a narrow map, the
+   * histogram one (key, digit) aggregate; the 9-row digit grid is exploded
+   * per key so missing digits are counted — nothing driver-side.
+   */
+  def benfordDeviation(df: DataFrame, key: String = "key",
+      value: String = "value"): DataFrame = {
+    val absV = abs(col(value))
+    // least/greatest clamp: a last-ULP log10 misround at an exact power of
+    // ten must not fabricate digit 0 or 10
+    val digit = least(lit(9), greatest(lit(1),
+      floor(absV / pow(lit(10.0), floor(log10(absV)))).cast("int")))
+    val counts = df.filter(col(value).isNotNull && absV > 0)
+      .withColumn("__d", digit)
+      .groupBy(col(key), col("__d")).agg(count(lit(1)).as("__c"))
+    val grid = counts.groupBy(col(key)).agg(sum(col("__c")).as("__n"))
+      .select(col(key), col("__n"), explode(sequence(lit(1), lit(9))).as("__d"))
+    grid.join(counts, Seq(key, "__d"), "left")
+      .withColumn("__p", coalesce(col("__c"), lit(0L)).cast("double") / col("__n"))
+      .withColumn("__benford", log(lit(1.0) + lit(1.0) / col("__d")) / log(lit(10.0)))
+      .groupBy(col(key))
+      .agg(max(col("__n")).as("n_obs"),
+        sum(abs(col("__p") - col("__benford"))).as("benford_tvd"))
+  }
+
   /** series layout -> observations (reference toObservationsDataFrame:
     * TimeSeriesRDD.scala:419-443 — NaN observations dropped, like the reference). */
   def fromSeries(df: DataFrame, index: DateTimeIndex, key: String = "key",

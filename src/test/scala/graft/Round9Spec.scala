@@ -127,6 +127,81 @@ class Round9Spec extends AnyFunSuite with Matchers with SparkTestSession {
     out(3L)._3 shouldBe ""
   }
 
+  test("ksDrift: zero on identical halves, 1 on disjoint halves") {
+    // halves are value-identical -> every prefix gap collapses at each level
+    val same = seriesDf(Seq(1.0, 2, 3, 4, 1, 2, 3, 4))
+    val r = graft.ts.TimeSeriesOps.ksDrift(same).collect().head
+    r.getAs[Long]("n_first") shouldBe 4L
+    r.getAs[Double]("ks_d") shouldBe (0.0 +- 1e-15)
+    // second half entirely above the first -> D = 1
+    val shifted = seriesDf(Seq(1.0, 2, 3, 4, 11, 12, 13, 14))
+    val r2 = graft.ts.TimeSeriesOps.ksDrift(shifted).collect().head
+    r2.getAs[Double]("ks_d") shouldBe (1.0 +- 1e-15)
+    r2.getAs[Long]("d_num") shouldBe 16L
+  }
+
+  test("hurst: iid noise scores near 0.5, a trending line near 1") {
+    val rnd = new scala.util.Random(11)
+    val iid = seriesDf(Seq.fill(4096)(rnd.nextGaussian()))
+    val h = graft.ts.TimeSeriesOps.hurst(iid).collect().head.getAs[Double]("hurst")
+    h shouldBe (0.5 +- 0.15)
+    val trend = seriesDf(Seq.tabulate(4096)(t => t.toDouble))
+    val ht = graft.ts.TimeSeriesOps.hurst(trend).collect().head.getAs[Double]("hurst")
+    ht should be > 0.9
+  }
+
+  test("ouFit recovers kappa/theta of a seeded OU discretization") {
+    val rnd = new scala.util.Random(3)
+    val n = 20000
+    val kappa = 0.5; val theta = 10.0; val sigma = 2.0
+    val b = math.exp(-kappa)
+    val sdEps = sigma * math.sqrt((1 - b * b) / (2 * kappa))
+    val xs = Array.ofDim[Double](n)
+    xs(0) = theta
+    for (t <- 1 until n)
+      xs(t) = theta + b * (xs(t - 1) - theta) + sdEps * rnd.nextGaussian()
+    val r = graft.ts.TimeSeriesOps.ouFit(seriesDf(xs.toSeq)).collect().head
+    r.getAs[Double]("kappa") shouldBe (kappa +- 0.05)
+    r.getAs[Double]("theta") shouldBe (theta +- 0.2)
+    r.getAs[Double]("sigma") shouldBe (sigma +- 0.1)
+  }
+
+  test("benfordDeviation: a Benford-perfect histogram scores ~0, uniform digits high") {
+    val s = spark
+    import s.implicits._
+    // build counts proportional to Benford mass out of 10000 samples
+    val benford = (1 to 9).flatMap { d =>
+      val c = math.round(10000 * math.log10(1.0 + 1.0 / d)).toInt
+      Seq.fill(c)(("k", d.toDouble))
+    }
+    val df = benford.zipWithIndex.map { case ((k, v), i) => (k, i.toLong, v) }
+      .toDF("key", "ts_nanos", "value")
+    val tvd = graft.ts.TimeSeriesOps.benfordDeviation(df).collect()
+      .head.getAs[Double]("benford_tvd")
+    tvd should be < 0.01
+    // all-same-digit corpus: deviation = |1 - log10(2)| + sum of the rest
+    val ones = seriesDf(Seq.fill(100)(1.23))
+    val t1 = graft.ts.TimeSeriesOps.benfordDeviation(ones).collect()
+      .head.getAs[Double]("benford_tvd")
+    val expected = (1.0 - math.log10(2)) +
+      (2 to 9).map(d => math.log10(1.0 + 1.0 / d)).sum
+    t1 shouldBe (expected +- 1e-12)
+  }
+
+  test("dimStats flags a collapsed dimension") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (1 to 200).map(i =>
+      (i.toLong, Seq(rnd.nextFloat(), 0.25f, rnd.nextFloat())))
+      .toDF("vec_id", "embedding")
+    val rows = graft.sim.Embeddings.dimStats(df).collect()
+      .map(r => r.getAs[Long]("pos") -> r.getAs[Double]("dim_var")).toMap
+    rows(1L) shouldBe 0.0 +- 1e-12
+    rows(0L) should be > 0.01
+    rows(2L) should be > 0.01
+  }
+
   test("bigramLogProb: uniform corpus scores ln(2) per bigram") {
     val s = spark
     import s.implicits._
