@@ -555,6 +555,21 @@ object SparkEntry {
         key = "user_id", ts = "ts_us", value = "value", maxLag = 0).toDF()
         .select(col("key").cast("long").as("user_id"),
           round(col("statistic"), 6).as("df_stat"))),
+    // ---------------- seeded simulate→fit→recover certification queries
+    // (models/Recovery.scala): deterministic tolerance booleans vs literal
+    // simulation truths; the oracle side is a constant VALUES SELECT, which
+    // makes the §2.8/§2.9 fit kernels hash-checkable by the driver ----------------
+    "mr01_arima_recover" -> ((s, _) => graft.models.Recovery.arima(s)),
+    "mr02_ar_recover" -> ((s, _) => graft.models.Recovery.ar(s)),
+    "mr03_ewma_recover" -> ((s, _) => graft.models.Recovery.ewma(s)),
+    "mr04_hw_recover" -> ((s, _) => graft.models.Recovery.holtWinters(s)),
+    "mr05_garch_recover" -> ((s, _) => graft.models.Recovery.garch(s)),
+    "mr06_forecast_recover" -> ((s, _) => graft.models.Recovery.forecast(s)),
+    "mr07_autofit_recover" -> ((s, _) => graft.models.Recovery.autofit(s)),
+    "mr08_cochrane_recover" -> ((s, _) => graft.models.Recovery.cochraneOrcutt(s)),
+    "mr09_arimax_recover" -> ((s, _) => graft.models.Recovery.arimax(s)),
+    "mr10_stationarity_decisions" -> ((s, _) => graft.models.Recovery.stationarity(s)),
+    "mr11_lm_test_decisions" -> ((s, _) => graft.models.Recovery.lmTests(s)),
     "m18_ljungbox_stat" -> ((s, dir) =>
       // the Ljung-Box STATISTIC is SQL-expressible (autocovariance windows),
       // so this slice of m08 gets a hash-checked oracle; the p-value
@@ -2325,5 +2340,19 @@ object SparkEntry {
            max(embedding[i+1]::DOUBLE) AS dim_max
          FROM embeddings, unnest(range(len(embedding))) AS t(i)
          GROUP BY 1"""
+  ) ++ Map(
+    // constant-SELECT oracles for the recovery certification queries: every
+    // (key, check) pair is expected true (see models/Recovery.scala)
+    "mr01_arima_recover" -> graft.models.Recovery.oracleFor("arima"),
+    "mr02_ar_recover" -> graft.models.Recovery.oracleFor("ar"),
+    "mr03_ewma_recover" -> graft.models.Recovery.oracleFor("ewma"),
+    "mr04_hw_recover" -> graft.models.Recovery.oracleFor("holtwinters"),
+    "mr05_garch_recover" -> graft.models.Recovery.oracleFor("garch"),
+    "mr06_forecast_recover" -> graft.models.Recovery.oracleFor("forecast"),
+    "mr07_autofit_recover" -> graft.models.Recovery.oracleFor("autofit"),
+    "mr08_cochrane_recover" -> graft.models.Recovery.oracleFor("cochrane_orcutt"),
+    "mr09_arimax_recover" -> graft.models.Recovery.oracleFor("arimax"),
+    "mr10_stationarity_decisions" -> graft.models.Recovery.oracleFor("stationarity"),
+    "mr11_lm_test_decisions" -> graft.models.Recovery.oracleFor("lm_tests")
   )
 }
