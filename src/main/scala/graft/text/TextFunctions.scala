@@ -343,18 +343,23 @@ object TextFunctions {
    * token). Natural text gives a slope near −1; a far-off slope flags
    * synthetic or degenerate corpora — a one-number corpus-health check.
    *
-   * Scale note: the ranking window is global but runs over the VOCABULARY
-   * (distinct tokens — orders of magnitude smaller than the corpus and
-   * bounded in practice), after a partial-aggregated count shuffle; the
-   * corpus itself is never globally sorted.
+   * Scale note: ranking runs over the VOCABULARY (distinct tokens) after a
+   * partial-aggregated count shuffle, and is computed WITHOUT a global
+   * single-partition window: a range-partitioned distributed sort followed
+   * by RDD zipWithIndex assigns exact contiguous global ranks while every
+   * partition stays bounded — a 10⁹-token web-corpus vocabulary ranks in
+   * parallel instead of collapsing onto one reducer.
    */
   def zipfFit(df: DataFrame, text: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
     val vocab = df.select(explode(tokens(col(text))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("n"))
-    vocab
-      .withColumn("rnk",
-        row_number().over(Window.orderBy(col("n").desc, col("tok"))))
+    vocab.select(col("n").cast("long").as("n"), col("tok"))
+      .sort(col("n").desc, col("tok"))
+      .as[(Long, String)].rdd.zipWithIndex()
+      .map { case ((n, _), i) => (n, i + 1L) }
+      .toDF("n", "rnk")
       .agg(count(lit(1)).as("n_vocab"),
         regr_slope(log(col("n").cast("double")), log(col("rnk").cast("double")))
           .as("zipf_slope"),
