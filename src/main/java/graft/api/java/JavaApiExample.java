@@ -42,9 +42,18 @@ public final class JavaApiExample {
     Dataset<Row> resampled = JavaTimeSeriesOps.resample(
         obs, 2L, "mean", false, false, 0L, "key", "ts_nanos", "value");
 
+    Dataset<Row> series = JavaTimeSeriesOps.toSeries(obs,
+        JavaTimeSeriesOps.irregularIndex(new long[] {10L, 20L, 30L}),
+        "key", "ts_nanos", "value");
+    Dataset<Row> mapped = JavaTimeSeriesOps.mapSeries(series,
+        v -> Arrays.stream(v).map(x -> x * 2.0).toArray(), "key", "series");
+    Dataset<Row> mappedKeyed = JavaTimeSeriesOps.mapSeriesWithKey(series,
+        (k, v) -> "a".equals(k) ? v : new double[v.length], "key", "series");
+
     return new long[] {
       lagged.count(), perKey.count(), rolled.count(), filled.count(),
-      stats.count(), acf.count(), resampled.count()
+      stats.count(), acf.count(), resampled.count(),
+      mapped.count(), mappedKeyed.count()
     };
   }
 

@@ -142,6 +142,23 @@ object JavaTimeSeriesOps {
   def fromSeries(df: DataFrame, index: DateTimeIndex,
       key: String, seriesCol: String): DataFrame =
     TS.fromSeries(df, index, key, seriesCol)
+
+  /** Explicit-argument index factory (Scala's default zone arg is not
+    * callable from Java). */
+  def irregularIndex(instantsNanos: Array[Long]): DateTimeIndex =
+    graft.core.DateTimeIndex.irregular(instantsNanos)
+
+  /** Whole-series kernel per key (reference JavaTimeSeriesRDD.mapSeries). */
+  def mapSeries(df: DataFrame, f: ju.function.Function[Array[Double], Array[Double]],
+      key: String, seriesCol: String): DataFrame =
+    TS.mapSeries(df, v => f.apply(v), key, seriesCol)
+
+  /** [[mapSeries]] with the key visible to the kernel (reference
+    * mapSeriesWithKey: TimeSeriesRDD.scala:255-260). */
+  def mapSeriesWithKey(df: DataFrame,
+      f: ju.function.BiFunction[String, Array[Double], Array[Double]],
+      key: String, seriesCol: String): DataFrame =
+    TS.mapSeriesWithKey(df, (k, v) => f.apply(k, v), key, seriesCol)
 }
 
 /** Java facade over the per-key model fits (all results as DataFrames). */

@@ -461,6 +461,15 @@ object TimeSeriesOps {
     df.withColumn(seriesCol, fn(col(seriesCol)))
   }
 
+  /** [[mapSeries]] with the series key visible to the transform closure
+    * (reference mapSeriesWithKey: TimeSeriesRDD.scala:255-260) — for
+    * key-dependent kernels (e.g. per-instrument calibration constants). */
+  def mapSeriesWithKey(df: DataFrame, f: (String, Array[Double]) => Array[Double],
+      key: String = "key", seriesCol: String = "series"): DataFrame = {
+    val fn = udf { (k: String, v: Seq[Double]) => f(k, v.toArray).toSeq }
+    df.withColumn(seriesCol, fn(col(key).cast("string"), col(seriesCol)))
+  }
+
   /** MLlib interop: instants layout -> RowMatrix / IndexedRowMatrix
     * (reference toRowMatrix/toIndexedRowMatrix: TimeSeriesRDD.scala:456-486). */
   def toRowMatrix(instants: DataFrame, ts: String = "ts_nanos")

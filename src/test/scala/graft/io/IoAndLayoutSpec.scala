@@ -79,6 +79,18 @@ class IoAndLayoutSpec extends AnyFunSuite with Matchers with SparkTestSession {
     out.toSeq shouldBe Seq(2.0, 4.0, 6.0)
   }
 
+  test("mapSeriesWithKey exposes the key to the kernel") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", Seq(1.0, 2.0)), ("b", Seq(1.0, 2.0))).toDF("key", "series")
+    val scale = Map("a" -> 10.0, "b" -> 100.0)
+    val out = TS.mapSeriesWithKey(df, (k, v) => v.map(_ * scale(k)))
+      .collect().map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[Double]]("series").toSeq).toMap
+    out("a") shouldBe Seq(10.0, 20.0)
+    out("b") shouldBe Seq(100.0, 200.0)
+  }
+
   test("instants layout exports to MLlib matrices") {
     val s = spark
     import s.implicits._
