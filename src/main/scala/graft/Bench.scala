@@ -17,8 +17,15 @@ object Bench {
     // local iteration aid: SPARK_GRAFT_ONLY=m16,dd06 times just those ids
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // an id matches exactly or as an id_ prefix ("ts4" must NOT select
+    // ts40-ts47); a zero-match id is a typo — warn instead of silently
+    // producing an empty benchmark
+    def matches(id: String, n: String): Boolean = n == id || n.startsWith(id + "_")
+    for (ids <- only; id <- ids
+         if !SparkEntry.queries.keys.exists(matches(id, _)))
+      System.err.println(s"[bench] WARNING: SPARK_GRAFT_ONLY id '$id' matches no query")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
-      only.forall(ids => ids.exists(id => n == id || n.startsWith(id)))
+      only.forall(_.exists(matches(_, n)))
     }
     val results = selected.map { case (name, fn) =>
       def once(): (Double, Option[String]) = {

@@ -278,8 +278,10 @@ object ModelOps {
       ts: String = "ts_nanos", value: String = "value"): Dataset[MannKendallResult] = {
     val spark = df.sparkSession
     import spark.implicits._
-    grouped(df, key, ts, value).map { case (k, arr) =>
-      val (s, nPairs, tau, varS, z) = graft.stats.StatTests.mannKendall(arr)
+    groupedWithTs(df, key, ts, value).map { case (k, tss, arr) =>
+      // timestamps ride along so equal-ts pairs are excluded — keeps the
+      // kernel deterministic (and oracle-consistent) under duplicate ts
+      val (s, nPairs, tau, varS, z) = graft.stats.StatTests.mannKendall(arr, tss)
       MannKendallResult(k, s, nPairs, tau, varS, z)
     }
   }

@@ -234,20 +234,31 @@ object StatTests {
    * the "ten years of minutes" sizing is microseconds of work).
    * Returns (S, nPairs, tau, varS, z).
    */
-  def mannKendall(x: Array[Double]): (Long, Long, Double, Double, Double) = {
+  def mannKendall(x: Array[Double]): (Long, Long, Double, Double, Double) =
+    mannKendall(x, null)
+
+  /** Timestamp-aware variant: pairs with EQUAL timestamps are excluded from
+    * both S and n_pairs (they carry no temporal order, and including them
+    * would make the result depend on the nondeterministic sort order of
+    * tied-timestamp rows). Pass `tss = null` when timestamps are known
+    * unique — the two variants then agree. */
+  def mannKendall(x: Array[Double], tss: Array[Long]): (Long, Long, Double, Double, Double) = {
     val n = x.length
     var s = 0L
+    var nPairs = 0L
     var i = 0
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        val d = x(j) - x(i)
-        if (d > 0) s += 1 else if (d < 0) s -= 1
+        if (tss == null || tss(j) != tss(i)) {
+          nPairs += 1
+          val d = x(j) - x(i)
+          if (d > 0) s += 1 else if (d < 0) s -= 1
+        }
         j += 1
       }
       i += 1
     }
-    val nPairs = n.toLong * (n - 1) / 2
     val tau = if (nPairs > 0) s.toDouble / nPairs else Double.NaN
     // tie groups: counts of equal values
     val ties = x.groupBy(identity).valuesIterator.map(_.length.toLong).filter(_ > 1)

@@ -1003,12 +1003,18 @@ object TimeSeriesOps {
         .map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+ col("__side") :+ col("__rv")): _*))
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, 0)
+    // the last right ROW is selected via a struct (non-null for every right
+    // row), not the last non-null right VALUE — a right row whose value is
+    // NULL therefore matches and emits NULL, exactly like SQL ASOF JOIN,
+    // instead of silently falling back to an earlier right row
     val filled = unioned
-      .withColumn(valueOut, last(col("__rv"), ignoreNulls = true).over(w))
-      .withColumn("__rts", last(when(col("__side") === 0, col(ts)), ignoreNulls = true).over(w))
+      .withColumn("__r", last(when(col("__side") === 0,
+        struct(col(ts).as("__rts"), col("__rv"))), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .withColumn(valueOut, when(col(ts) - col("__rts") <= toleranceNanos, col(valueOut)))
-      .drop("__side", "__rv", "__rts")
+      .withColumn(valueOut,
+        when(col(ts) - col("__r").getField("__rts") <= toleranceNanos,
+          col("__r").getField("__rv")))
+      .drop("__side", "__rv", "__r")
     filled
   }
 

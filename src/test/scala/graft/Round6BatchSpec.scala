@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 /** Specs for the round-6 batch: AR(1) half-life, Spearman rank correlation,
   * Mann-Kendall trend test, engagement stickiness, top session paths,
   * C4-style chunk dedup, bigram-LM scoring. */
-class Round9Spec extends AnyFunSuite with Matchers with SparkTestSession {
+class Round6BatchSpec extends AnyFunSuite with Matchers with SparkTestSession {
 
   private def seriesDf(vals: Seq[Double], key: String = "a") = {
     val s = spark

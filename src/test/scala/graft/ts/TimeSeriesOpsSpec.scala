@@ -151,6 +151,18 @@ class TimeSeriesOpsSpec extends AnyFunSuite with Matchers with SparkTestSession 
       Seq(None, Some(1.0), Some(2.0), Some(9.0)) // equal-ts right row included
   }
 
+  test("asofJoin matches a null-valued right row instead of falling back") {
+    val s = spark
+    import s.implicits._
+    val left = Seq(("a", 25L)).toDF("key", "ts_nanos")
+    // the latest right row at ts=20 aggregated to NULL: SQL ASOF JOIN
+    // matches that ROW and emits NULL — it must not fall back to ts=10
+    val right = Seq(("a", 10L, Some(1.0)), ("a", 20L, None))
+      .toDF("key", "ts_nanos", "value")
+    val out = TS.asofJoin(left, right).collect()
+    out(0).isNullAt(out(0).fieldIndex("asof_value")) shouldBe true
+  }
+
   test("asofJoin honors tolerance") {
     val s = spark
     import s.implicits._
