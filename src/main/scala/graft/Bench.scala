@@ -38,11 +38,15 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       // single-run timings are noisy under a loaded host (a GC/IO hiccup once
-      // recorded a 14x outlier); re-run anything slow and keep the best run
+      // recorded a 14x outlier, and first runs absorb per-query codegen);
+      // every query runs 3x and reports the MEDIAN — unless the first run is
+      // already so slow that repeating it would blow the round budget
       val (s1, err) = once()
-      val secs = if (err.isEmpty && s1 > 1.5) math.min(s1, once()._1) else s1
+      val secs =
+        if (err.isDefined || s1 > 30.0) s1
+        else Seq(s1, once()._1, once()._1).sorted.apply(1)
       val tag = if (err.isDefined) " FAILED" else ""
-      System.err.println(f"[bench] $name%-28s $secs%8.2f s$tag")
+      System.err.println(f"[bench] $name%-28s $secs%8.2f s (first $s1%.2f)$tag")
       (name, secs, err)
     }
     def jstr(s: String): String = "\"" + s.flatMap {

@@ -503,6 +503,15 @@ object SparkEntry {
         .select(col("asset_id"), col("modality"), col("n_bytes"),
           col("byte_mean"),
           round(col("byte_entropy"), 6).as("byte_entropy"), col("frames_sampled"))),
+    "mm03_png_decode" -> ((s, dir) =>
+      // REAL javax.imageio decode certification: deterministic PNGs are
+      // encoded from a closed-form pixel formula, round-tripped through
+      // ImageIO, and the decoded dims + exact integer pixel sums are
+      // compared against the oracle's direct evaluation of the formula
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir)))
+        .select(col("asset_id"), col("decoded_width"), col("decoded_height"),
+          col("px_sum"), col("n_px"))),
 
     // ---------------- round-2 additions: EWMA transform/forecast, coverage
     // filters, serial-correlation + heteroskedasticity tests, HW forecast ----
@@ -570,6 +579,7 @@ object SparkEntry {
     "mr09_arimax_recover" -> ((s, _) => graft.models.Recovery.arimax(s)),
     "mr10_stationarity_decisions" -> ((s, _) => graft.models.Recovery.stationarity(s)),
     "mr11_lm_test_decisions" -> ((s, _) => graft.models.Recovery.lmTests(s)),
+    "mr12_spline_recover" -> ((s, _) => graft.models.Recovery.spline(s)),
     "m18_ljungbox_stat" -> ((s, dir) =>
       // the Ljung-Box STATISTIC is SQL-expressible (autocovariance windows),
       // so this slice of m08 gets a hash-checked oracle; the p-value
@@ -835,6 +845,12 @@ object SparkEntry {
     "tx16_top_ngrams" -> ((s, dir) =>
       // top-20 5-grams with doc frequency — boilerplate phrase detector
       graft.text.TextFunctions.topKNgrams(Tables.documents(s, dir), n = 5, k = 20)),
+    "tx18_top_ngrams_sketched" -> ((s, dir) =>
+      // frequent-candidate pre-filtered variant: identical result to tx16
+      // whenever the true k-th count >= minCount (here the oracle applies
+      // the same support floor), with a bounded-width sketch shuffle
+      graft.text.TextFunctions.topKNgramsSketched(Tables.documents(s, dir),
+        n = 5, k = 20, minCount = 3)),
     "smp02_quality_tiers" -> ((s, dir) =>
       // quality-tiered deterministic sampling: high keeps all, mid 1/4,
       // low 1/16, via the same content-hash bound as smp01
@@ -1338,6 +1354,17 @@ object SparkEntry {
       """SELECT doc_id,
          len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subtokens
          FROM documents""",
+    "mm03_png_decode" ->
+      """SELECT d.doc_id AS asset_id,
+           ((d.doc_id % 7) + 1)::INT AS decoded_width,
+           ((d.doc_id % 5) + 1)::INT AS decoded_height,
+           sum((d.doc_id * 31 + x.x * 7 + y.y * 13) % 256)::BIGINT AS px_sum,
+           (((d.doc_id % 7) + 1) * ((d.doc_id % 5) + 1))::BIGINT AS n_px
+         FROM documents d
+         JOIN generate_series(0, 6) AS x(x) ON x.x <= d.doc_id % 7
+         JOIN generate_series(0, 4) AS y(y) ON y.y <= d.doc_id % 5
+         WHERE d.doc_id % 3 = 0
+         GROUP BY d.doc_id""",
     "mm01_multimodal_meta" ->
       """SELECT doc_id AS asset_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -1965,6 +1992,14 @@ object SparkEntry {
                       || ' ' || toks[i+4] || ' ' || toks[i+5])) AS ngram FROM w)
          SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
          FROM g GROUP BY ngram ORDER BY n DESC, ngram LIMIT 20""",
+    "tx18_top_ngrams_sketched" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         g AS (SELECT doc_id, unnest(list_transform(range(len(toks) - 4),
+                 i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                      || ' ' || toks[i+4] || ' ' || toks[i+5])) AS ngram FROM w)
+         SELECT ngram, count(*) AS n, count(DISTINCT doc_id) AS n_docs
+         FROM g GROUP BY ngram HAVING count(*) >= 3
+         ORDER BY n DESC, ngram LIMIT 20""",
     "smp02_quality_tiers" ->
       """WITH s AS (
            SELECT doc_id, text,
@@ -2353,6 +2388,7 @@ object SparkEntry {
     "mr08_cochrane_recover" -> graft.models.Recovery.oracleFor("cochrane_orcutt"),
     "mr09_arimax_recover" -> graft.models.Recovery.oracleFor("arimax"),
     "mr10_stationarity_decisions" -> graft.models.Recovery.oracleFor("stationarity"),
-    "mr11_lm_test_decisions" -> graft.models.Recovery.oracleFor("lm_tests")
+    "mr11_lm_test_decisions" -> graft.models.Recovery.oracleFor("lm_tests"),
+    "mr12_spline_recover" -> graft.models.Recovery.oracleFor("spline")
   )
 }

@@ -270,6 +270,30 @@ object Recovery {
       Check(key, "ljungbox_rejects_ar1", lbPAr < 0.05, lbPAr))
   }
 
+  /** Natural-cubic-spline fill vs the closed-form tridiagonal solve:
+    * knots (0,1)(2,4)(4,2)(6,5)(8,3), natural boundary — the interpolated
+    * values at the NaN positions 1/3/5/7 are literal constants (sp01's
+    * pipeline slice stays rows-only; this certifies its kernel). */
+  def splineKernel(key: String, seed: Long): Seq[Check] = {
+    val series = Array(1.0, Double.NaN, 4.0, Double.NaN, 2.0, Double.NaN, 5.0,
+      Double.NaN, 3.0)
+    val filled = ArrayOps.fillSpline(series)
+    // Burden–Faires natural-spline solve evaluated offline (tools-free:
+    // plain tridiagonal algebra, values exact to the printed digits)
+    val truth = Map(1 -> 3.169642857142857, 3 -> 2.866071428571429,
+      5 -> 3.366071428571429, 7 -> 4.669642857142857)
+    val interpChecks = truth.toSeq.sortBy(_._1).map { case (i, t) =>
+      ck(key, s"interp_$i", filled(i), t, 1e-9)
+    }
+    val edge = ArrayOps.fillSpline(
+      Array(Double.NaN, 1.0, Double.NaN, 4.0, 2.0, Double.NaN))
+    interpChecks ++ Seq(
+      Check(key, "knots_preserved",
+        Seq(0, 2, 4, 6, 8).forall(i => filled(i) == series(i)), 0.0),
+      Check(key, "outside_range_nan", edge(0).isNaN && edge(5).isNaN, 0.0),
+      Check(key, "inside_gap_filled", !edge(2).isNaN, 0.0))
+  }
+
   /** Decision certification for Breusch-Godfrey / Breusch-Pagan on
     * regressions with known error structure (m14, m15). */
   def lmTestsKernel(key: String, seed: Long): Seq[Check] = {
@@ -314,6 +338,10 @@ object Recovery {
   }
 
   private[graft] val seeds3 = Seq(("s1", 101L), ("s2", 202L), ("s3", 303L))
+  private val seeds1 = Seq(("s1", 0L)) // deterministic kernels need no seed spread
+
+  private def keysOf(group: String): Seq[(String, Long)] =
+    if (group == "spline") seeds1 else seeds3
 
   /** Canonical check names per kernel, in emit order — the oracle VALUES
     * lists and the drift spec are built from these. */
@@ -330,11 +358,13 @@ object Recovery {
     "stationarity" -> Seq("adf_rejects_ar1", "adf_keeps_rw", "adf_stat_ordered",
       "kpss_keeps_ar1", "kpss_rejects_rw", "ljungbox_keeps_white", "ljungbox_rejects_ar1"),
     "lm_tests" -> Seq("bg_rejects_serial", "bg_keeps_clean",
-      "bp_rejects_hetero", "bp_keeps_clean"))
+      "bp_rejects_hetero", "bp_keeps_clean"),
+    "spline" -> Seq("interp_1", "interp_3", "interp_5", "interp_7",
+      "knots_preserved", "outside_range_nan", "inside_gap_filled"))
 
   /** Constant-SELECT DuckDB oracle: every (key, check) pair expected true. */
   private[graft] def oracleFor(group: String): String = {
-    val rows = for ((k, _) <- seeds3; c <- checkNames(group))
+    val rows = for ((k, _) <- keysOf(group); c <- checkNames(group))
       yield s"('$k', '$c', true)"
     "SELECT * FROM (VALUES " + rows.mkString(", ") +
       ") AS t(key, check_name, ok)"
@@ -351,6 +381,7 @@ object Recovery {
   def arimax(s: SparkSession): DataFrame = run(s, seeds3, arimaxKernel)
   def stationarity(s: SparkSession): DataFrame = run(s, seeds3, stationarityKernel)
   def lmTests(s: SparkSession): DataFrame = run(s, seeds3, lmTestsKernel)
+  def spline(s: SparkSession): DataFrame = run(s, seeds1, splineKernel)
 
   /** All kernels, locally (no Spark) — used by the probe and the spec. */
   def allLocal(): Seq[(String, Seq[Check])] = Seq(
@@ -364,7 +395,8 @@ object Recovery {
     "cochrane_orcutt" -> seeds3.flatMap(c => cochraneOrcuttKernel(c._1, c._2)),
     "arimax" -> seeds3.flatMap(c => arimaxKernel(c._1, c._2)),
     "stationarity" -> seeds3.flatMap(c => stationarityKernel(c._1, c._2)),
-    "lm_tests" -> seeds3.flatMap(c => lmTestsKernel(c._1, c._2)))
+    "lm_tests" -> seeds3.flatMap(c => lmTestsKernel(c._1, c._2)),
+    "spline" -> seeds1.flatMap(c => splineKernel(c._1, c._2)))
 }
 
 /** Dev probe: print every check with its observed error (tolerance calibration). */

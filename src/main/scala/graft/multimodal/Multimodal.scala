@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
  * Multimodal column plumbing: image/audio/video carried as opaque `BINARY`
  * payloads with typed metadata, processed in partition-local batches.
  *
- * The actual media decode is STUBBED (this container has no image/audio
- * libraries): `decodeStub` derives deterministic fake features from the
- * bytes. Everything around it — the schema, the batch shape (mapPartitions
- * with an iterator, so one task streams many payloads without
- * collect), the partitioning story — is the real production layout; swapping
- * `decodeStub` for a JNI/FFI decoder changes no plumbing.
+ * PNG payloads get a REAL decode via javax.imageio (pure JVM — see
+ * [[pngAssetsFromDocuments]] for the encode→decode round trip the oracle
+ * certifies). Audio/video decode is STUBBED (this container has no such
+ * codecs): `decodeStub` derives deterministic fake features from the
+ * bytes. Everything around both — the schema, the batch shape
+ * (mapPartitions with an iterator, so one task streams many payloads
+ * without collect), the partitioning story — is the real production
+ * layout; swapping `decodeStub` for a JNI/FFI decoder changes no plumbing.
  */
 object Multimodal {
 
@@ -41,9 +43,51 @@ object Multimodal {
       (pmod(col("doc_id"), lit(768)) + 32).cast("int").as("meta_height"),
       (col("n_chars") * 10).cast("long").as("meta_duration_ms"))
 
+  /**
+   * PNG asset table: each image row carries a REAL PNG payload encoded with
+   * javax.imageio (pure JVM, no native codecs) from a deterministic
+   * gray-value formula on doc_id — pixel (x,y) of asset a has value
+   * (a·31 + x·7 + y·13) mod 256, width (a mod 7)+1, height (a mod 5)+1.
+   * The formula is SQL-expressible, so decoded dimensions and exact pixel
+   * sums are hash-checkable by the DuckDB oracle even though the bytes
+   * round-trip through a real encoder the oracle cannot run.
+   */
+  def pngAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val png = udf { (id: Long) =>
+      val w = (id % 7).toInt + 1
+      val h = (id % 5).toInt + 1
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = ((id * 31 + x * 7 + y * 13) % 256).toInt
+          img.setRGB(x, y, (v << 16) | (v << 8) | v)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(
+        col("doc_id").as("asset_id"),
+        lit("image").as("modality"),
+        png(col("doc_id")).as("payload"),
+        lit("image/png").as("mime"),
+        (pmod(col("doc_id"), lit(7)) + 1).cast("int").as("meta_width"),
+        (pmod(col("doc_id"), lit(5)) + 1).cast("int").as("meta_height"),
+        lit(null).cast("long").as("meta_duration_ms"))
+  }
+
   case class AssetFeatures(asset_id: Long, modality: String, n_bytes: Long,
       byte_mean: Double, byte_entropy: Double, frames_sampled: Int,
-      feature: Array[Double])
+      feature: Array[Double], decoded_width: Option[Int] = None,
+      decoded_height: Option[Int] = None, px_sum: Option[Long] = None,
+      n_px: Option[Long] = None)
 
   /**
    * DETERMINISTIC FAKE of the decode step (clearly marked stub): byte
@@ -65,24 +109,55 @@ object Multimodal {
     (sum / n, entropy, feature)
   }
 
-  /** Extract features from every asset, one partition-local pass. */
+  /** REAL decode for PNG payloads via javax.imageio (pure JVM): decoded
+    * dimensions plus the exact integer sum of gray pixel values (red
+    * channel; the generator writes r=g=b). Returns None on decode failure
+    * rather than throwing — a corrupt asset must not kill a 100 TB scan. */
+  private def decodePng(payload: Array[Byte]): Option[(Int, Int, Long, Long)] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { sum += (img.getRGB(x, y) >> 16) & 0xff; x += 1 }
+          y += 1
+        }
+        Some((w, h, sum, w.toLong * h))
+      }
+    } catch { case _: Throwable => None }
+
+  /** Extract features from every asset, one partition-local pass. PNG
+    * payloads (mime image/png) get a REAL javax.imageio decode —
+    * decoded_width/height/px_sum/n_px populated; other modalities keep the
+    * clearly-marked byte-statistics stub (this container has no other
+    * codecs — the batch shape and schema are the production layout). */
   def extractFeatures(assets: DataFrame): DataFrame = {
     val spark = assets.sparkSession
     import spark.implicits._
-    assets.select("asset_id", "modality", "payload", "meta_duration_ms")
-      .as[(Long, String, Array[Byte], Long)]
+    val cols = assets.select(col("asset_id"), col("modality"), col("payload"),
+      coalesce(col("meta_duration_ms"), lit(0L)).as("meta_duration_ms"),
+      coalesce(col("mime"), lit("")).as("mime"))
+    cols.as[(Long, String, Array[Byte], Long, String)]
       .mapPartitions { it =>
         // per-partition init happens here in a real decoder (model load etc.)
-        it.map { case (id, modality, payload, durationMs) =>
+        it.map { case (id, modality, payload, durationMs, mime) =>
           val (mean, entropy, feature) = decodeStub(payload)
           val frames = modality match {
             case "video" => math.max(1, (durationMs / 1000L).toInt) // 1 fps sample
             case "audio" => math.max(1, (durationMs / 5000L).toInt)
             case _ => 1
           }
+          val decoded =
+            if (mime == "image/png" && payload != null) decodePng(payload) else None
           AssetFeatures(id, modality,
             if (payload == null) 0L else payload.length.toLong,
-            mean, entropy, frames, feature)
+            mean, entropy, frames, feature,
+            decoded.map(_._1), decoded.map(_._2), decoded.map(_._3),
+            decoded.map(_._4))
         }
       }.toDF()
   }

@@ -212,12 +212,16 @@ object TextFunctions {
    * then TakeOrderedAndProject — per-partition top-k, no global sort.
    */
   def topKBigrams(df: DataFrame, k: Int, text: String = "text"): DataFrame = {
-    val w = tokens(col(text))
+    // the token array is MATERIALIZED in its own projection first: inlining
+    // tokens(text) into the transform lambda makes every element_at re-split
+    // the document (O(len) per n-gram element instead of O(1) array access)
+    val w = col("__toks")
     val bigrams = when(size(w) >= 2,
         transform(sequence(lit(1), size(w) - 1),
           i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
       .otherwise(array().cast("array<string>"))
-    df.select(explode(bigrams).as("bigram"))
+    df.select(tokens(col(text)).as("__toks"))
+      .select(explode(bigrams).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("bigram")).limit(k)
   }
@@ -378,16 +382,64 @@ object TextFunctions {
   def topKNgrams(df: DataFrame, n: Int, k: Int, idCol: String = "doc_id",
       text: String = "text"): DataFrame = {
     require(n >= 1, "n must be positive")
-    val w = tokens(col(text))
+    // token array materialized in its own projection — see topKBigrams
+    val w = col("__toks")
     val grams = when(size(w) >= n,
         transform(sequence(lit(1), size(w) - (n - 1)),
           i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol), explode(grams).as("ngram"))
+    df.select(col(idCol), tokens(col(text)).as("__toks"))
+      .select(col(idCol), explode(grams).as("ngram"))
       .groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("__c"))
       .groupBy(col("ngram"))
       .agg(sum(col("__c")).cast("long").as("n"),
         count(lit(1)).cast("long").as("n_docs"))
+      .orderBy(col("n").desc, col("ngram")).limit(k)
+  }
+
+  /**
+   * [[topKNgrams]] with a frequent-candidate pre-filter for corpora whose
+   * distinct-n-gram volume makes the exact (doc, ngram) aggregation the
+   * dominant shuffle: occurrences are first hashed into a BOUNDED-width
+   * bucket count (map-side partial agg ⇒ at most `width` rows shuffle per
+   * partition regardless of corpus size), and only n-grams whose bucket
+   * count reaches `minCount` are exact-counted.
+   *
+   * Contract: a bucket count OVERestimates every member n-gram's true count
+   * (collisions only add), so the candidate set is a strict superset of the
+   * n-grams with true count ≥ minCount — the result is IDENTICAL to
+   * [[topKNgrams]] whenever the true k-th count ≥ minCount, and the
+   * pre-filter can only drop n-grams rarer than that. Pick minCount as the
+   * support floor below which a "top" n-gram is meaningless.
+   */
+  def topKNgramsSketched(df: DataFrame, n: Int, k: Int, minCount: Long = 5,
+      width: Int = 1 << 20, idCol: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(n >= 1, "n must be positive")
+    // token array materialized in its own projection — see topKBigrams
+    val w = col("__toks")
+    val grams = when(size(w) >= n,
+        transform(sequence(lit(1), size(w) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+    val exploded = df.select(col(idCol), tokens(col(text)).as("__toks"))
+      .select(col(idCol), explode(grams).as("ngram"))
+    val bucket = pmod(xxhash64(col("ngram")), lit(width.toLong))
+    // pass 1: bounded-width occurrence sketch; the shuffle carries at most
+    // `width` rows per map partition however large the corpus is
+    val hot = exploded.groupBy(bucket.as("__b"))
+      .agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") >= minCount)
+      .select(col("__b"))
+    // pass 2: exact-count only the candidates (un-hinted join — `hot` is
+    // bounded by `width`, AQE broadcasts it when it fits)
+    exploded.withColumn("__b", bucket)
+      .join(hot, "__b")
+      .groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("ngram"))
+      .agg(sum(col("__c")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_docs"))
+      .filter(col("n") >= minCount)
       .orderBy(col("n").desc, col("ngram")).limit(k)
   }
 

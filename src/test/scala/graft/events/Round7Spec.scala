@@ -108,6 +108,28 @@ class Round7Spec extends AnyFunSuite with Matchers with SparkTestSession {
     out shouldBe Array(("a b c d e", 2L, 2L), ("b c d e f", 1L, 1L))
   }
 
+  test("topKNgramsSketched equals the exact path above its support floor") {
+    val s = spark
+    import s.implicits._
+    val docs = (1 to 40).map { i =>
+      // "common phrase one two three" appears in every doc; per-doc noise
+      // n-grams appear once each and sit below any support floor > 1
+      (i.toLong, s"common phrase one two three noise$i a b c d")
+    }.toDF("doc_id", "text")
+    val exact = TextFunctions.topKNgrams(docs, n = 5, k = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val sketched = TextFunctions.topKNgramsSketched(docs, n = 5, k = 5,
+        minCount = 2, width = 1 << 12).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // every exact top-5 entry with count >= minCount must appear identically
+    sketched shouldBe exact.filter(_._2 >= 2)
+    // and with minCount = 1 the two paths are exactly identical
+    val sketchedAll = TextFunctions.topKNgramsSketched(docs, n = 5, k = 5,
+        minCount = 1, width = 1 << 12).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    sketchedAll shouldBe exact
+  }
+
   test("qualityTierSample keeps every high-tier doc and is deterministic") {
     val s = spark
     import s.implicits._
