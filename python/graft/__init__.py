@@ -27,7 +27,7 @@ extensions registered::
         key="key", ts="day_us", value="value")
 """
 
-from . import functions, index, io, models, session, sim, text, timeseries
+from . import functions, index, io, models, multimodal, session, sim, text, timeseries
 
 __all__ = [
     "events", "functions", "index", "io", "models", "session", "sim", "text",

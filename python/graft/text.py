@@ -162,6 +162,22 @@ def top_k_ngrams(df, n, k, id_col="doc_id", text="text"):
         df._jdf, int(n), int(k), id_col, text))
 
 
+def top_k_ngrams_sketched(df, n, k, min_count=5, width=1 << 20,
+                          id_col="doc_id", text="text"):
+    """top_k_ngrams with a bounded-width frequent-candidate pre-filter;
+    identical result whenever the true k-th count reaches min_count."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.topKNgramsSketched(
+        df._jdf, int(n), int(k), int(min_count), int(width), id_col, text))
+
+
+def zipf_fit(df, text="text"):
+    """Zipf-law OLS of ln(frequency) on ln(rank) over the corpus vocabulary
+    (distributed rank — no single-partition window)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.zipfFit(df._jdf, text))
+
+
 def quality_tier_sample(df, hi_threshold=0.85, mid_threshold=0.78,
                         hi_rate=1.0, mid_rate=0.25, low_rate=0.0625,
                         id_col="doc_id", text="text"):

@@ -85,6 +85,22 @@ def main() -> int:
     assert red.filter(F.col("n_redactions") > 0).count() > 0
     samp = graft.text.hash_sample(docs, "4")
     assert 0 < samp.count() < n_docs
+    ng_exact = graft.text.top_k_ngrams(docs, 5, 10)
+    ng_sk = graft.text.top_k_ngrams_sketched(docs, 5, 10, min_count=1,
+                                             width=1 << 16)
+    assert [tuple(r) for r in ng_sk.collect()] == \
+        [tuple(r) for r in ng_exact.collect()]
+    zf = graft.text.zipf_fit(docs).first()
+    assert zf["n_vocab"] > 0 and zf["zipf_slope"] < 0
+
+    # ---- multimodal: real PNG decode round trip ----
+    feats = graft.multimodal.extract_features(
+        graft.multimodal.png_assets_from_documents(docs))
+    bad = feats.filter(
+        (F.col("decoded_width") != F.col("asset_id") % 7 + 1)
+        | (F.col("decoded_height") != F.col("asset_id") % 5 + 1)
+        | F.col("px_sum").isNull()).count()
+    assert bad == 0 and feats.count() > 0
 
     # ---- round-4 ops: clustering, repetition, sampling, embeddings ----
     pairs = spark.createDataFrame([(0, 1), (1, 2)], ["id_a", "id_b"])
