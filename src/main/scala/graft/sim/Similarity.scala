@@ -135,8 +135,105 @@ object Similarity {
   }
 
   /**
+   * Deterministic Lloyd's k-means on a DRIVER-LOCAL bounded sample —
+   * the codebook/quantizer trainer for IVF and PQ. Training on a capped
+   * sample is the standard ANN design (the codebook describes the
+   * distribution, not the corpus): the sample is bounded (`maxRows` cap
+   * upstream), so the fit is O(sample) regardless of corpus size, and
+   * running it driver-local replaces ~10 Lloyd rounds of cluster-wide
+   * job scheduling (2 barriers per round) with microseconds of math.
+   *
+   * Deterministic: seeded k-means++ init (java.util.Random's stream is
+   * specified), nearest-center ties break to the lowest index, an emptied
+   * cluster re-seeds to the point farthest from its center.
+   */
+  private[sim] def localKMeans(points: Array[Array[Double]], k: Int,
+      seed: Long, maxIter: Int = 20): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means needs at least one point")
+    val n = points.length
+    val dim = points(0).length
+    val rnd = new java.util.Random(seed)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+      s
+    }
+    // k-means++ seeding
+    val centers = new Array[Array[Double]](k)
+    centers(0) = points(rnd.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      var tot = 0.0
+      var i = 0
+      while (i < n) {
+        val d = d2(points(i), centers(c - 1))
+        if (d < minD(i)) minD(i) = d
+        tot += minD(i)
+        i += 1
+      }
+      var pick = rnd.nextDouble() * tot
+      var j = 0
+      while (j < n - 1 && pick > minD(j)) { pick -= minD(j); j += 1 }
+      centers(c) = points(j).clone()
+      c += 1
+    }
+    // Lloyd iterations
+    val assign = new Array[Int](n)
+    var it = 0
+    var moved = true
+    while (it < maxIter && moved) {
+      moved = false
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue
+        var j = 0
+        while (j < k) {
+          val d = d2(points(i), centers(j))
+          if (d < bestD) { bestD = d; best = j } // strict < : ties → lowest j
+          j += 1
+        }
+        if (assign(i) != best) { assign(i) = best; moved = true }
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); counts(a) += 1
+        var x = 0
+        while (x < dim) { sums(a)(x) += points(i)(x); x += 1 }
+        i += 1
+      }
+      var j = 0
+      while (j < k) {
+        if (counts(j) > 0) {
+          var x = 0
+          while (x < dim) { sums(j)(x) /= counts(j); x += 1 }
+          centers(j) = sums(j)
+        } else {
+          // deterministic re-seed: the point farthest from its own center
+          var far = 0; var farD = -1.0
+          var p = 0
+          while (p < n) {
+            val d = d2(points(p), centers(assign(p)))
+            if (d > farD) { farD = d; far = p }
+            p += 1
+          }
+          centers(j) = points(far).clone()
+          moved = true
+        }
+        j += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /**
    * IVF (inverted-file) approximate top-k: a coarse k-means quantizer
-   * (spark.ml KMeans) assigns every corpus vector to one of `nlist` cells;
+   * ([[localKMeans]] on a bounded uniform sample) assigns every corpus
+   * vector to one of `nlist` cells;
    * each query probes its `nprobe` nearest centroids and ranks only those
    * cells' members by exact cosine. The scale path for clustered embedding
    * spaces: cost ~ corpus/nlist * nprobe per query instead of the full scan.
@@ -144,32 +241,38 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
       nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L, quantizerMaxRows: Int = 100000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val toD = (c: Column) => transform(c, x => x.cast("double"))
     val c = corpus.select(col(idCol).as("neighbor_id"), toD(col(vecCol)).as("nv"))
       .withColumn("nn", norm(col("nv")))
-      .withColumn("features", array_to_vector(col("nv")))
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
     // the coarse quantizer only needs a bounded input, but a UNIFORM one:
     // limit() reads whichever partitions come first, so at scale the
     // quantizer would train on one shard's distribution. Below the cap the
     // full corpus is used (results unchanged); above it, a seeded uniform
     // sample (oversampled 20%, then capped) keeps the fit cost constant in
     // corpus size without the partition-order bias.
-    val feats = c.select("features")
+    val feats = c.select("nv")
     val nCorpus = feats.count()
     val fitInput =
       if (nCorpus <= quantizerMaxRows) feats
       else feats.sample(withReplacement = false,
         math.min(1.0, quantizerMaxRows * 1.2 / nCorpus), seed).limit(quantizerMaxRows)
-    val model = km.fit(fitInput)
-    val assigned = model.transform(c).withColumnRenamed("prediction", "cell")
-      .select("neighbor_id", "nv", "nn", "cell")
-    // query -> its nprobe nearest centroids (centroid list is tiny: driver math)
-    val centroids = model.clusterCenters.map(_.toArray).zipWithIndex
+    // bounded sample → driver-local deterministic Lloyd (see localKMeans)
+    val trainPts = fitInput.collect().map(_.getSeq[Double](0).toArray)
+    val centers = localKMeans(trainPts, nlist, seed)
+    val centroids = centers.zipWithIndex
     val spark = corpus.sparkSession
     val bcCentroids = spark.sparkContext.broadcast(centroids)
+    val assignCell = udf { (v: Seq[Double]) =>
+      var best = 0; var bestD = Double.MaxValue
+      for ((ctr, cell) <- bcCentroids.value) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = cell }
+      }
+      best
+    }
+    val assigned = c.withColumn("cell", assignCell(col("nv")))
+      .select("neighbor_id", "nv", "nn", "cell")
     val probeCells = udf { (v: Seq[Double]) =>
       bcCentroids.value.map { case (ctr, cell) =>
         var d = 0.0
@@ -217,39 +320,25 @@ object Similarity {
       codebookSize: Int = 16, rerank: Int = 50, idCol: String = "vec_id",
       vecCol: String = "embedding", seed: Long = 42L,
       trainMaxRows: Int = 100000): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("neighbor_id"), normalized(col(vecCol)).as("nv"))
     val nCorpus = c.count()
-    val trainDf = (if (nCorpus <= trainMaxRows) c
+    // bounded uniform sample, collected ONCE; the m sub-codebooks train
+    // driver-locally (see localKMeans — one pass of cluster work replaces
+    // m × 10 Lloyd rounds of job scheduling)
+    val trainPts = (if (nCorpus <= trainMaxRows) c
       else c.sample(withReplacement = false,
         math.min(1.0, trainMaxRows * 1.2 / nCorpus), seed).limit(trainMaxRows))
-      .select(col("nv")).cache() // m sub-fits reuse the sample
-    val dim = trainDf.select(size(col("nv"))).first().getInt(0)
+      .select(col("nv")).collect().map(_.getSeq[Double](0).toArray)
+    require(trainPts.nonEmpty, "PQ needs a non-empty corpus")
+    val dim = trainPts(0).length
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val sub = dim / m
-    // the m sub-quantizer fits are independent and each is a chain of tiny
-    // jobs (10 Lloyd rounds over the cached sample) — run them CONCURRENTLY
-    // so wall-clock is one fit's scheduler latency, not m of them. Each fit
-    // is seeded and reads the same cached sample, so results are identical
-    // to the sequential order (the frozen sf0.01 golden does not move).
-    val codebooks: Array[Array[Array[Double]]] = {
-      import scala.concurrent.{Await, Future, blocking}
-      import scala.concurrent.duration._
-      import scala.concurrent.ExecutionContext.Implicits.global
-      val fits = (0 until m).map { b => Future { blocking {
-        val feats = trainDf
-          .select(array_to_vector(slice(col("nv"), b * sub + 1, sub)).as("features"))
-        new KMeans().setK(codebookSize).setSeed(seed + b).setMaxIter(10)
-          .fit(feats).clusterCenters.map(_.toArray)
-      }}}
-      // blocking{} lets the global pool grow past its CPU-count cap so the m
-      // Spark-job-blocked fits can't starve it; the finite deadline turns a
-      // hung job into a loud error instead of a forever-stuck driver thread
-      Await.result(Future.sequence(fits), 30.minutes).toArray
-    }
-    trainDf.unpersist()
+    val codebooks: Array[Array[Array[Double]]] =
+      (0 until m).toArray.map { b =>
+        val subPts = trainPts.map(v => java.util.Arrays.copyOfRange(v, b * sub, (b + 1) * sub))
+        localKMeans(subPts, codebookSize, seed + b)
+      }
     val bc = spark.sparkContext.broadcast(codebooks)
     val mLocal = m; val subLocal = sub; val cbLocal = codebookSize
     val encode = udf { (v: Seq[Double]) =>
