@@ -15,7 +15,8 @@ object RegenGoldens {
     "dd06_embedding_neardup" -> Seq("id_a", "id_b", "cosine"),
     "sm02_knn_lsh" -> Seq("query_id", "rank", "neighbor_id", "cosine"),
     "sm03_knn_ivf" -> Seq("query_id", "rank", "neighbor_id", "cosine"),
-    "sm04_knn_pq" -> Seq("query_id", "rank", "neighbor_id", "cosine"))
+    "sm04_knn_pq" -> Seq("query_id", "rank", "neighbor_id", "cosine"),
+    "sp01_spline_series" -> Seq("key", "day_us", "value"))
 
   private def fmt(v: Any): String = v match {
     case d: Double => f"$d%.6f"

@@ -79,6 +79,15 @@ class GoldenSpec extends AnyFunSuite with SparkTestSession {
       Seq("query_id", "rank", "neighbor_id", "cosine"))
   }
 
+  test("sp01 spline pipeline matches the frozen sf0.01 golden") {
+    // the spline KERNEL is driver-certified by mr12's closed-form literals;
+    // this pins the full daily-resample -> conform -> fill -> melt pipeline
+    // (not SQL-expressible: DuckDB has no natural-cubic interpolator)
+    check("sp01_spline_series",
+      SparkEntry.queries("sp01_spline_series")(spark, sfDir),
+      Seq("key", "day_us", "value"))
+  }
+
   test("sm04 PQ top-k matches the frozen sf0.01 golden") {
     check("sm04_knn_pq",
       SparkEntry.queries("sm04_knn_pq")(spark, sfDir),
