@@ -201,3 +201,10 @@ def bigram_logprob(df, id_col="doc_id", text="text"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.text.TextFunctions.bigramLogProb(
         df._jdf, id_col, text))
+
+
+def lm_perplexity_gate(df, max_perplexity, id_col="doc_id", text="text"):
+    """CCNet-style LM quality gate: keep flag from bigram perplexity."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.lmPerplexityGate(
+        df._jdf, float(max_perplexity), id_col, text))

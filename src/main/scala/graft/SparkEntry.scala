@@ -975,6 +975,12 @@ object SparkEntry {
     "tx17_bigram_logprob" -> ((s, dir) =>
       // corpus bigram-LM conditional perplexity proxy per document
       graft.text.TextFunctions.bigramLogProb(Tables.documents(s, dir))),
+    "tx19_perplexity_gate" -> ((s, dir) =>
+      // CCNet-style LM quality gate: keep docs whose bigram perplexity is
+      // at most 30 (corpus median ≈ 29.5 at sf0.01 — a non-trivial split);
+      // the flag compares the ROUNDED perplexity, engine-stable
+      graft.text.TextFunctions.lmPerplexityGate(Tables.documents(s, dir),
+        maxPerplexity = 30.0)),
 
     // ---------------- round-6 cont.: drift/LRD/OU diagnostics, data
     // quality, embedding health ----------------
@@ -2290,6 +2296,25 @@ object SparkEntry {
          FROM c JOIN v USING (bigram)
            JOIN pv ON string_split(bigram, ' ')[1] = pv.w1
          GROUP BY doc_id""",
+    "tx19_perplexity_gate" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+           FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+         c AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         v AS (SELECT bigram, sum(cnt) AS cb FROM c GROUP BY bigram),
+         pv AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(cb) AS cu
+           FROM v GROUP BY 1),
+         d AS (SELECT doc_id, sum(cnt)::BIGINT AS n_bigrams,
+             round(-sum(cnt * ln(cb::DOUBLE / cu)) / sum(cnt), 6)
+               AS avg_neg_logprob
+           FROM c JOIN v USING (bigram)
+             JOIN pv ON string_split(bigram, ' ')[1] = pv.w1
+           GROUP BY doc_id)
+         SELECT doc_id, n_bigrams, avg_neg_logprob,
+           round(exp(avg_neg_logprob), 6) AS perplexity,
+           round(exp(avg_neg_logprob), 6) <= 30.0 AS keep
+         FROM d""",
     "m27_ks_drift" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events
                     WHERE value IS NOT NULL),

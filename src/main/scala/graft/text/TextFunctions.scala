@@ -313,6 +313,27 @@ object TextFunctions {
   }
 
   /**
+   * LM-perplexity quality gate (the CCNet-style filter): per-document
+   * bigram perplexity exp(H) from [[bigramLogProb]]'s self-trained corpus
+   * LM, gated against a caller-fixed threshold. Low perplexity = fluent,
+   * in-distribution text; high = noise, boilerplate soup, or wrong
+   * language. The gate compares the 6-decimal-ROUNDED perplexity so the
+   * keep flag is engine-stable (raw doubles from two engines' exp/ln can
+   * differ in the last ULP; a 1e-6 bucket cannot flip an inequality unless
+   * the threshold itself is chosen adversarially).
+   *
+   * Same scale shape as [[bigramLogProb]] (two keyed aggs + two joins);
+   * the gate adds a narrow map.
+   */
+  def lmPerplexityGate(df: DataFrame, maxPerplexity: Double,
+      idCol: String = "doc_id", text: String = "text"): DataFrame =
+    bigramLogProb(df, idCol, text)
+      .withColumn("perplexity", round(exp(col("avg_neg_logprob")), 6))
+      .withColumn("keep", col("perplexity") <= maxPerplexity)
+      .select(col(idCol), col("n_bigrams"), col("avg_neg_logprob"),
+        col("perplexity"), col("keep"))
+
+  /**
    * Per-document top-k TF-IDF terms (tfidf = tf · ln(N / df), ranked on the
    * 6-decimal-rounded score with the token string as tie-break): the
    * keyword-extraction primitive. Ranking on the ROUNDED score is what makes

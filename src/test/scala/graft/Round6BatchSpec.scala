@@ -217,4 +217,24 @@ class Round6BatchSpec extends AnyFunSuite with Matchers with SparkTestSession {
     c.getAs[Long]("n_bigrams") shouldBe 5L
     c.getAs[Double]("avg_neg_logprob") shouldBe (0.0 +- 1e-12)
   }
+
+  test("lmPerplexityGate keeps fluent docs and flags high-perplexity ones") {
+    val s = spark
+    import s.implicits._
+    // joint corpus LM: cb(a b)=4, cb(b a)=2, cb(a c)=1; cu(a)=5, cu(b)=2.
+    // doc1: round(-(3 ln(4/5))/5, 6) = .133886 -> perp 1.143262 (keep)
+    // doc2: single "a b" at P=4/5 -> perp 1.25 (keep)
+    // doc3: single "a c" at P=1/5 -> perp 5.0 (drop at threshold 1.5)
+    val df = Seq((1L, "a b a b a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val out = graft.text.TextFunctions.lmPerplexityGate(df, maxPerplexity = 1.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Double]("perplexity"), r.getAs[Boolean]("keep"))).toMap
+    out(1L)._1 shouldBe (1.143262 +- 1e-6)
+    out(1L)._2 shouldBe true
+    out(2L)._1 shouldBe (1.25 +- 1e-6)
+    out(2L)._2 shouldBe true
+    out(3L)._1 shouldBe (5.0 +- 1e-6)
+    out(3L)._2 shouldBe false
+  }
 }
