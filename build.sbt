@@ -33,9 +33,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-  // 120+ benched queries generate enough whole-stage-codegen classes to fill
+  // 150+ benched queries generate enough whole-stage-codegen classes to fill
   // the default ~240m code cache; once it fills the JIT disables and late
   // CPU-bound kernels run interpreted (m16 benched 28s in-suite vs 2.4s
-  // isolated). Reserve enough that the compiler never turns off.
-  "-XX:ReservedCodeCacheSize=512m",
+  // isolated). 512m moved the cliff but BENCH_r07 still showed the m-block
+  // 4-9x slower mid-suite with later blocks recovering — the signature of a
+  // code-cache flush storm, not permanent exhaustion. 1g + explicit
+  // flushing (+ Bench's untimed per-block System.gc() unloading evicted
+  // codegen classes) keeps the compiler on for the whole suite.
+  "-XX:ReservedCodeCacheSize=1g",
+  "-XX:+UseCodeCacheFlushing",
 )

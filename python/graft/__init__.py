@@ -30,7 +30,7 @@ extensions registered::
 from . import functions, index, io, models, multimodal, session, sim, text, timeseries
 
 __all__ = [
-    "events", "functions", "index", "io", "models", "session", "sim", "text",
-    "timeseries",
+    "events", "functions", "index", "io", "models", "multimodal", "session",
+    "sim", "text", "timeseries",
 ]
 __version__ = "0.4.0"

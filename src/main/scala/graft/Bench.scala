@@ -27,7 +27,16 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1).filter { case (n, _) =>
       only.forall(_.exists(matches(_, n)))
     }
+    // 150+ benched plans generate enough codegen classes that evicted ones
+    // linger until a full GC unloads their classloaders; under sustained
+    // pressure the code cache hits its flush threshold mid-suite and the
+    // m-block ran 4-9x slower than isolated (BENCH_r07). A full GC at each
+    // id-prefix block boundary (UNTIMED — between queries) unloads dead
+    // generated classes before pressure builds.
+    var lastBlock = ""
     val results = selected.map { case (name, fn) =>
+      val block = name.takeWhile(!_.isDigit)
+      if (block != lastBlock) { lastBlock = block; System.gc() }
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err: Option[String] =
@@ -40,14 +49,17 @@ object Bench {
       // single-run timings are noisy under a loaded host (a GC/IO hiccup once
       // recorded a 14x outlier, and first runs absorb per-query codegen);
       // every query runs 3x and reports the MEDIAN — unless the first run is
-      // already so slow that repeating it would blow the round budget
+      // already so slow that repeating it would blow the round budget.
+      // The FIRST run is kept alongside the median so a round-over-round
+      // regression can be split into codegen/startup noise (first >> median)
+      // vs a real operator slowdown (median moved) without a re-run.
       val (s1, err) = once()
       val secs =
         if (err.isDefined || s1 > 30.0) s1
         else Seq(s1, once()._1, once()._1).sorted.apply(1)
       val tag = if (err.isDefined) " FAILED" else ""
       System.err.println(f"[bench] $name%-28s $secs%8.2f s (first $s1%.2f)$tag")
-      (name, secs, err)
+      (name, secs, s1, err)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -57,27 +69,65 @@ object Bench {
     } + "\""
     // explicit locale: the f-interpolator uses the JVM default, which under a
     // comma-decimal locale (de_DE) would emit 62,800 — unparseable JSON
-    def f3(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"$k\":${jstr(e)}" }
-      .mkString("{", ",", "}")
-    val failed = results.count(_._3.isDefined)
+    def fmt(v: Double, dp: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+    val failed = results.count(_._4.isDefined)
     val total = results.map(_._2).sum
-    val header = s""""metric":"total","value":${f3(total)},"unit":"sec""""
-    val footer = s""""failed":$failed,"errors":$errs,"sf":"$sfDir""""
-    // The harness keeps only the last ~2000 chars of stdout; with 80+ queries
-    // a full-name line head-truncates there into unparseable JSON (every
-    // BENCH_r{1..4} artifact has "parsed": null). The ONE stdout line keys
-    // queries by their unique id prefix (ts01_lag -> ts01) so it always fits;
-    // the full-name variant goes to stderr for humans (full names are also in
-    // CORRECTNESS_r*.json and COVERAGE.md).
-    System.err.println(s"""{$header,"queries":$qs,$footer}""")
-    val short = results.map { case (k, v, e) => (k.takeWhile(_ != '_'), v, e) }
-    val keys =
-      if (short.map(_._1).distinct.size == results.size) short else results
-    val qsShort = keys.map { case (k, v, _) => s"\"$k\":${f3(v)}" }.mkString("{", ",", "}")
-    println(s"""{$header,"n_queries":${results.size},"queries":$qsShort,$footer}""")
+    // full-fidelity artifact (every query, full name, first AND median) goes
+    // to a FILE — the stdout channel is tail-capture-bounded (see below) and
+    // must never be the only home of per-query history again (BENCH_r07
+    // lost the round's medians to truncation)
+    val detail = results.map { case (k, med, first, e) =>
+      s"${jstr(k)}:{\"median\":${fmt(med, 3)},\"first\":${fmt(first, 3)}" +
+        e.map(m => s",\"error\":${jstr(m)}").getOrElse("") + "}"
+    }.mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":${jstr(sfDir)},"queries":$detail}"""
+    try {
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get("bench_detail.json"), detailJson + "\n")
+      System.err.println(s"[bench] full detail -> bench_detail.json (${detailJson.length} chars)")
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] could not write bench_detail.json: ${e.getMessage}")
+    }
+    // code-cache telemetry for the suite-degradation watch (BENCH_r07's
+    // m-block): if used approaches max, raise ReservedCodeCacheSize again
+    import scala.jdk.CollectionConverters._
+    for (p <- java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+         if p.getName.contains("CodeHeap") || p.getName.contains("Code Cache")) {
+      val u = p.getUsage
+      System.err.println(f"[bench] ${p.getName}%-32s used ${u.getUsed / 1e6}%8.1f MB  max ${u.getMax / 1e6}%8.1f MB")
+    }
+    // The harness keeps only the last ~2000 chars of stdout; the ONE stdout
+    // line must parse even after 160+ queries. Entries are keyed by the
+    // unique id prefix (ts01_lag -> ts01), valued by the 2-decimal median,
+    // and emitted LARGEST FIRST under a hard character budget — anything
+    // that doesn't fit is summed into "other" (tiny certification queries,
+    // typically) with the dropped count in "n_other". Full per-query data
+    // lives in bench_detail.json and on stderr.
+    val header = s""""metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size}"""
+    val errs = results.collect { case (k, _, _, Some(e)) =>
+      s"${jstr(k.takeWhile(_ != '_'))}:${jstr(e.take(60))}" }.mkString("{", ",", "}")
+    val footer = s""""failed":$failed""" +
+      (if (failed > 0) s""","errors":$errs""" else "") +
+      s""","sf":${jstr(sfDir.split('/').last)}"""
+    val short = results.map { case (k, v, _, _) => (k.takeWhile(_ != '_'), v) }
+    val keyed = if (short.map(_._1).distinct.size == results.size) short
+                else results.map { case (k, v, _, _) => (k, v) }
+    val budget = 1800 - header.length - footer.length - 40 // slack for braces/other
+    val bySize = keyed.sortBy(-_._2)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    var used = 0
+    var otherSum = 0.0
+    var otherN = 0
+    for ((k, v) <- bySize) {
+      val e = s"\"$k\":${fmt(v, 2)}"
+      if (used + e.length + 1 <= budget) { entries += e; used += e.length + 1 }
+      else { otherSum += v; otherN += 1 }
+    }
+    if (otherN > 0) entries += s"\"other\":${fmt(otherSum, 2)}"
+    val nOther = if (otherN > 0) s""","n_other":$otherN""" else ""
+    println(s"""{$header$nOther,"queries":${entries.mkString("{", ",", "}")},$footer}""")
     spark.stop()
     if (failed > 0) {
       System.err.println(s"[bench] $failed quer${if (failed == 1) "y" else "ies"} FAILED")

@@ -580,6 +580,16 @@ object SparkEntry {
     "mr10_stationarity_decisions" -> ((s, _) => graft.models.Recovery.stationarity(s)),
     "mr11_lm_test_decisions" -> ((s, _) => graft.models.Recovery.lmTests(s)),
     "mr12_spline_recover" -> ((s, _) => graft.models.Recovery.spline(s)),
+
+    // ---------------- round-8: in-query recall certification of the
+    // approximate sm/dd surface (the mr* pattern for ANN/near-dup — exact
+    // answer computed in the same query, bounds hash-checked) ----------------
+    "rc01_lsh_recall" -> ((s, dir) => graft.sim.Recall.lsh(s, dir)),
+    "rc02_ivf_recall" -> ((s, dir) => graft.sim.Recall.ivf(s, dir)),
+    "rc03_pq_recall" -> ((s, dir) => graft.sim.Recall.pq(s, dir)),
+    "rc04_minhash_recall" -> ((s, dir) => graft.sim.Recall.minhash(s, dir)),
+    "rc05_simhash_recall" -> ((s, dir) => graft.sim.Recall.simhash(s, dir)),
+    "rc06_embneardup_recall" -> ((s, dir) => graft.sim.Recall.embedding(s, dir)),
     "m18_ljungbox_stat" -> ((s, dir) =>
       // the Ljung-Box STATISTIC is SQL-expressible (autocovariance windows),
       // so this slice of m08 gets a hash-checked oracle; the p-value
@@ -2414,6 +2424,12 @@ object SparkEntry {
     "mr09_arimax_recover" -> graft.models.Recovery.oracleFor("arimax"),
     "mr10_stationarity_decisions" -> graft.models.Recovery.oracleFor("stationarity"),
     "mr11_lm_test_decisions" -> graft.models.Recovery.oracleFor("lm_tests"),
-    "mr12_spline_recover" -> graft.models.Recovery.oracleFor("spline")
+    "mr12_spline_recover" -> graft.models.Recovery.oracleFor("spline"),
+    "rc01_lsh_recall" -> graft.sim.Recall.oracleFor("lsh"),
+    "rc02_ivf_recall" -> graft.sim.Recall.oracleFor("ivf"),
+    "rc03_pq_recall" -> graft.sim.Recall.oracleFor("pq"),
+    "rc04_minhash_recall" -> graft.sim.Recall.oracleFor("minhash"),
+    "rc05_simhash_recall" -> graft.sim.Recall.oracleFor("simhash"),
+    "rc06_embneardup_recall" -> graft.sim.Recall.oracleFor("embedding")
   )
 }

@@ -35,6 +35,12 @@ case class EWMAModel(smoothing: Double) extends TimeSeriesModel {
     out
   }
 
+  /** h-step SES forecast: flat at the last smoothed level (the SES
+    * forecast function is constant in the horizon). This is THE forecast
+    * path [[ModelOps.forecastEwma]] serves and mr03 certifies. */
+  def forecast(ts: Array[Double], h: Int): Array[Double] =
+    Array.fill(h)(addTimeDependentEffects(ts).last)
+
   /** Sum of squared one-step-ahead forecast errors Σ (x_t - s_{t-1})². */
   def sse(ts: Array[Double]): Double = {
     var s = ts(0)

@@ -247,9 +247,9 @@ object ModelOps {
     groupedWithTs(df, key, ts, value).flatMap { case (k, tss, vals) =>
       try {
         val m = EWMA.fitModel(vals)
-        val level = m.addTimeDependentEffects(vals).last
+        val fc = m.forecast(vals, h)
         val step = medianStep(tss)
-        (1 to h).map(i => ForecastPoint(k, i, tss.last + step * i, level))
+        (1 to h).map(i => ForecastPoint(k, i, tss.last + step * i, fc(i - 1)))
       } catch { case _: Throwable => Nil }
     }
   }

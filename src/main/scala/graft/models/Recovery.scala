@@ -91,12 +91,18 @@ object Recovery {
     }
     val m = EWMA.fitModel(ts)
     val smoothed = m.addTimeDependentEffects(ts)
-    // h-step SES forecast is flat at the last smoothed level
-    val fc = smoothed.last
+    // the REAL forecast path (EWMAModel.forecast, served by
+    // ModelOps.forecastEwma/m17) vs an independent recurrence for the last
+    // level — h values, all flat at that level
+    val fc = m.forecast(ts, 5)
+    var lvl = ts(0)
+    var i = 1
+    while (i < n) { lvl = m.smoothing * ts(i) + (1 - m.smoothing) * lvl; i += 1 }
+    val fcErr = fc.map(v => math.abs(v - lvl)).max
     Seq(
       ck(key, "alpha", m.smoothing, alpha, 0.08),
       Check(key, "alpha_in_unit", m.smoothing > 0 && m.smoothing < 1, 0.0),
-      Check(key, "forecast_flat", !fc.isNaN && math.abs(fc - smoothed.last) == 0.0, 0.0),
+      Check(key, "forecast_flat", fc.length == 5 && fcErr < 1e-9, fcErr),
       // round-trip: removeTimeDependentEffects inverts the smoother exactly
       Check(key, "inverse_roundtrip",
         m.removeTimeDependentEffects(smoothed).zip(ts).forall {

@@ -128,7 +128,7 @@ object Multimodal {
         }
         Some((w, h, sum, w.toLong * h))
       }
-    } catch { case _: Throwable => None }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Extract features from every asset, one partition-local pass. PNG
     * payloads (mime image/png) get a REAL javax.imageio decode —

@@ -212,7 +212,11 @@ object Similarity {
           while (x < dim) { sums(j)(x) /= counts(j); x += 1 }
           centers(j) = sums(j)
         } else {
-          // deterministic re-seed: the point farthest from its own center
+          // deterministic re-seed: the point farthest from its own center.
+          // Reassign the chosen point to this cluster immediately so a
+          // SECOND empty cluster in the same pass picks a different point
+          // (otherwise both reseed to the same farthest point and all but
+          // one stay empty forever).
           var far = 0; var farD = -1.0
           var p = 0
           while (p < n) {
@@ -221,6 +225,7 @@ object Similarity {
             p += 1
           }
           centers(j) = points(far).clone()
+          assign(far) = j
           moved = true
         }
         j += 1

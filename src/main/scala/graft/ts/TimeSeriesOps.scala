@@ -462,8 +462,9 @@ object TimeSeriesOps {
   }
 
   /** [[mapSeries]] with the series key visible to the transform closure
-    * (reference mapSeriesWithKey: TimeSeriesRDD.scala:255-260) — for
-    * key-dependent kernels (e.g. per-instrument calibration constants). */
+    * (reference mapSeriesWithKey: TimeSeries.scala:340 /
+    * JavaTimeSeries.scala:193) — for key-dependent kernels (e.g.
+    * per-instrument calibration constants). */
   def mapSeriesWithKey(df: DataFrame, f: (String, Array[Double]) => Array[Double],
       key: String = "key", seriesCol: String = "series"): DataFrame = {
     val fn = udf { (k: String, v: Seq[Double]) => f(k, v.toArray).toSeq }
