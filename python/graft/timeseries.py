@@ -397,3 +397,30 @@ def benford_deviation(df, key="key", value="value"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.ts.TimeSeriesOps.benfordDeviation(
         df._jdf, key, value))
+
+
+def map_series(df, fn, series_col="series"):
+    """Apply a whole-series Python transform to every key's series array
+    (reference map_series: python/sparkts/timeseriesrdd.py:77-94). ``df``
+    is in the series layout (see :func:`to_series`); ``fn`` maps a list of
+    floats to a same-length list of floats and runs executor-side as a
+    Python UDF — the py4j route cannot ship a Python closure to the JVM, so
+    this mirrors graft.ts.TimeSeriesOps.mapSeries's UDF shape in Python.
+    NaN-safe: the array is passed as-is, gaps included."""
+    from pyspark.sql import functions as F, types as T
+    u = F.udf(lambda v: None if v is None else [float(x) for x in fn(list(v))],
+              T.ArrayType(T.DoubleType()))
+    return df.withColumn(series_col, u(F.col(series_col)))
+
+
+def map_series_with_key(df, fn, key="key", series_col="series"):
+    """:func:`map_series` with the series key visible to the transform
+    (reference map_series_with_key surface: TimeSeries.scala:340 — the
+    Python bindings never exposed it; provided here for key-dependent
+    kernels such as per-instrument calibration constants).
+    ``fn(key, values) -> values``."""
+    from pyspark.sql import functions as F, types as T
+    u = F.udf(lambda k, v: None if v is None else [float(x) for x in fn(k, list(v))],
+              T.ArrayType(T.DoubleType()))
+    return df.withColumn(series_col,
+                         u(F.col(key).cast("string"), F.col(series_col)))

@@ -512,6 +512,15 @@ object SparkEntry {
         graft.multimodal.Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir)))
         .select(col("asset_id"), col("decoded_width"), col("decoded_height"),
           col("px_sum"), col("n_px"))),
+    "mm04_wav_decode" -> ((s, dir) =>
+      // REAL javax.sound.sampled decode certification (mm03's pattern for
+      // audio): deterministic 16-bit PCM WAVs from a closed-form sample
+      // formula, decoded through the JDK audio stack; frame count / rate /
+      // channels / exact sample sums vs the oracle's formula evaluation
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.wavAssetsFromDocuments(Tables.documents(s, dir)))
+        .select(col("asset_id"), col("decoded_samples"), col("sample_rate"),
+          col("channels"), col("sample_sum"))),
 
     // ---------------- round-2 additions: EWMA transform/forecast, coverage
     // filters, serial-correlation + heteroskedasticity tests, HW forecast ----
@@ -1380,6 +1389,16 @@ object SparkEntry {
          JOIN generate_series(0, 6) AS x(x) ON x.x <= d.doc_id % 7
          JOIN generate_series(0, 4) AS y(y) ON y.y <= d.doc_id % 5
          WHERE d.doc_id % 3 = 0
+         GROUP BY d.doc_id""",
+    "mm04_wav_decode" ->
+      """SELECT d.doc_id AS asset_id,
+           (d.doc_id % 50 + 10)::BIGINT AS decoded_samples,
+           8000::INT AS sample_rate,
+           1::INT AS channels,
+           sum((d.doc_id * 37 + i.i * 17) % 2003 - 1001)::BIGINT AS sample_sum
+         FROM documents d
+         JOIN generate_series(0, 58) AS i(i) ON i.i < d.doc_id % 50 + 10
+         WHERE d.doc_id % 3 = 1
          GROUP BY d.doc_id""",
     "mm01_multimodal_meta" ->
       """SELECT doc_id AS asset_id,

@@ -8,11 +8,12 @@ import org.apache.spark.sql.types._
  * Multimodal column plumbing: image/audio/video carried as opaque `BINARY`
  * payloads with typed metadata, processed in partition-local batches.
  *
- * PNG payloads get a REAL decode via javax.imageio (pure JVM — see
- * [[pngAssetsFromDocuments]] for the encode→decode round trip the oracle
- * certifies). Audio/video decode is STUBBED (this container has no such
- * codecs): `decodeStub` derives deterministic fake features from the
- * bytes. Everything around both — the schema, the batch shape
+ * PNG payloads get a REAL decode via javax.imageio and WAV payloads a REAL
+ * decode via javax.sound.sampled (both pure JVM — see
+ * [[pngAssetsFromDocuments]] / [[wavAssetsFromDocuments]] for the
+ * encode→decode round trips the oracle certifies). Video decode is STUBBED
+ * (this container has no video codecs): `decodeStub` derives deterministic
+ * fake features from the bytes. Everything around both — the schema, the batch shape
  * (mapPartitions with an iterator, so one task streams many payloads
  * without collect), the partitioning story — is the real production
  * layout; swapping `decodeStub` for a JNI/FFI decoder changes no plumbing.
@@ -83,11 +84,59 @@ object Multimodal {
         lit(null).cast("long").as("meta_duration_ms"))
   }
 
+  /**
+   * WAV asset table: each audio row carries a REAL RIFF/WAVE payload
+   * (16-bit PCM mono, 8 kHz) whose samples follow a deterministic formula
+   * on doc_id — sample i of asset a is ((a·37 + i·17) mod 2003) − 1001,
+   * n_samples = (a mod 50) + 10. The container bytes are hand-rolled (44-byte
+   * canonical header, little-endian data), the DECODE goes through the real
+   * javax.sound.sampled stack, and the formula is SQL-expressible, so the
+   * decoded sample count / rate / channels / exact sample sum are
+   * hash-checkable by the DuckDB oracle (the mm03 PNG pattern for audio).
+   */
+  def wavAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val wav = udf { (id: Long) =>
+      val n = (id % 50).toInt + 10
+      val sampleRate = 8000
+      val dataLen = n * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2) // byte rate
+        .putShort(2)            // block align
+        .putShort(16)           // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < n) {
+        buf.putShort((((id * 37 + i * 17) % 2003) - 1001).toShort)
+        i += 1
+      }
+      buf.array()
+    }
+    docs.filter(pmod(col("doc_id"), lit(3)) === 1)
+      .select(
+        col("doc_id").as("asset_id"),
+        lit("audio").as("modality"),
+        wav(col("doc_id")).as("payload"),
+        lit("audio/wav").as("mime"),
+        lit(null).cast("int").as("meta_width"),
+        lit(null).cast("int").as("meta_height"),
+        (((pmod(col("doc_id"), lit(50)) + 10) * 1000) / 8000).cast("long")
+          .as("meta_duration_ms"))
+  }
+
   case class AssetFeatures(asset_id: Long, modality: String, n_bytes: Long,
       byte_mean: Double, byte_entropy: Double, frames_sampled: Int,
       feature: Array[Double], decoded_width: Option[Int] = None,
       decoded_height: Option[Int] = None, px_sum: Option[Long] = None,
-      n_px: Option[Long] = None)
+      n_px: Option[Long] = None, decoded_samples: Option[Long] = None,
+      sample_rate: Option[Int] = None, channels: Option[Int] = None,
+      sample_sum: Option[Long] = None)
 
   /**
    * DETERMINISTIC FAKE of the decode step (clearly marked stub): byte
@@ -130,6 +179,32 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** REAL decode for WAV payloads via javax.sound.sampled (pure JVM —
+    * the JDK's RIFF/WAVE reader in java.desktop): decoded frame count,
+    * sample rate, channel count, and the exact integer sum of 16-bit PCM
+    * samples. Returns None on decode failure rather than throwing — a
+    * corrupt asset must not kill a 100 TB scan. */
+  private def decodeWav(payload: Array[Byte]): Option[(Long, Int, Int, Long)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                      else java.nio.ByteOrder.LITTLE_ENDIAN
+          val sb = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+          var sum = 0L
+          var i = 0
+          while (i < sb.limit()) { sum += sb.get(i); i += 1 }
+          val frames = sb.limit().toLong / fmt.getChannels
+          Some((frames, fmt.getSampleRate.toInt, fmt.getChannels, sum))
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Extract features from every asset, one partition-local pass. PNG
     * payloads (mime image/png) get a REAL javax.imageio decode —
     * decoded_width/height/px_sum/n_px populated; other modalities keep the
@@ -153,11 +228,14 @@ object Multimodal {
           }
           val decoded =
             if (mime == "image/png" && payload != null) decodePng(payload) else None
+          val audio =
+            if (mime == "audio/wav" && payload != null) decodeWav(payload) else None
           AssetFeatures(id, modality,
             if (payload == null) 0L else payload.length.toLong,
             mean, entropy, frames, feature,
             decoded.map(_._1), decoded.map(_._2), decoded.map(_._3),
-            decoded.map(_._4))
+            decoded.map(_._4),
+            audio.map(_._1), audio.map(_._2), audio.map(_._3), audio.map(_._4))
         }
       }.toDF()
   }

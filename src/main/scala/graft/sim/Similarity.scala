@@ -235,6 +235,17 @@ object Similarity {
     centers
   }
 
+  /** Driver-side byte budget for quantizer training samples. The row caps
+    * (`quantizerMaxRows`/`trainMaxRows`) bound COUNT, not SIZE: at dim 4096
+    * a 100k-row collect is ~3 GB of driver heap. The effective cap is
+    * min(rowCap, budget / (dim·8)) so the collected sample is bounded in
+    * BYTES at any dimensionality. */
+  private[graft] val quantizerByteBudget: Long = 256L << 20
+
+  /** Effective sample-row cap for a training collect at `dim` doubles/row. */
+  private[graft] def boundedSampleRows(maxRows: Int, dim: Int): Int =
+    math.max(1L, math.min(maxRows.toLong, quantizerByteBudget / (dim.toLong * 8L))).toInt
+
   /**
    * IVF (inverted-file) approximate top-k: a coarse k-means quantizer
    * ([[localKMeans]] on a bounded uniform sample) assigns every corpus
@@ -257,10 +268,16 @@ object Similarity {
     // corpus size without the partition-order bias.
     val feats = c.select("nv")
     val nCorpus = feats.count()
+    require(nCorpus > 0, "IVF needs a non-empty corpus")
+    // byte-aware cap: one limit-1 job reads the dimensionality so the
+    // collected sample is bounded in bytes, not just rows (see
+    // quantizerByteBudget) — negligible next to the count() above
+    val dim = feats.head.getSeq[Double](0).length
+    val cap = boundedSampleRows(quantizerMaxRows, dim)
     val fitInput =
-      if (nCorpus <= quantizerMaxRows) feats
+      if (nCorpus <= cap) feats
       else feats.sample(withReplacement = false,
-        math.min(1.0, quantizerMaxRows * 1.2 / nCorpus), seed).limit(quantizerMaxRows)
+        math.min(1.0, cap * 1.2 / nCorpus), seed).limit(cap)
     // bounded sample → driver-local deterministic Lloyd (see localKMeans)
     val trainPts = fitInput.collect().map(_.getSeq[Double](0).toArray)
     val centers = localKMeans(trainPts, nlist, seed)
@@ -328,15 +345,17 @@ object Similarity {
     val spark = corpus.sparkSession
     val c = corpus.select(col(idCol).as("neighbor_id"), normalized(col(vecCol)).as("nv"))
     val nCorpus = c.count()
-    // bounded uniform sample, collected ONCE; the m sub-codebooks train
-    // driver-locally (see localKMeans — one pass of cluster work replaces
-    // m × 10 Lloyd rounds of job scheduling)
-    val trainPts = (if (nCorpus <= trainMaxRows) c
+    require(nCorpus > 0, "PQ needs a non-empty corpus")
+    // byte-aware cap (see quantizerByteBudget): dimensionality via one
+    // limit-1 job, then a bounded uniform sample collected ONCE; the m
+    // sub-codebooks train driver-locally (see localKMeans — one pass of
+    // cluster work replaces m × 10 Lloyd rounds of job scheduling)
+    val dim = c.select(col("nv")).head.getSeq[Double](0).length
+    val cap = boundedSampleRows(trainMaxRows, dim)
+    val trainPts = (if (nCorpus <= cap) c
       else c.sample(withReplacement = false,
-        math.min(1.0, trainMaxRows * 1.2 / nCorpus), seed).limit(trainMaxRows))
+        math.min(1.0, cap * 1.2 / nCorpus), seed).limit(cap))
       .select(col("nv")).collect().map(_.getSeq[Double](0).toArray)
-    require(trainPts.nonEmpty, "PQ needs a non-empty corpus")
-    val dim = trainPts(0).length
     require(dim % m == 0, s"dim $dim must be divisible by m=$m")
     val sub = dim / m
     val codebooks: Array[Array[Array[Double]]] =

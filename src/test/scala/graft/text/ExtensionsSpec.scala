@@ -257,6 +257,39 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     f0.getAs[scala.collection.Seq[Double]]("feature").length shouldBe 8
   }
 
+  test("WAV assets decode through javax.sound.sampled to the generator formula") {
+    import graft.multimodal.Multimodal
+    val assets = Multimodal.wavAssetsFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(assets).collect()
+    feats.length shouldBe 2 // doc_id % 3 == 1 -> ids 1 and 4
+    for (f <- feats) {
+      val id = f.getAs[Long]("asset_id")
+      val n = (id % 50).toInt + 10
+      val expectSum = (0 until n).map(i => ((id * 37 + i * 17) % 2003) - 1001).sum
+      f.getAs[Long]("decoded_samples") shouldBe n.toLong
+      f.getAs[Int]("sample_rate") shouldBe 8000
+      f.getAs[Int]("channels") shouldBe 1
+      f.getAs[Long]("sample_sum") shouldBe expectSum
+    }
+    // corrupt payload -> None fields, not a task kill
+    val corrupt = assets.withColumn("payload",
+      org.apache.spark.sql.functions.lit(Array[Byte](1, 2, 3)))
+    val cf = Multimodal.extractFeatures(corrupt).collect()
+    cf should not be empty
+    cf.foreach { r => r.isNullAt(r.fieldIndex("sample_sum")) shouldBe true }
+  }
+
+  test("quantizer training sample cap is byte-aware, not just row-counted") {
+    import graft.sim.Similarity
+    // dim 64: the 256 MB budget allows 512k rows, so the row cap binds
+    Similarity.boundedSampleRows(100000, 64) shouldBe 100000
+    // dim 4096: 256 MB / (4096*8 B) = 8192 rows — the BYTE budget binds
+    // (a row-only cap would collect ~3 GB onto the driver here)
+    Similarity.boundedSampleRows(100000, 4096) shouldBe 8192
+    // degenerate giant dim still yields a usable (>=1 row) sample
+    Similarity.boundedSampleRows(100000, Int.MaxValue) shouldBe 1
+  }
+
   test("series parquet + index sidecar round trip") {
     import graft.core.IrregularDateTimeIndex
     import graft.io.TimeSeriesIO

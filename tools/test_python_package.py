@@ -129,6 +129,17 @@ def main() -> int:
         events, threshold=3.0, key="user_id", value="value")
     assert outl.count() >= 0
 
+    # ---- map_series / map_series_with_key (python-side whole-series fns) ----
+    sdf = spark.createDataFrame(
+        [("a", [1.0, 2.0, 3.0]), ("b", [4.0, 5.0, 6.0])], ["key", "series"])
+    doubled = graft.timeseries.map_series(sdf, lambda v: [x * 2 for x in v])
+    got = {r["key"]: r["series"] for r in doubled.collect()}
+    assert got == {"a": [2.0, 4.0, 6.0], "b": [8.0, 10.0, 12.0]}, got
+    keyed = graft.timeseries.map_series_with_key(
+        sdf, lambda k, v: [x + (1.0 if k == "a" else 0.0) for x in v])
+    got = {r["key"]: r["series"] for r in keyed.collect()}
+    assert got == {"a": [2.0, 3.0, 4.0], "b": [4.0, 5.0, 6.0]}, got
+
     # ---- SQL extension functions through the functions module ----
     row = docs.limit(1).select(
         graft.functions.rolling_hash(F.col("text")).alias("rh"),
