@@ -521,6 +521,16 @@ object SparkEntry {
         graft.multimodal.Multimodal.wavAssetsFromDocuments(Tables.documents(s, dir)))
         .select(col("asset_id"), col("decoded_samples"), col("sample_rate"),
           col("channels"), col("sample_sum"))),
+    "mm05_avi_decode" -> ((s, dir) =>
+      // REAL RIFF/AVI container decode certification (mm03's pattern for
+      // video): deterministic uncompressed BI_RGB DIB frames in a
+      // hand-rolled standard AVI, parsed back by the RIFF chunk walker with
+      // every-2nd-frame sampling; frame count / dims / exact sampled pixel
+      // sums vs the oracle's direct evaluation of the pixel formula
+      graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.aviAssetsFromDocuments(Tables.documents(s, dir)))
+        .select(col("asset_id"), col("video_frames"), col("video_width"),
+          col("video_height"), col("video_sampled"), col("video_px_sum"))),
 
     // ---------------- round-2 additions: EWMA transform/forecast, coverage
     // filters, serial-correlation + heteroskedasticity tests, HW forecast ----
@@ -1399,6 +1409,21 @@ object SparkEntry {
          FROM documents d
          JOIN generate_series(0, 58) AS i(i) ON i.i < d.doc_id % 50 + 10
          WHERE d.doc_id % 3 = 1
+         GROUP BY d.doc_id""",
+    "mm05_avi_decode" ->
+      """SELECT d.doc_id AS asset_id,
+           ((d.doc_id % 6) + 2)::INT AS video_frames,
+           ((d.doc_id % 5) + 2)::INT AS video_width,
+           ((d.doc_id % 4) + 2)::INT AS video_height,
+           (((d.doc_id % 6) + 3) // 2)::INT AS video_sampled,
+           sum((d.doc_id * 29 + f.f * 11 + x.x * 7 + y.y * 13) % 256)::BIGINT
+             AS video_px_sum
+         FROM documents d
+         JOIN generate_series(0, 7) AS f(f)
+           ON f.f < d.doc_id % 6 + 2 AND f.f % 2 = 0
+         JOIN generate_series(0, 6) AS x(x) ON x.x < d.doc_id % 5 + 2
+         JOIN generate_series(0, 5) AS y(y) ON y.y < d.doc_id % 4 + 2
+         WHERE d.doc_id % 3 = 2
          GROUP BY d.doc_id""",
     "mm01_multimodal_meta" ->
       """SELECT doc_id AS asset_id,

@@ -279,6 +279,33 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     cf.foreach { r => r.isNullAt(r.fieldIndex("sample_sum")) shouldBe true }
   }
 
+  test("AVI assets decode through the RIFF walker to the generator formula") {
+    import graft.multimodal.Multimodal
+    val assets = Multimodal.aviAssetsFromDocuments(docs)
+    val feats = Multimodal.extractFeatures(assets).collect()
+    feats.length shouldBe 1 // doc_id % 3 == 2 -> id 2
+    for (f <- feats) {
+      val id = f.getAs[Long]("asset_id")
+      val nFrames = (id % 6).toInt + 2
+      val w = (id % 5).toInt + 2
+      val h = (id % 4).toInt + 2
+      val sampledFrames = 0 until nFrames by 2
+      val expectSum = (for (fr <- sampledFrames; x <- 0 until w; y <- 0 until h)
+        yield (id * 29 + fr * 11 + x * 7 + y * 13) % 256).sum
+      f.getAs[Int]("video_frames") shouldBe nFrames
+      f.getAs[Int]("video_width") shouldBe w
+      f.getAs[Int]("video_height") shouldBe h
+      f.getAs[Int]("video_sampled") shouldBe sampledFrames.size
+      f.getAs[Long]("video_px_sum") shouldBe expectSum
+    }
+    // corrupt payload -> None fields, not a task kill
+    val corrupt = assets.withColumn("payload",
+      org.apache.spark.sql.functions.lit(Array[Byte](82, 73, 70, 70, 9)))
+    Multimodal.extractFeatures(corrupt).collect().foreach { r =>
+      r.isNullAt(r.fieldIndex("video_px_sum")) shouldBe true
+    }
+  }
+
   test("quantizer training sample cap is byte-aware, not just row-counted") {
     import graft.sim.Similarity
     // dim 64: the 256 MB budget allows 512k rows, so the row cap binds
