@@ -609,6 +609,15 @@ object SparkEntry {
     "rc04_minhash_recall" -> ((s, dir) => graft.sim.Recall.minhash(s, dir)),
     "rc05_simhash_recall" -> ((s, dir) => graft.sim.Recall.simhash(s, dir)),
     "rc06_embneardup_recall" -> ((s, dir) => graft.sim.Recall.embedding(s, dir)),
+
+    // ---------------- round-8: certified approximate aggregates — the
+    // sketch toolbox (HLL / GK quantiles / count-min / Bloom) a 100 TB
+    // pipeline uses where exact answers are unaffordable, each certified
+    // in-query against the exact answer with error-bound booleans --------
+    "qs01_hll_certified" -> ((s, dir) => graft.sketch.Sketches.hll(s, dir)),
+    "qs02_quantile_certified" -> ((s, dir) => graft.sketch.Sketches.quantiles(s, dir)),
+    "qs03_cms_certified" -> ((s, dir) => graft.sketch.Sketches.cms(s, dir)),
+    "qs04_bloom_certified" -> ((s, dir) => graft.sketch.Sketches.bloom(s, dir)),
     "m18_ljungbox_stat" -> ((s, dir) =>
       // the Ljung-Box STATISTIC is SQL-expressible (autocovariance windows),
       // so this slice of m08 gets a hash-checked oracle; the p-value
@@ -2474,6 +2483,10 @@ object SparkEntry {
     "rc03_pq_recall" -> graft.sim.Recall.oracleFor("pq"),
     "rc04_minhash_recall" -> graft.sim.Recall.oracleFor("minhash"),
     "rc05_simhash_recall" -> graft.sim.Recall.oracleFor("simhash"),
-    "rc06_embneardup_recall" -> graft.sim.Recall.oracleFor("embedding")
+    "rc06_embneardup_recall" -> graft.sim.Recall.oracleFor("embedding"),
+    "qs01_hll_certified" -> graft.sketch.Sketches.oracleFor("hll"),
+    "qs02_quantile_certified" -> graft.sketch.Sketches.oracleFor("quantiles"),
+    "qs03_cms_certified" -> graft.sketch.Sketches.oracleFor("cms"),
+    "qs04_bloom_certified" -> graft.sketch.Sketches.oracleFor("bloom")
   )
 }

@@ -41,6 +41,16 @@ object Recall {
 
   private def pairs(df: DataFrame): DataFrame = df.select("query_id", "neighbor_id")
 
+  /** Evaluate `body` with `dfs` persisted: every rc query counts its truth
+    * and approx sides 2-3 times (recall join, precision join, completeness
+    * slice), and without a persist each count re-runs the full LSH/IVF/PQ
+    * pipeline. The frames are bounded (pair sets over id-bounded subsets /
+    * 10-query top-k), so caching them is O(k) memory at any corpus size. */
+  private def cached[T](dfs: DataFrame*)(body: => T): T = {
+    dfs.foreach(_.persist())
+    try body finally dfs.foreach(_.unpersist(false))
+  }
+
   /** recall of `approx` vs `truth` on their (query_id, neighbor_id) pairs;
     * a truth-empty slice certifies vacuously (bound still meaningful at the
     * SFs the driver runs). */
@@ -69,10 +79,12 @@ object Recall {
   private def annChecks(s: SparkSession, key: String, emb: DataFrame,
       approx: DataFrame, k: Int, bound: Double): DataFrame = {
     val truth = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k)
-    val (hit, total) = pairRecall(pairs(truth), pairs(approx))
-    checks(s, Seq(
-      (key, "recall_ok", recallOk(hit, total, bound)),
-      (key, "ranks_bounded", ranksBounded(approx, k))))
+    cached(truth, approx) {
+      val (hit, total) = pairRecall(pairs(truth), pairs(approx))
+      checks(s, Seq(
+        (key, "recall_ok", recallOk(hit, total, bound)),
+        (key, "ranks_bounded", ranksBounded(approx, k))))
+    }
   }
 
   /** rc01 — hyperplane-LSH top-k (sm02 params) recall vs brute force. */
@@ -104,17 +116,19 @@ object Recall {
     val k = 5
     val truth = Similarity.bruteForceTopK(emb, q, k)
     val approx = Similarity.pqTopK(emb, q, k, m = 8, codebookSize = 16, rerank = 50)
-    val (hit, total) = pairRecall(pairs(truth), pairs(approx))
-    val scoreDrift = truth.select(col("query_id"), col("neighbor_id"),
-        col("cosine").as("c_exact"))
-      .join(approx.select(col("query_id"), col("neighbor_id"),
-        col("cosine").as("c_pq")), Seq("query_id", "neighbor_id"))
-      .filter(abs(col("c_exact") - col("c_pq")) > 1e-5).count()
-    // measured recall 0.54-0.82 across sf0.001/0.01/0.1
-    checks(s, Seq(
-      ("sm04", "recall_ok", recallOk(hit, total, 0.3)),
-      ("sm04", "rerank_scores_exact", scoreDrift == 0L),
-      ("sm04", "ranks_bounded", ranksBounded(approx, k))))
+    cached(truth, approx) {
+      val (hit, total) = pairRecall(pairs(truth), pairs(approx))
+      val scoreDrift = truth.select(col("query_id"), col("neighbor_id"),
+          col("cosine").as("c_exact"))
+        .join(approx.select(col("query_id"), col("neighbor_id"),
+          col("cosine").as("c_pq")), Seq("query_id", "neighbor_id"))
+        .filter(abs(col("c_exact") - col("c_pq")) > 1e-5).count()
+      // measured recall 0.54-0.82 across sf0.001/0.01/0.1
+      checks(s, Seq(
+        ("sm04", "recall_ok", recallOk(hit, total, 0.3)),
+        ("sm04", "rerank_scores_exact", scoreDrift == 0L),
+        ("sm04", "ranks_bounded", ranksBounded(approx, k))))
+    }
   }
 
   // ------------------------------------------------------------------
@@ -140,18 +154,20 @@ object Recall {
       .select("id_a", "id_b", "j")
     val approx = Dedup.minhashNearDuplicates(docs, k = 3, numHashes = 64,
       bands = 16, threshold = 0.3)
-    val (hit, total) = pairRecall(pairKey(exact), pairKey(approx))
-    val (hiHit, hiTotal) = pairRecall(pairKey(exact.filter(col("j") >= 0.9)),
-      pairKey(approx))
-    val falsePos = pairKey(approx)
-      .join(pairKey(exact), Seq("query_id", "neighbor_id"), "left_anti").count()
-    // measured recall 1.0 at every sf (truth pairs sit at high jaccard,
-    // where 16x4 banding is effectively complete); 0.1 certifies the
-    // pipeline wiring survives a dataset regeneration with weaker pairs
-    checks(s, Seq(
-      ("dd03", "recall_ok", recallOk(hit, total, 0.1)),
-      ("dd03", "high_sim_complete", hiHit == hiTotal),
-      ("dd03", "precision_exact", falsePos == 0L)))
+    cached(exact, approx) {
+      val (hit, total) = pairRecall(pairKey(exact), pairKey(approx))
+      val (hiHit, hiTotal) = pairRecall(pairKey(exact.filter(col("j") >= 0.9)),
+        pairKey(approx))
+      val falsePos = pairKey(approx)
+        .join(pairKey(exact), Seq("query_id", "neighbor_id"), "left_anti").count()
+      // measured recall 1.0 at every sf (truth pairs sit at high jaccard,
+      // where 16x4 banding is effectively complete); 0.1 certifies the
+      // pipeline wiring survives a dataset regeneration with weaker pairs
+      checks(s, Seq(
+        ("dd03", "recall_ok", recallOk(hit, total, 0.1)),
+        ("dd03", "high_sim_complete", hiHit == hiTotal),
+        ("dd03", "precision_exact", falsePos == 0L)))
+    }
   }
 
   /** rc05 — SimHash near-dup (dd04 params): recall vs exact all-pairs
@@ -168,16 +184,18 @@ object Recall {
       .filter(col("h") <= 6)
       .select("id_a", "id_b", "h")
     val approx = Dedup.simhashNearDuplicates(docs, maxHamming = 6)
-    val (hit, total) = pairRecall(pairKey(exact), pairKey(approx))
-    val (h3Hit, h3Total) = pairRecall(pairKey(exact.filter(col("h") <= 3)),
-      pairKey(approx))
-    val falsePos = pairKey(approx)
-      .join(pairKey(exact), Seq("query_id", "neighbor_id"), "left_anti").count()
-    // measured recall 0.68-0.76 across sf0.001/0.01/0.1
-    checks(s, Seq(
-      ("dd04", "recall_ok", recallOk(hit, total, 0.3)),
-      ("dd04", "h3_pigeonhole_complete", h3Hit == h3Total),
-      ("dd04", "precision_exact", falsePos == 0L)))
+    cached(exact, approx) {
+      val (hit, total) = pairRecall(pairKey(exact), pairKey(approx))
+      val (h3Hit, h3Total) = pairRecall(pairKey(exact.filter(col("h") <= 3)),
+        pairKey(approx))
+      val falsePos = pairKey(approx)
+        .join(pairKey(exact), Seq("query_id", "neighbor_id"), "left_anti").count()
+      // measured recall 0.68-0.76 across sf0.001/0.01/0.1
+      checks(s, Seq(
+        ("dd04", "recall_ok", recallOk(hit, total, 0.3)),
+        ("dd04", "h3_pigeonhole_complete", h3Hit == h3Total),
+        ("dd04", "precision_exact", falsePos == 0L)))
+    }
   }
 
   /** rc06 — banded hyperplane-LSH embedding near-dup (dd06 params): recall
@@ -197,14 +215,16 @@ object Recall {
       .filter(col("c") >= 0.2)
       .select("id_a", "id_b", "c")
     val approx = Dedup.embeddingNearDuplicates(emb, threshold = 0.2)
-    val (hit, total) = pairRecall(pairKey(exact), pairKey(approx))
-    val falsePos = pairKey(approx)
-      .join(pairKey(exact), Seq("query_id", "neighbor_id"), "left_anti").count()
-    // measured recall 0.097-0.110 across sf0.001/0.01/0.1 — the ~8-11%
-    // the 8-band x 8-bit collision probability predicts at cosine 0.2
-    checks(s, Seq(
-      ("dd06", "recall_ok", recallOk(hit, total, 0.03)),
-      ("dd06", "precision_exact", falsePos == 0L)))
+    cached(exact, approx) {
+      val (hit, total) = pairRecall(pairKey(exact), pairKey(approx))
+      val falsePos = pairKey(approx)
+        .join(pairKey(exact), Seq("query_id", "neighbor_id"), "left_anti").count()
+      // measured recall 0.097-0.110 across sf0.001/0.01/0.1 — the ~8-11%
+      // the 8-band x 8-bit collision probability predicts at cosine 0.2
+      checks(s, Seq(
+        ("dd06", "recall_ok", recallOk(hit, total, 0.03)),
+        ("dd06", "precision_exact", falsePos == 0L)))
+    }
   }
 
   /** Canonical check names per query — oracle VALUES lists come from these. */
