@@ -531,6 +531,19 @@ object SparkEntry {
         graft.multimodal.Multimodal.aviAssetsFromDocuments(Tables.documents(s, dir)))
         .select(col("asset_id"), col("video_frames"), col("video_width"),
           col("video_height"), col("video_sampled"), col("video_px_sum"))),
+    "mm06_image_resize" -> ((s, dir) =>
+      // REAL resize over REALLY-decoded pixels: ImageIO-decoded PNGs,
+      // nearest-neighbor to 4x4 with the pinned floor index map, exact
+      // resized pixel sums vs the oracle's evaluation of formula + map
+      graft.multimodal.Multimodal.resizeGray(
+        graft.multimodal.Multimodal.pngAssetsFromDocuments(Tables.documents(s, dir)),
+        tw = 4, th = 4)),
+    "mm07_audio_energy" -> ((s, dir) =>
+      // REAL windowed feature over REALLY-decoded samples: 16-sample
+      // frames of squared-sample sums (integer-exact energy profile)
+      graft.multimodal.Multimodal.audioWindowEnergy(
+        graft.multimodal.Multimodal.wavAssetsFromDocuments(Tables.documents(s, dir)),
+        window = 16)),
 
     // ---------------- round-2 additions: EWMA transform/forecast, coverage
     // filters, serial-correlation + heteroskedasticity tests, HW forecast ----
@@ -1434,6 +1447,29 @@ object SparkEntry {
          JOIN generate_series(0, 5) AS y(y) ON y.y < d.doc_id % 4 + 2
          WHERE d.doc_id % 3 = 2
          GROUP BY d.doc_id""",
+    "mm06_image_resize" ->
+      """SELECT d.doc_id AS asset_id,
+           ((d.doc_id % 7) + 1)::INT AS src_width,
+           ((d.doc_id % 5) + 1)::INT AS src_height,
+           sum((d.doc_id * 31
+                + ((x.x * ((d.doc_id % 7) + 1)) // 4) * 7
+                + ((y.y * ((d.doc_id % 5) + 1)) // 4) * 13) % 256)::BIGINT
+             AS resized_px_sum
+         FROM documents d
+         JOIN generate_series(0, 3) AS x(x) ON true
+         JOIN generate_series(0, 3) AS y(y) ON true
+         WHERE d.doc_id % 3 = 0
+         GROUP BY d.doc_id""",
+    "mm07_audio_energy" ->
+      """SELECT d.doc_id AS asset_id,
+           (i.i // 16)::INT AS window_idx,
+           sum(((d.doc_id * 37 + i.i * 17) % 2003 - 1001)
+             * ((d.doc_id * 37 + i.i * 17) % 2003 - 1001))::BIGINT AS energy,
+           count(*)::INT AS n_samples
+         FROM documents d
+         JOIN generate_series(0, 58) AS i(i) ON i.i < d.doc_id % 50 + 10
+         WHERE d.doc_id % 3 = 1
+         GROUP BY d.doc_id, i.i // 16""",
     "mm01_multimodal_meta" ->
       """SELECT doc_id AS asset_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,

@@ -370,6 +370,94 @@ object Multimodal {
       Some((frames.length, w, h, sampled, sum))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /**
+   * REAL image resize over REALLY-decoded pixels: decode the PNG payload
+   * via javax.imageio, then nearest-neighbor downsample the gray channel
+   * to `tw`×`th` with the canonical index map src_x = floor(x·w/tw),
+   * src_y = floor(y·h/th) (the rounding is pinned here rather than
+   * delegated to AWT's Graphics2D, whose interpolation choice is
+   * implementation-defined — an oracle needs exact semantics). Emits one
+   * row per asset: decoded source dims + the exact integer pixel sum of
+   * the resized image. Partition-local, no collect; a corrupt payload
+   * yields null feature columns, not a task kill.
+   */
+  def resizeGray(assets: DataFrame, tw: Int, th: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, payload) =>
+          val r = Option(payload).flatMap(p => decodePngImage(p)).map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            var sum = 0L
+            var y = 0
+            while (y < th) {
+              val sy = y * h / th
+              var x = 0
+              while (x < tw) {
+                val sx = x * w / tw
+                sum += (img.getRGB(sx, sy) >> 16) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            (w, h, sum)
+          }
+          (id, r.map(_._1), r.map(_._2), r.map(_._3))
+        }
+      }.toDF("asset_id", "src_width", "src_height", "resized_px_sum")
+  }
+
+  private def decodePngImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  /**
+   * REAL audio feature extraction over REALLY-decoded samples: decode the
+   * WAV payload via javax.sound.sampled, split the 16-bit PCM stream into
+   * fixed `window`-sample frames (last frame ragged), and emit one row per
+   * frame with the exact integer sum of squared samples — the energy
+   * profile a speech/music classifier windows on, kept in integers so the
+   * oracle can evaluate it exactly. Partition-local explode; corrupt
+   * payloads produce zero rows rather than killing the scan.
+   */
+  def audioWindowEnergy(assets: DataFrame, window: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeWavSamples(payload).toSeq.flatMap { samples =>
+            samples.grouped(window).zipWithIndex.map { case (g, w) =>
+              (id, w, g.map(v => v.toLong * v).sum, g.length)
+            }
+          }
+        }
+      }.toDF("asset_id", "window_idx", "energy", "n_samples")
+  }
+
+  private def decodeWavSamples(payload: Array[Byte]): Option[Array[Short]] =
+    if (payload == null) None
+    else try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val order = if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                      else java.nio.ByteOrder.LITTLE_ENDIAN
+          val sb = java.nio.ByteBuffer.wrap(bytes).order(order).asShortBuffer()
+          val out = new Array[Short](sb.limit())
+          sb.get(out)
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** Extract features from every asset, one partition-local pass. PNG
     * payloads (mime image/png) get a REAL javax.imageio decode —
     * decoded_width/height/px_sum/n_px populated; other modalities keep the

@@ -306,6 +306,51 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("resize maps really-decoded pixels through the pinned floor index map") {
+    import graft.multimodal.Multimodal
+    val assets = Multimodal.pngAssetsFromDocuments(docs)
+    val rows = Multimodal.resizeGray(assets, 4, 4).collect()
+    rows.length shouldBe 2 // doc_id % 3 == 0 -> ids 0 and 3
+    for (r <- rows) {
+      val id = r.getAs[Long]("asset_id")
+      val w = (id % 7).toInt + 1
+      val h = (id % 5).toInt + 1
+      val expect = (for (x <- 0 until 4; y <- 0 until 4)
+        yield (id * 31 + (x * w / 4) * 7 + (y * h / 4) * 13) % 256).sum
+      r.getAs[Int]("src_width") shouldBe w
+      r.getAs[Int]("src_height") shouldBe h
+      r.getAs[Long]("resized_px_sum") shouldBe expect
+    }
+    // corrupt payload -> null features, the row survives
+    val corrupt = assets.withColumn("payload",
+      org.apache.spark.sql.functions.lit(Array[Byte](3, 1, 4)))
+    Multimodal.resizeGray(corrupt, 4, 4).collect().foreach { r =>
+      r.isNullAt(r.fieldIndex("resized_px_sum")) shouldBe true
+    }
+  }
+
+  test("audio window energy sums squared decoded samples per ragged frame") {
+    import graft.multimodal.Multimodal
+    val assets = Multimodal.wavAssetsFromDocuments(docs)
+    val rows = Multimodal.audioWindowEnergy(assets, 16).collect()
+    rows should not be empty
+    for (r <- rows) {
+      val id = r.getAs[Long]("asset_id")
+      val w = r.getAs[Int]("window_idx")
+      val n = (id % 50).toInt + 10
+      val idx = (16 * w) until math.min(n, 16 * w + 16)
+      val expect = idx.map { i =>
+        val s = ((id * 37 + i * 17) % 2003) - 1001; s * s
+      }.sum
+      r.getAs[Long]("energy") shouldBe expect
+      r.getAs[Int]("n_samples") shouldBe idx.size
+    }
+    // corrupt payload -> zero rows, not a task kill
+    val corrupt = assets.withColumn("payload",
+      org.apache.spark.sql.functions.lit(Array[Byte](1)))
+    Multimodal.audioWindowEnergy(corrupt, 16).count() shouldBe 0L
+  }
+
   test("quantizer training sample cap is byte-aware, not just row-counted") {
     import graft.sim.Similarity
     // dim 64: the 256 MB budget allows 512k rows, so the row cap binds
