@@ -27,10 +27,11 @@ extensions registered::
         key="key", ts="day_us", value="value")
 """
 
-from . import functions, index, io, models, multimodal, session, sim, text, timeseries
+from . import (events, functions, index, io, models, multimodal, session, sim,
+               sketch, text, timeseries)
 
 __all__ = [
     "events", "functions", "index", "io", "models", "multimodal", "session",
-    "sim", "text", "timeseries",
+    "sim", "sketch", "text", "timeseries",
 ]
 __version__ = "0.4.0"

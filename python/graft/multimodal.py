@@ -1,8 +1,10 @@
 """Multimodal column plumbing: binary payloads + typed metadata.
 
-PNG payloads are really decoded (javax.imageio on the JVM side); audio and
-video feature extraction is a clearly-marked deterministic stub — the
-schema, batch shape, and partitioning are the production layout.
+PNG, WAV, and AVI payloads are really decoded on the JVM side
+(javax.imageio / javax.sound.sampled / a RIFF chunk walker over BI_RGB
+DIB frames); only compressed video codecs fall back to the clearly-marked
+byte-statistics stub — the schema, batch shape, and partitioning are the
+production layout either way.
 """
 
 from ._java import ctx, lift
@@ -23,9 +25,41 @@ def png_assets_from_documents(docs):
         docs._jdf))
 
 
+def wav_assets_from_documents(docs):
+    """Asset table whose audio rows carry REAL 16-bit PCM WAV payloads from
+    a deterministic sample formula (round-trippable through the decoder)."""
+    spark, jvm = ctx(docs)
+    return lift(spark, jvm.graft.multimodal.Multimodal.wavAssetsFromDocuments(
+        docs._jdf))
+
+
+def avi_assets_from_documents(docs):
+    """Asset table whose video rows carry REAL RIFF/AVI containers of
+    uncompressed BI_RGB DIB frames from a deterministic pixel formula."""
+    spark, jvm = ctx(docs)
+    return lift(spark, jvm.graft.multimodal.Multimodal.aviAssetsFromDocuments(
+        docs._jdf))
+
+
 def extract_features(assets):
-    """Per-asset features in one partition-local pass; image/png rows get a
-    real decode (decoded_width/height/px_sum/n_px populated)."""
+    """Per-asset features in one partition-local pass; PNG/WAV/AVI rows get
+    real decodes (decoded_*/sample_*/video_* columns populated)."""
     spark, jvm = ctx(assets)
     return lift(spark, jvm.graft.multimodal.Multimodal.extractFeatures(
         assets._jdf))
+
+
+def resize_gray(assets, tw, th):
+    """Nearest-neighbor resize of really-decoded PNG pixels to tw x th with
+    a pinned floor index map; exact integer pixel sums per asset."""
+    spark, jvm = ctx(assets)
+    return lift(spark, jvm.graft.multimodal.Multimodal.resizeGray(
+        assets._jdf, int(tw), int(th)))
+
+
+def audio_window_energy(assets, window):
+    """Per-window integer sums of squared decoded PCM samples (ragged last
+    frame) — the energy profile feature, one row per (asset, window)."""
+    spark, jvm = ctx(assets)
+    return lift(spark, jvm.graft.multimodal.Multimodal.audioWindowEnergy(
+        assets._jdf, int(window)))

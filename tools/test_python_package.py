@@ -140,6 +140,19 @@ def main() -> int:
     got = {r["key"]: r["series"] for r in keyed.collect()}
     assert got == {"a": [2.0, 3.0, 4.0], "b": [4.0, 5.0, 6.0]}, got
 
+    # ---- multimodal real decodes + sketch certifications ----
+    png = graft.multimodal.png_assets_from_documents(docs)
+    rs = graft.multimodal.resize_gray(png, 4, 4)
+    assert rs.filter("resized_px_sum IS NULL").count() == 0
+    wav = graft.multimodal.wav_assets_from_documents(docs)
+    en = graft.multimodal.audio_window_energy(wav, 16)
+    assert en.count() > 0
+    avi = graft.multimodal.avi_assets_from_documents(docs)
+    vf = graft.multimodal.extract_features(avi)
+    assert vf.filter("video_px_sum IS NULL").count() == 0
+    qs = graft.sketch.certify_bloom(spark, "/root/testdata/sf0.001")
+    assert all(r["ok"] for r in qs.collect())
+
     # ---- SQL extension functions through the functions module ----
     row = docs.limit(1).select(
         graft.functions.rolling_hash(F.col("text")).alias("rh"),
