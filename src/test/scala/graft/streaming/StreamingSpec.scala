@@ -212,6 +212,62 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally query.stop()
   }
 
+  test("streaming space-saving heavy hitters hold the Metwally bounds") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // 4 heavy tokens (40x each) + 120 light tokens (1-2x) through 2 shards
+    // of capacity 16: far more distincts than counters, so eviction churns
+    val tokens = Seq.tabulate(4, 40)((h, _) => s"heavy$h").flatten ++
+      Seq.tabulate(120)(i => s"light$i") ++ Seq.tabulate(60)(i => s"light$i")
+    // deterministic interleave so heavies are spread through the stream
+    val mixed = tokens.zipWithIndex.sortBy { case (t, i) => (i * 131) % 253 }
+      .map(_._1)
+    val exact = mixed.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val input = MemoryStream[String]
+    val out = StreamingSketch.streamingHeavyHitters(
+      input.toDF().toDF("text"), shards = 2, capacity = 16)
+    val query = out.writeStream.format("memory").queryName("hh_out")
+      .outputMode("update").start()
+    try {
+      input.addData(mixed.grouped(25).map(_.mkString(" ")).toSeq: _*)
+      query.processAllAvailable()
+      val rows = s.sql("SELECT shard, token, count, err FROM hh_out").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      // shard assignment replicated through the same Catalyst expression
+      val shardOf = mixed.distinct.toDF("token")
+        .select(col("token"), pmod(hash(col("token")), lit(2)).as("shard"))
+        .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+      val nShard = exact.toSeq.groupBy { case (t, _) => shardOf(t) }
+        .view.mapValues(_.map(_._2).sum).toMap
+      // guarantee 1: count - err <= true <= count for every counter
+      for ((sh, tok, cnt, err) <- rows) {
+        withClue(s"shard $sh token $tok: ") {
+          cnt should be >= exact(tok)
+          (cnt - err) should be <= exact(tok)
+        }
+      }
+      // guarantee 2: any token with true count > N_shard/capacity survives
+      val present = rows.map(t => (t._1, t._2)).toSet
+      for ((tok, c) <- exact; sh = shardOf(tok)
+           if c > nShard(sh).toDouble / 16) {
+        withClue(s"token $tok (count $c, shard $sh) must be present: ") {
+          present should contain((sh, tok))
+        }
+      }
+      // summaries stay bounded at capacity per shard
+      rows.groupBy(_._1).values.foreach(_.length should be <= 16)
+      // state persists across triggers: heavies keep accumulating
+      input.addData(Seq.fill(10)("heavy0").mkString(" "))
+      query.processAllAvailable()
+      val cnt2 = s.sql(
+        "SELECT max(count) FROM hh_out WHERE token = 'heavy0'").head().getLong(0)
+      cnt2 should be >= (exact("heavy0") + 10)
+      (cnt2 - exact("heavy0") - 10) should be <= rows
+        .find(_._2 == "heavy0").map(_._4).getOrElse(0L)
+    } finally query.stop()
+  }
+
   /** Batch-side expectation: EventOps.sessions keyed by (key, session_start_us). */
   private def EventOps_sessions(events: Seq[(String, Timestamp, Double)])
       : Map[(String, Long), (Long, Double)] = {
