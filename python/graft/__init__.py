@@ -28,10 +28,10 @@ extensions registered::
 """
 
 from . import (events, functions, index, io, models, multimodal, session, sim,
-               sketch, text, timeseries)
+               sketch, streaming, text, timeseries)
 
 __all__ = [
     "events", "functions", "index", "io", "models", "multimodal", "session",
-    "sim", "sketch", "text", "timeseries",
+    "sim", "sketch", "streaming", "text", "timeseries",
 ]
 __version__ = "0.4.0"

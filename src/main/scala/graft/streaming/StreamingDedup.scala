@@ -32,6 +32,53 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("fingerprint")
 
   /**
+   * Pre-compute the reference corpus's hyperplane band buckets — the
+   * static side of [[streamingEmbeddingNearDup]]. At scale this is written
+   * once (ideally bucketed by (band, bucket)) and reused by every stream.
+   */
+  def corpusEmbeddingBuckets(corpus: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", bands: Int = 8, planesPerBand: Int = 8,
+      seed: Int = 7): DataFrame = {
+    val v = graft.sim.Similarity.normalized(col(vecCol))
+    corpus.select(col(idCol).as("corpus_id"), v.as("corpus_vec"))
+      .withColumn("__sigs", graft.sim.Similarity.hyperplaneBandSignatures(
+        col("corpus_vec"), bands, planesPerBand, seed))
+      .select(col("corpus_id"), col("corpus_vec"),
+        posexplode(col("__sigs")).as(Seq("band", "bucket")))
+  }
+
+  /**
+   * Near-duplicate pairs between an embedding STREAM and a static corpus —
+   * the embedding twin of [[streamingNearDupAgainstCorpus]]: incoming
+   * vectors are banded with the SAME hyperplanes as the corpus (same seed
+   * — determinism is what makes stream and static sides meet in a
+   * bucket), candidates come from the (band, bucket) equi-join, and
+   * survive on exact cosine ≥ threshold. Per micro-batch state is zero
+   * (stream-static join); duplicate candidate pairs from multi-band
+   * collisions collapse with dropDuplicatesWithinWatermark.
+   */
+  def streamingEmbeddingNearDup(stream: DataFrame, corpusBk: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tsCol: String = "event_time", watermark: String = "10 minutes",
+      threshold: Double = 0.95, bands: Int = 8, planesPerBand: Int = 8,
+      seed: Int = 7): DataFrame = {
+    val v = graft.sim.Similarity.normalized(col(vecCol))
+    stream.select(col(idCol).as("stream_id"), v.as("stream_vec"), col(tsCol))
+      .withColumn("__sigs", graft.sim.Similarity.hyperplaneBandSignatures(
+        col("stream_vec"), bands, planesPerBand, seed))
+      .select(col("stream_id"), col("stream_vec"), col(tsCol),
+        posexplode(col("__sigs")).as(Seq("band", "bucket")))
+      .join(corpusBk, Seq("band", "bucket"))
+      .withColumn("cosine",
+        graft.sim.Similarity.dot(col("stream_vec"), col("corpus_vec")))
+      .filter(col("cosine") >= threshold)
+      .select(col("stream_id"), col("corpus_id"), col(tsCol),
+        round(col("cosine"), 6).as("cosine"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("stream_id", "corpus_id")
+  }
+
+  /**
    * Pre-compute the reference corpus's minhash band buckets — the static
    * side of [[streamingNearDupAgainstCorpus]]. At scale this is written
    * once (ideally bucketed by (band, bucket)) and reused by every stream.

@@ -212,6 +212,37 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally query.stop()
   }
 
+  test("streaming embedding near-dup matches corpus vectors, drops resends") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val corpus = Seq(
+      (100L, Seq(1.0, 2.0, 3.0, 4.0)),
+      (101L, Seq(-4.0, 3.0, -2.0, 1.0))).toDF("vec_id", "embedding")
+    val buckets = StreamingDedup.corpusEmbeddingBuckets(corpus)
+    val input = MemoryStream[(Long, Timestamp, Seq[Double])]
+    val out = StreamingDedup.streamingEmbeddingNearDup(
+      input.toDF().toDF("vec_id", "event_time", "embedding"), buckets)
+    val query = out.writeStream.format("memory").queryName("emb_nd_out")
+      .outputMode("append").start()
+    try {
+      // near-copy of corpus 100 (cosine ~ 1), an unrelated vector, and a
+      // resend of the same near-copy inside the watermark
+      input.addData(
+        (1L, t(1), Seq(1.01, 2.0, 3.0, 4.0)),
+        (2L, t(1), Seq(4.0, -3.0, 2.0, -1.0)))
+      query.processAllAvailable()
+      input.addData((1L, t(2), Seq(1.01, 2.0, 3.0, 4.0)))
+      query.processAllAvailable()
+      val rows = s.sql(
+        "SELECT stream_id, corpus_id, cosine FROM emb_nd_out").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      rows.map(r => (r._1, r._2)) shouldBe Array((1L, 100L))
+      rows.head._3 should be >= 0.95
+    } finally query.stop()
+  }
+
   test("streaming space-saving heavy hitters hold the Metwally bounds") {
     val s = spark
     import s.implicits._

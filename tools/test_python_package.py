@@ -153,6 +153,29 @@ def main() -> int:
     qs = graft.sketch.certify_bloom(spark, "/root/testdata/sf0.001")
     assert all(r["ok"] for r in qs.collect())
 
+    # ---- streaming wrappers: exact dedup + heavy hitters end-to-end ----
+    import tempfile
+    with tempfile.TemporaryDirectory() as td:
+        sdocs = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00", "alpha beta"),
+             (2, "2024-01-01 10:01:00", "alpha beta"),
+             (3, "2024-01-01 10:02:00", "gamma delta")],
+            ["doc_id", "event_time", "text"],
+        ).withColumn("event_time", F.col("event_time").cast("timestamp"))
+        sdocs.write.parquet(td + "/in")
+        stream = spark.readStream.schema(sdocs.schema).parquet(td + "/in")
+        q = (graft.streaming.exact_dedup(stream).writeStream
+             .format("memory").queryName("py_dedup")
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        assert spark.table("py_dedup").count() == 2  # one exact dup dropped
+        q2 = (graft.streaming.heavy_hitters(stream, shards=2, capacity=8)
+              .writeStream.format("memory").queryName("py_hh")
+              .outputMode("update").trigger(availableNow=True).start())
+        q2.awaitTermination(120)
+        hh = {r["token"]: r["count"] for r in spark.table("py_hh").collect()}
+        assert hh["alpha"] == 2 and hh["gamma"] == 1, hh
+
     # ---- SQL extension functions through the functions module ----
     row = docs.limit(1).select(
         graft.functions.rolling_hash(F.col("text")).alias("rh"),
