@@ -116,6 +116,26 @@ def stratified_sample(df, rates, strata="source", text="text",
         df._jdf, jmap, strata, text, float(default_rate)))
 
 
+def mix_weights(df, target_shares, budget_tokens, strata="source",
+                text="text"):
+    """Per-source keep rates that hit target corpus shares under a token
+    budget — the planning step before stratified_sample executes it."""
+    spark, jvm = ctx(df)
+    jmap = jvm.java.util.HashMap()
+    for k, v in target_shares.items():
+        jmap.put(str(k), float(v))
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.mixWeights(
+        df._jdf, jmap, int(budget_tokens), strata, text))
+
+
+def chunk_docs(df, window, overlap, id_col="doc_id", text="text"):
+    """Split documents into `window`-token chunks advancing by
+    window - overlap; every token position covered."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.chunkDocs(
+        df._jdf, int(window), int(overlap), id_col, text))
+
+
 def gopher_filter(df, id_col="doc_id", text_col="text", min_words=10,
                   max_words=100000, min_mean_len=3.0, max_mean_len=12.0,
                   min_alpha_ratio=0.8, max_dup_ratio=0.4, min_stopwords=2):

@@ -627,6 +627,17 @@ object SparkEntry {
     // sketch toolbox (HLL / GK quantiles / count-min / Bloom) a 100 TB
     // pipeline uses where exact answers are unaffordable, each certified
     // in-query against the exact answer with error-bound booleans --------
+    "smp03_mix_weights" -> ((s, dir) =>
+      // domain-mix planning: per-source keep rates that hit target corpus
+      // shares under a 30k-token budget (rate = min(1, share*budget/tokens))
+      graft.text.TextFunctions.mixWeights(Tables.documents(s, dir),
+        targetShares = Map("src0" -> 0.3, "src1" -> 0.25, "src2" -> 0.2,
+          "src3" -> 0.15, "src4" -> 0.1), budgetTokens = 30000L)),
+    "tx20_chunking" -> ((s, dir) =>
+      // context-window chunking: 32-token windows advancing by 24 (8-token
+      // overlap); every token position covered, narrow map+explode
+      graft.text.TextFunctions.chunkDocs(Tables.documents(s, dir),
+        window = 32, overlap = 8)),
     "qs01_hll_certified" -> ((s, dir) => graft.sketch.Sketches.hll(s, dir)),
     "qs02_quantile_certified" -> ((s, dir) => graft.sketch.Sketches.quantiles(s, dir)),
     "qs03_cms_certified" -> ((s, dir) => graft.sketch.Sketches.cms(s, dir)),
@@ -2520,6 +2531,28 @@ object SparkEntry {
     "rc04_minhash_recall" -> graft.sim.Recall.oracleFor("minhash"),
     "rc05_simhash_recall" -> graft.sim.Recall.oracleFor("simhash"),
     "rc06_embneardup_recall" -> graft.sim.Recall.oracleFor("embedding"),
+    "smp03_mix_weights" ->
+      """SELECT source, n_tokens, ts AS target_share,
+           floor(ts * 30000)::BIGINT AS allocated_tokens,
+           least(1.0, (ts * 30000) / n_tokens::DOUBLE) AS rate,
+           floor(least(1.0, (ts * 30000) / n_tokens::DOUBLE) * n_tokens)::BIGINT
+             AS expected_tokens
+         FROM (
+           SELECT source,
+             sum(len(string_split(text, ' ')))::BIGINT AS n_tokens,
+             (CASE source WHEN 'src0' THEN 0.3 WHEN 'src1' THEN 0.25
+                WHEN 'src2' THEN 0.2 WHEN 'src3' THEN 0.15
+                WHEN 'src4' THEN 0.1 ELSE 0.0 END)::DOUBLE AS ts
+           FROM documents GROUP BY source)""",
+    "tx20_chunking" ->
+      """SELECT d.doc_id, c.c::INT AS chunk_idx, (c.c * 24)::INT AS start_tok,
+           least(len(string_split(d.text, ' ')) - c.c * 24, 32)::INT
+             AS n_chunk_tokens,
+           array_to_string(list_slice(string_split(d.text, ' '),
+             c.c * 24 + 1, c.c * 24 + 32), ' ') AS chunk_text
+         FROM documents d
+         JOIN generate_series(0, 8) AS c(c)
+           ON c.c * 24 <= greatest(len(string_split(d.text, ' ')) - 1, 0)""",
     "qs01_hll_certified" -> graft.sketch.Sketches.oracleFor("hll"),
     "qs02_quantile_certified" -> graft.sketch.Sketches.oracleFor("quantiles"),
     "qs03_cms_certified" -> graft.sketch.Sketches.oracleFor("cms"),

@@ -284,6 +284,18 @@ object JavaPipelineOps {
       strata, textCol, defaultRate)
   }
 
+  def mixWeights(df: DataFrame, targetShares: ju.Map[String, jl.Double],
+      budgetTokens: Long, strata: String, textCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.text.TextFunctions.mixWeights(df,
+      targetShares.asScala.map { case (k, v) => k -> v.doubleValue() }.toMap,
+      budgetTokens, strata, textCol)
+  }
+
+  def chunkDocs(df: DataFrame, window: Int, overlap: Int, idCol: String,
+      textCol: String): DataFrame =
+    graft.text.TextFunctions.chunkDocs(df, window, overlap, idCol, textCol)
+
   def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     graft.sim.Embeddings.centroids(df, groupCol, vecCol)
 

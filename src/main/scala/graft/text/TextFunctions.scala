@@ -512,6 +512,63 @@ object TextFunctions {
       .select(col(idCol), col("tier"), col("quality_score"))
   }
 
+  /**
+   * Domain-mix sampling weights: given target corpus SHARES per source
+   * (e.g. web 0.6, books 0.2, code 0.2) and a total token budget, compute
+   * the per-source keep RATE that hits the mix — the planning step before
+   * [[stratifiedSample]] executes it. rate = min(1, share·budget / tokens):
+   * a source with fewer tokens than its allocation keeps everything
+   * (capped at 1 — the shortfall is visible in `allocated_tokens` vs
+   * `expected_tokens` rather than silently re-normalized away). One keyed
+   * aggregation over (source → token count); scales as a partial-agg
+   * shuffle of one row per source.
+   */
+  def mixWeights(df: DataFrame, targetShares: Map[String, Double],
+      budgetTokens: Long, strata: String = "source",
+      text: String = "text"): DataFrame = {
+    val share = targetShares.toSeq.sortBy(_._1)
+      .foldLeft(lit(0.0)) { case (acc, (s, r)) =>
+        when(col(strata) === s, lit(r)).otherwise(acc)
+      }
+    df.groupBy(col(strata))
+      .agg(sum(size(tokens(col(text))).cast("long")).as("n_tokens"))
+      .withColumn("target_share", share)
+      // floor, not cast: Spark's double->long cast truncates but DuckDB's
+      // rounds — an explicit floor is the same integer in both engines
+      .withColumn("allocated_tokens", floor(col("target_share") * budgetTokens))
+      .withColumn("rate", least(lit(1.0),
+        try_divide(col("target_share") * budgetTokens,
+          col("n_tokens").cast("double"))))
+      .withColumn("expected_tokens", floor(col("rate") * col("n_tokens")))
+  }
+
+  /**
+   * Context-window chunking: split each document's token stream into
+   * windows of `window` tokens advancing by `window − overlap` (the
+   * sequence-prep step before packing/tokenization). Chunk c of a doc with
+   * n tokens covers tokens [c·step, min(n, c·step + window)); every token
+   * position is covered, consecutive chunks share `overlap` tokens, and a
+   * tail shorter than `overlap` still emits (documented: the cost of never
+   * dropping a suffix). The token array is materialized in its own
+   * projection BEFORE the explode so the lambda does not re-split the
+   * document per chunk; a narrow map+explode, no shuffle.
+   */
+  def chunkDocs(df: DataFrame, window: Int, overlap: Int,
+      idCol: String = "doc_id", text: String = "text"): DataFrame = {
+    require(overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got overlap=$overlap window=$window")
+    val step = window - overlap
+    df.select(col(idCol), tokens(col(text)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        posexplode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(step))).as(Seq("chunk_idx", "start_tok")))
+      .select(col(idCol), col("chunk_idx"), col("start_tok"),
+        least(size(col("__toks")) - col("start_tok"), lit(window))
+          .as("n_chunk_tokens"),
+        array_join(slice(col("__toks"), col("start_tok") + 1, lit(window)), " ")
+          .as("chunk_text"))
+  }
+
   /** Canonical fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text — near-dup resilient to formatting noise. */
   def canonicalFingerprint(text: Column): Column =

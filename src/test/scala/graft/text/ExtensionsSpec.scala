@@ -351,6 +351,36 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     Multimodal.audioWindowEnergy(corrupt, 16).count() shouldBe 0L
   }
 
+  test("chunking covers every token with exact overlap; mix weights hit shares") {
+    import graft.text.TextFunctions
+    val chunks = TextFunctions.chunkDocs(docs, window = 4, overlap = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_idx"),
+        r.getAs[Int]("start_tok"), r.getAs[Int]("n_chunk_tokens"),
+        r.getAs[String]("chunk_text")))
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, text) <- texts) {
+      val toks = text.split(" ")
+      val cs = chunks.filter(_._1 == id).sortBy(_._2)
+      // starts advance by step, first covers 0, last reaches the final token
+      cs.map(_._3) shouldBe (0 until toks.length by 3).toArray
+      (cs.last._3 + cs.last._4) shouldBe toks.length
+      // chunk text is the exact token slice; consecutive chunks share 1 token
+      for ((_, _, start, n, ct) <- cs)
+        ct shouldBe toks.slice(start, start + n).mkString(" ")
+      for (Array(a, b) <- cs.sliding(2) if a._4 == 4)
+        b._3 shouldBe a._3 + 3
+    }
+    val mw = TextFunctions.mixWeights(docs.withColumn("source",
+        concat(lit("s"), pmod(col("doc_id"), lit(2)))),
+        Map("s0" -> 0.8, "s1" -> 0.2), budgetTokens = 10L)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Double]("rate")))).toMap
+    // tiny budget: rate = share*budget/tokens, capped at 1
+    mw("s0")._2 shouldBe math.min(1.0, 0.8 * 10 / mw("s0")._1) +- 1e-12
+    mw("s1")._2 shouldBe math.min(1.0, 0.2 * 10 / mw("s1")._1) +- 1e-12
+  }
+
   test("quantizer training sample cap is byte-aware, not just row-counted") {
     import graft.sim.Similarity
     // dim 64: the 256 MB budget allows 512k rows, so the row cap binds
