@@ -136,6 +136,14 @@ def chunk_docs(df, window, overlap, id_col="doc_id", text="text"):
         df._jdf, int(window), int(overlap), id_col, text))
 
 
+def packing_plan(df, window, strata="source", id_col="doc_id", text="text"):
+    """Sequence-packing plan: per-stratum token streams cut into
+    `window`-token training bins (start offset / bin id / straddle)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.packingPlan(
+        df._jdf, int(window), strata, id_col, text))
+
+
 def gopher_filter(df, id_col="doc_id", text_col="text", min_words=10,
                   max_words=100000, min_mean_len=3.0, max_mean_len=12.0,
                   min_alpha_ratio=0.8, max_dup_ratio=0.4, min_stopwords=2):

@@ -638,6 +638,11 @@ object SparkEntry {
       // overlap); every token position covered, narrow map+explode
       graft.text.TextFunctions.chunkDocs(Tables.documents(s, dir),
         window = 32, overlap = 8)),
+    "tx21_packing_plan" -> ((s, dir) =>
+      // sequence packing: per-source token streams cut into 32-token bins;
+      // one running-sum window per source, integral div for bin ids
+      graft.text.TextFunctions.packingPlan(Tables.documents(s, dir),
+        window = 32)),
     "qs01_hll_certified" -> ((s, dir) => graft.sketch.Sketches.hll(s, dir)),
     "qs02_quantile_certified" -> ((s, dir) => graft.sketch.Sketches.quantiles(s, dir)),
     "qs03_cms_certified" -> ((s, dir) => graft.sketch.Sketches.cms(s, dir)),
@@ -2553,6 +2558,17 @@ object SparkEntry {
          FROM documents d
          JOIN generate_series(0, 8) AS c(c)
            ON c.c * 24 <= greatest(len(string_split(d.text, ' ')) - 1, 0)""",
+    "tx21_packing_plan" ->
+      """SELECT source, doc_id,
+           len(string_split(text, ' '))::BIGINT AS n_tokens,
+           coalesce(sum(len(string_split(text, ' ')))
+             OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+             AS start_offset,
+           (start_offset // 32)::BIGINT AS bin_id,
+           (start_offset % 32)::BIGINT AS offset_in_bin,
+           offset_in_bin + n_tokens > 32 AS straddles
+         FROM documents""",
     "qs01_hll_certified" -> graft.sketch.Sketches.oracleFor("hll"),
     "qs02_quantile_certified" -> graft.sketch.Sketches.oracleFor("quantiles"),
     "qs03_cms_certified" -> graft.sketch.Sketches.oracleFor("cms"),

@@ -296,6 +296,10 @@ object JavaPipelineOps {
       textCol: String): DataFrame =
     graft.text.TextFunctions.chunkDocs(df, window, overlap, idCol, textCol)
 
+  def packingPlan(df: DataFrame, window: Int, strata: String, idCol: String,
+      textCol: String): DataFrame =
+    graft.text.TextFunctions.packingPlan(df, window, strata, idCol, textCol)
+
   def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     graft.sim.Embeddings.centroids(df, groupCol, vecCol)
 

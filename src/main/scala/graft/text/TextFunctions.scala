@@ -569,6 +569,34 @@ object TextFunctions {
           .as("chunk_text"))
   }
 
+  /**
+   * Token-stream packing plan: concatenate each stratum's documents in
+   * `idCol` order into one token stream and cut it into `window`-token
+   * training sequences — the sequence-packing step (every GPT-style
+   * pipeline's final layout; no padding waste, documents straddle
+   * boundaries and are split at tokenization time). Emits per doc its
+   * global `start_offset` in the stream, the `bin_id` of the window its
+   * FIRST token lands in, its offset within that bin, and whether it
+   * straddles a boundary. One running-sum window per stratum — the same
+   * key shuffle a groupBy(strata) needs; at extreme per-stratum skew the
+   * stratum would be sub-sharded first (the [[graft.ts.Skew]] pattern).
+   */
+  def packingPlan(df: DataFrame, window: Int, strata: String = "source",
+      idCol: String = "doc_id", text: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strata)).orderBy(col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    df.select(col(strata), col(idCol),
+        size(tokens(col(text))).cast("long").as("n_tokens"))
+      .withColumn("start_offset", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      // integral `div`, not `/`: Spark's / is double division, and doubles
+      // lose integer exactness past 2^53 — real at 100 TB token offsets
+      .withColumn("bin_id", expr(s"start_offset div $window"))
+      .withColumn("offset_in_bin", col("start_offset") % window)
+      .withColumn("straddles",
+        col("offset_in_bin") + col("n_tokens") > window)
+  }
+
   /** Canonical fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text — near-dup resilient to formatting noise. */
   def canonicalFingerprint(text: Column): Column =

@@ -379,6 +379,20 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     // tiny budget: rate = share*budget/tokens, capped at 1
     mw("s0")._2 shouldBe math.min(1.0, 0.8 * 10 / mw("s0")._1) +- 1e-12
     mw("s1")._2 shouldBe math.min(1.0, 0.2 * 10 / mw("s1")._1) +- 1e-12
+    // packing: offsets are the exclusive running sum, bins index the stream
+    val pk = TextFunctions.packingPlan(docs.withColumn("source", lit("s")),
+        window = 5).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("start_offset"), r.getAs[Long]("bin_id"),
+        r.getAs[Long]("offset_in_bin"), r.getAs[Boolean]("straddles")))
+      .sortBy(_._1)
+    pk.head._3 shouldBe 0L
+    for (Array(a, b) <- pk.sliding(2)) b._3 shouldBe a._3 + a._2
+    for ((_, n, off, bin, inBin, straddles) <- pk) {
+      bin shouldBe off / 5
+      inBin shouldBe off % 5
+      straddles shouldBe (inBin + n > 5)
+    }
   }
 
   test("quantizer training sample cap is byte-aware, not just row-counted") {
