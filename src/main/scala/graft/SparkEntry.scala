@@ -643,6 +643,11 @@ object SparkEntry {
       // one running-sum window per source, integral div for bin ids
       graft.text.TextFunctions.packingPlan(Tables.documents(s, dir),
         window = 32)),
+    "tx22_winnowing" -> ((s, dir) =>
+      // MOSS winnowing: min polynomial 5-gram hash per 4-gram window,
+      // distinct per doc; local fingerprints for substring-level dedup
+      graft.text.TextFunctions.winnowingFingerprints(Tables.documents(s, dir),
+        k = 5, w = 4)),
     "qs01_hll_certified" -> ((s, dir) => graft.sketch.Sketches.hll(s, dir)),
     "qs02_quantile_certified" -> ((s, dir) => graft.sketch.Sketches.quantiles(s, dir)),
     "qs03_cms_certified" -> ((s, dir) => graft.sketch.Sketches.cms(s, dir)),
@@ -2569,6 +2574,24 @@ object SparkEntry {
            (start_offset % 32)::BIGINT AS offset_in_bin,
            offset_in_bin + n_tokens > 32 AS straddles
          FROM documents""",
+    "tx22_winnowing" ->
+      """WITH hs AS (
+           SELECT d.doc_id, i.i AS i,
+             (ord(d.text[i.i+1:i.i+1]) * 4362470401
+              + ord(d.text[i.i+2:i.i+2]) * 16974593
+              + ord(d.text[i.i+3:i.i+3]) * 66049
+              + ord(d.text[i.i+4:i.i+4]) * 257
+              + ord(d.text[i.i+5:i.i+5])) % 1000000007 AS h
+           FROM documents d
+           JOIN generate_series(0, 600) AS i(i) ON i.i <= length(d.text) - 5
+         ), wins AS (
+           SELECT hs.doc_id, p.p AS p, min(hs.h) AS fingerprint
+           FROM hs JOIN generate_series(0, 600) AS p(p)
+             ON hs.i BETWEEN p.p AND p.p + 3
+           GROUP BY hs.doc_id, p.p
+           HAVING count(*) = 4
+         )
+         SELECT DISTINCT doc_id, fingerprint FROM wins""",
     "qs01_hll_certified" -> graft.sketch.Sketches.oracleFor("hll"),
     "qs02_quantile_certified" -> graft.sketch.Sketches.oracleFor("quantiles"),
     "qs03_cms_certified" -> graft.sketch.Sketches.oracleFor("cms"),

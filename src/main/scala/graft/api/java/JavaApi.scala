@@ -300,6 +300,10 @@ object JavaPipelineOps {
       textCol: String): DataFrame =
     graft.text.TextFunctions.packingPlan(df, window, strata, idCol, textCol)
 
+  def winnowingFingerprints(df: DataFrame, k: Int, w: Int, idCol: String,
+      textCol: String): DataFrame =
+    graft.text.TextFunctions.winnowingFingerprints(df, k, w, idCol, textCol)
+
   def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     graft.sim.Embeddings.centroids(df, groupCol, vecCol)
 

@@ -395,6 +395,33 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("winnowing: shared substrings >= k+w-1 share a fingerprint, edits stay local") {
+    import graft.text.TextFunctions
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "a completely different preamble yet the quick brown fox appears"),
+      (2L, "zz unrelated content with no overlap at all qqqq ww"),
+      (3L, "the quick brown fox jumps over the lazy dog tonight") // exact dup
+    ).toDF("doc_id", "text")
+    val fps = TextFunctions.winnowingFingerprints(d, k = 5, w = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: docs 0 and 1 share "the quick brown fox" (19 >= 8 chars)
+    (byDoc(0L) & byDoc(1L)) should not be empty
+    // unrelated docs share nothing
+    (byDoc(0L) & byDoc(2L)) shouldBe empty
+    // identical docs -> identical fingerprint sets (position-independent)
+    byDoc(3L) shouldBe byDoc(0L)
+    // locality: an edit at the END leaves the head fingerprints intact
+    val edited = Seq((9L, "the quick brown fox jumps over the lazy cat headline"))
+      .toDF("doc_id", "text")
+    val editedFps = TextFunctions.winnowingFingerprints(edited, 5, 4)
+      .collect().map(_.getLong(1)).toSet
+    (byDoc(0L) & editedFps).size should be >= (byDoc(0L).size / 2)
+  }
+
   test("quantizer training sample cap is byte-aware, not just row-counted") {
     import graft.sim.Similarity
     // dim 64: the 256 MB budget allows 512k rows, so the row cap binds
