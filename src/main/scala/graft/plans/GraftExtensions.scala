@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.text.{Dedup, RollingHash, TextFunctions}
+import graft.text.{Dedup, RollingHash, TextFunctions, WinnowingMins}
 
 /**
  * Session extension entry point (the `SparkSessionExtensions` registration
@@ -53,6 +53,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "dot_product takes exactly two arguments")
         graft.sim.DotProduct(children(0), children(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("winnowing_mins"),
+      new ExpressionInfo(classOf[WinnowingMins].getName, "winnowing_mins"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "winnowing_mins takes (text, k, w); k and w must be int literals")
+        val Seq(kExpr, wExpr) = children.drop(1)
+        def intLit(ex: Expression, what: String): Int = ex match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"winnowing_mins $what must be an integer literal, got $other")
+        }
+        WinnowingMins(children.head, intLit(kExpr, "k"), intLit(wExpr, "w"))
       }))
     inject(e, "canonical_fingerprint", 1)(c => TextFunctions.canonicalFingerprint(c.head))
     inject(e, "bpeish_token_count", 1)(c => TextFunctions.bpeishTokenCount(c.head))

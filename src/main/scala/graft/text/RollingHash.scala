@@ -56,3 +56,95 @@ object RollingHash {
   def ofColumn(c: Column): Column =
     GraftSqlBridge.column(RollingHash(GraftSqlBridge.expression(c)))
 }
+
+/**
+ * Winnowing window minima as a native codegen'd expression: polynomial
+ * hash of every `k`-byte gram (h = Σ byte·257^j mod 1000000007, iterated
+ * mod ≡ polynomial mod), then the minimum hash of each `w`-consecutive-gram
+ * window — one compiled O(n·k + n·w) pass per document. Replaces the HOF
+ * formulation (aggregate-inside-transform with per-char element_at), whose
+ * interpreted lambdas cost ~18 ms/doc — 92 s for tx22 at sf0.1 vs <2 s
+ * compiled. k and w are small constants (4-16), so the naive inner loops
+ * beat a deque; byte-based, identical to char-based on ASCII corpora.
+ * Shorter-than-k+w-1 inputs yield an empty array (no fingerprints).
+ */
+case class WinnowingMins(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, s"need k >= 1 and w >= 1, got k=$k w=$w")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnowing_mins"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnowing_mins requires a string column, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[UTF8String].getBytes
+    val n = b.length
+    if (n < k + w - 1)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Long])
+    val nh = n - k + 1
+    val hs = new Array[Long](nh)
+    var i = 0
+    while (i < nh) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 257 + (b(i + j) & 0xff)) % 1000000007L; j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val mins = new Array[Long](nh - w + 1)
+    var p = 0
+    while (p < mins.length) {
+      var m = hs(p)
+      var q = 1
+      while (q < w) { if (hs(p + q) < m) m = hs(p + q); q += 1 }
+      mins(p) = m
+      p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ev.value
+      s"""
+         |byte[] ${v}_b = $c.getBytes();
+         |int ${v}_n = ${v}_b.length;
+         |long[] ${v}_mins;
+         |if (${v}_n < ${k + w - 1}) {
+         |  ${v}_mins = new long[0];
+         |} else {
+         |  int ${v}_nh = ${v}_n - $k + 1;
+         |  long[] ${v}_hs = new long[${v}_nh];
+         |  for (int ${v}_i = 0; ${v}_i < ${v}_nh; ${v}_i++) {
+         |    long ${v}_h = 0L;
+         |    for (int ${v}_j = 0; ${v}_j < $k; ${v}_j++) {
+         |      ${v}_h = (${v}_h * 257L + (${v}_b[${v}_i + ${v}_j] & 0xff)) % 1000000007L;
+         |    }
+         |    ${v}_hs[${v}_i] = ${v}_h;
+         |  }
+         |  ${v}_mins = new long[${v}_nh - $w + 1];
+         |  for (int ${v}_p = 0; ${v}_p < ${v}_mins.length; ${v}_p++) {
+         |    long ${v}_m = ${v}_hs[${v}_p];
+         |    for (int ${v}_q = 1; ${v}_q < $w; ${v}_q++) {
+         |      if (${v}_hs[${v}_p + ${v}_q] < ${v}_m) ${v}_m = ${v}_hs[${v}_p + ${v}_q];
+         |    }
+         |    ${v}_mins[${v}_p] = ${v}_m;
+         |  }
+         |}
+         |$v = new org.apache.spark.sql.catalyst.util.GenericArrayData(${v}_mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowingMins =
+    copy(child = newChild)
+}
+
+object WinnowingMins {
+  def ofColumn(c: Column, k: Int, w: Int): Column =
+    GraftSqlBridge.column(WinnowingMins(GraftSqlBridge.expression(c), k, w))
+}

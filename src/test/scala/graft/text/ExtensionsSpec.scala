@@ -420,6 +420,17 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     val editedFps = TextFunctions.winnowingFingerprints(edited, 5, 4)
       .collect().map(_.getLong(1)).toSet
     (byDoc(0L) & editedFps).size should be >= (byDoc(0L).size / 2)
+    // native expression: SQL-registered, matches the scalar reference math,
+    // and empty below the k+w-1 minimum length
+    val sqlMins = spark.sql(
+      "SELECT winnowing_mins('abcdefgh', 5, 4) AS m, winnowing_mins('abcdefg', 5, 4) AS e")
+      .head()
+    val hs = (0 to 3).map { i =>
+      "abcdefgh".getBytes("UTF-8").slice(i, i + 5)
+        .foldLeft(0L)((h, b) => (h * 257 + (b & 0xff)) % 1000000007L)
+    }
+    sqlMins.getAs[scala.collection.Seq[Long]]("m") shouldBe Seq(hs.min)
+    sqlMins.getAs[scala.collection.Seq[Long]]("e") shouldBe empty
   }
 
   test("quantizer training sample cap is byte-aware, not just row-counted") {
