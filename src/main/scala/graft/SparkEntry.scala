@@ -648,6 +648,11 @@ object SparkEntry {
       // distinct per doc; local fingerprints for substring-level dedup
       graft.text.TextFunctions.winnowingFingerprints(Tables.documents(s, dir),
         k = 5, w = 4)),
+    "dd12_winnow_duplication" -> ((s, dir) =>
+      // substring-level dup signal: per-doc share of winnowing fingerprints
+      // seen in other docs; fingerprint-keyed doc-freq join, never doc x doc
+      graft.text.TextFunctions.winnowingDuplication(Tables.documents(s, dir),
+        k = 5, w = 4)),
     "qs01_hll_certified" -> ((s, dir) => graft.sketch.Sketches.hll(s, dir)),
     "qs02_quantile_certified" -> ((s, dir) => graft.sketch.Sketches.quantiles(s, dir)),
     "qs03_cms_certified" -> ((s, dir) => graft.sketch.Sketches.cms(s, dir)),
@@ -2592,6 +2597,35 @@ object SparkEntry {
            HAVING count(*) = 4
          )
          SELECT DISTINCT doc_id, fingerprint FROM wins""",
+    "dd12_winnow_duplication" ->
+      """WITH hs AS (
+           SELECT d.doc_id, i.i AS i,
+             (ord(d.text[i.i+1:i.i+1]) * 4362470401
+              + ord(d.text[i.i+2:i.i+2]) * 16974593
+              + ord(d.text[i.i+3:i.i+3]) * 66049
+              + ord(d.text[i.i+4:i.i+4]) * 257
+              + ord(d.text[i.i+5:i.i+5])) % 1000000007 AS h
+           FROM documents d
+           JOIN generate_series(0, 600) AS i(i) ON i.i <= length(d.text) - 5
+         ), wins AS (
+           SELECT hs.doc_id, p.p AS p, min(hs.h) AS fingerprint
+           FROM hs JOIN generate_series(0, 600) AS p(p)
+             ON hs.i BETWEEN p.p AND p.p + 3
+           GROUP BY hs.doc_id, p.p
+           HAVING count(*) = 4
+         ), fps AS (
+           SELECT DISTINCT doc_id, fingerprint FROM wins
+         ), dfreq AS (
+           SELECT fingerprint, count(*) AS df FROM fps GROUP BY fingerprint
+         )
+         SELECT f.doc_id,
+           count(*)::BIGINT AS n_fingerprints,
+           sum(CASE WHEN q.df > 1 THEN 1 ELSE 0 END)::BIGINT
+             AS n_dup_fingerprints,
+           sum(CASE WHEN q.df > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*)
+             AS dup_fp_ratio
+         FROM fps f JOIN dfreq q USING (fingerprint)
+         GROUP BY f.doc_id""",
     "qs01_hll_certified" -> graft.sketch.Sketches.oracleFor("hll"),
     "qs02_quantile_certified" -> graft.sketch.Sketches.oracleFor("quantiles"),
     "qs03_cms_certified" -> graft.sketch.Sketches.oracleFor("cms"),

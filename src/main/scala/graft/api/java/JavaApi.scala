@@ -304,6 +304,10 @@ object JavaPipelineOps {
       textCol: String): DataFrame =
     graft.text.TextFunctions.winnowingFingerprints(df, k, w, idCol, textCol)
 
+  def winnowingDuplication(df: DataFrame, k: Int, w: Int, idCol: String,
+      textCol: String): DataFrame =
+    graft.text.TextFunctions.winnowingDuplication(df, k, w, idCol, textCol)
+
   def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     graft.sim.Embeddings.centroids(df, groupCol, vecCol)
 

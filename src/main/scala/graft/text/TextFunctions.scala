@@ -621,6 +621,32 @@ object TextFunctions {
       .select(col(idCol), explode(array_distinct(
         WinnowingMins.ofColumn(col(text), k, w))).as("fingerprint"))
 
+  /**
+   * Cross-document substring duplication via winnowing: join documents on
+   * shared [[winnowingFingerprints]] and report, per doc, how many of its
+   * fingerprints appear in at least one OTHER document — the
+   * substring-level dup signal (winnowing guarantees any shared run of
+   * ≥ k+w−1 chars contributes a shared fingerprint, so `dup_fp_ratio` ≈
+   * fraction of the doc covered by text seen elsewhere). Same shape as the
+   * shingle doc-frequency pipeline (dd09) but character-level and
+   * edit-local. One fingerprint-keyed shuffle; doc frequency, never
+   * doc×doc pairs.
+   */
+  def winnowingDuplication(df: DataFrame, k: Int = 5, w: Int = 4,
+      idCol: String = "doc_id", text: String = "text"): DataFrame = {
+    val fps = winnowingFingerprints(df, k, w, idCol, text)
+    // distinct doc count per fingerprint (fingerprints are distinct-per-doc
+    // by construction, so count(*) = doc frequency)
+    val dfreq = fps.groupBy("fingerprint").agg(count(lit(1)).as("__df"))
+    fps.join(dfreq, "fingerprint")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_fingerprints"),
+        sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup_fingerprints"))
+      .select(col(idCol), col("n_fingerprints"), col("n_dup_fingerprints"),
+        try_divide(col("n_dup_fingerprints").cast("double"),
+          col("n_fingerprints").cast("double")).as("dup_fp_ratio"))
+  }
+
   /** Canonical fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text — near-dup resilient to formatting noise. */
   def canonicalFingerprint(text: Column): Column =
