@@ -160,6 +160,14 @@ def winnowing_duplication(df, k=5, w=4, id_col="doc_id", text="text"):
         df._jdf, int(k), int(w), id_col, text))
 
 
+def distribution_drift(df, ref_filter, cur_filter, strata="source"):
+    """PSI drift of the `strata` mix between two cohort filters (pyspark
+    Column predicates) — the corpus snapshot-drift monitor."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.distributionDrift(
+        df._jdf, ref_filter._jc, cur_filter._jc, strata))
+
+
 def gopher_filter(df, id_col="doc_id", text_col="text", min_words=10,
                   max_words=100000, min_mean_len=3.0, max_mean_len=12.0,
                   min_alpha_ratio=0.8, max_dup_ratio=0.4, min_stopwords=2):

@@ -653,6 +653,12 @@ object SparkEntry {
       // seen in other docs; fingerprint-keyed doc-freq join, never doc x doc
       graft.text.TextFunctions.winnowingDuplication(Tables.documents(s, dir),
         k = 5, w = 4)),
+    "qa01_psi_drift" -> ((s, dir) =>
+      // corpus drift monitor: PSI of the source mix between deterministic
+      // even/odd doc cohorts standing in for two snapshots
+      graft.text.TextFunctions.distributionDrift(Tables.documents(s, dir),
+        refFilter = pmod(col("doc_id"), lit(2)) === 0,
+        curFilter = pmod(col("doc_id"), lit(2)) === 1)),
     "qs01_hll_certified" -> ((s, dir) => graft.sketch.Sketches.hll(s, dir)),
     "qs02_quantile_certified" -> ((s, dir) => graft.sketch.Sketches.quantiles(s, dir)),
     "qs03_cms_certified" -> ((s, dir) => graft.sketch.Sketches.cms(s, dir)),
@@ -2626,6 +2632,22 @@ object SparkEntry {
              AS dup_fp_ratio
          FROM fps f JOIN dfreq q USING (fingerprint)
          GROUP BY f.doc_id""",
+    "qa01_psi_drift" ->
+      """WITH a AS (
+           SELECT source,
+             sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END)::BIGINT AS n_ref,
+             sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_cur
+           FROM documents GROUP BY source)
+         SELECT source, n_ref, n_cur,
+           round(n_ref::DOUBLE / sum(n_ref) OVER (), 6) AS p,
+           round(n_cur::DOUBLE / sum(n_cur) OVER (), 6) AS q,
+           round(CASE WHEN n_ref > 0 AND n_cur > 0 THEN
+             (n_cur::DOUBLE / sum(n_cur) OVER ()
+              - n_ref::DOUBLE / sum(n_ref) OVER ())
+             * ln((n_cur::DOUBLE / sum(n_cur) OVER ())
+                  / (n_ref::DOUBLE / sum(n_ref) OVER ()))
+           END, 6) AS psi_contrib
+         FROM a""",
     "qs01_hll_certified" -> graft.sketch.Sketches.oracleFor("hll"),
     "qs02_quantile_certified" -> graft.sketch.Sketches.oracleFor("quantiles"),
     "qs03_cms_certified" -> graft.sketch.Sketches.oracleFor("cms"),

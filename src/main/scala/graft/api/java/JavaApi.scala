@@ -308,6 +308,10 @@ object JavaPipelineOps {
       textCol: String): DataFrame =
     graft.text.TextFunctions.winnowingDuplication(df, k, w, idCol, textCol)
 
+  def distributionDrift(df: DataFrame, refFilter: Column, curFilter: Column,
+      strata: String): DataFrame =
+    graft.text.TextFunctions.distributionDrift(df, refFilter, curFilter, strata)
+
   def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     graft.sim.Embeddings.centroids(df, groupCol, vecCol)
 

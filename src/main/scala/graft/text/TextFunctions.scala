@@ -647,6 +647,33 @@ object TextFunctions {
           col("n_fingerprints").cast("double")).as("dup_fp_ratio"))
   }
 
+  /**
+   * Population-stability-index drift between two cohorts of one corpus
+   * (reference vs current snapshot): per stratum,
+   * p = ref share, q = cur share, contribution = (q−p)·ln(q/p); total PSI
+   * is the sum (rule of thumb: <0.1 stable, >0.25 investigate) — the
+   * standard monitor for "did this week's crawl shift the source/language
+   * mix". One keyed aggregation over the corpus; the share normalization
+   * is a window over the AGGREGATED rows (one per stratum — bounded by
+   * stratum cardinality, not corpus size). Strata missing from either
+   * cohort contribute null (the counts expose them; standard PSI smoothing
+   * is a caller choice, not silently applied).
+   */
+  def distributionDrift(df: DataFrame, refFilter: Column, curFilter: Column,
+      strata: String = "source"): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy()
+    val p = col("n_ref").cast("double") / sum(col("n_ref")).over(all)
+    val q = col("n_cur").cast("double") / sum(col("n_cur")).over(all)
+    df.groupBy(col(strata)).agg(
+        sum(when(refFilter, 1L).otherwise(0L)).as("n_ref"),
+        sum(when(curFilter, 1L).otherwise(0L)).as("n_cur"))
+      .select(col(strata), col("n_ref"), col("n_cur"),
+        round(p, 6).as("p"), round(q, 6).as("q"),
+        round(when(col("n_ref") > 0 && col("n_cur") > 0,
+          (q - p) * log(q / p)), 6).as("psi_contrib"))
+  }
+
   /** Canonical fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text — near-dup resilient to formatting noise. */
   def canonicalFingerprint(text: Column): Column =
