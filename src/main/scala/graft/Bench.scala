@@ -106,13 +106,19 @@ object Bench {
     // typically) with the dropped count in "n_other". Full per-query data
     // lives in bench_detail.json and on stderr.
     val header = s""""metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size}"""
+    val short = results.map { case (k, v, _, _) => (k.takeWhile(_ != '_'), v) }
+    val useShort = short.map(_._1).distinct.size == results.size
+    // errors keyed the same way as the timings: under a prefix collision
+    // the fallback to full names must apply here too, or two failing
+    // same-prefix queries would emit duplicate JSON keys and one message
+    // would be silently dropped by the parser
+    def outKey(k: String): String = if (useShort) k.takeWhile(_ != '_') else k
     val errs = results.collect { case (k, _, _, Some(e)) =>
-      s"${jstr(k.takeWhile(_ != '_'))}:${jstr(e.take(60))}" }.mkString("{", ",", "}")
+      s"${jstr(outKey(k))}:${jstr(e.take(60))}" }.mkString("{", ",", "}")
     val footer = s""""failed":$failed""" +
       (if (failed > 0) s""","errors":$errs""" else "") +
       s""","sf":${jstr(sfDir.split('/').last)}"""
-    val short = results.map { case (k, v, _, _) => (k.takeWhile(_ != '_'), v) }
-    val keyed = if (short.map(_._1).distinct.size == results.size) short
+    val keyed = if (useShort) short
                 else results.map { case (k, v, _, _) => (k, v) }
     val budget = 1800 - header.length - footer.length - 40 // slack for braces/other
     val bySize = keyed.sortBy(-_._2)

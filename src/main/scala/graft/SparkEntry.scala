@@ -2572,7 +2572,7 @@ object SparkEntry {
            array_to_string(list_slice(string_split(d.text, ' '),
              c.c * 24 + 1, c.c * 24 + 32), ' ') AS chunk_text
          FROM documents d
-         JOIN generate_series(0, 8) AS c(c)
+         JOIN generate_series(0, 50) AS c(c)
            ON c.c * 24 <= greatest(len(string_split(d.text, ' ')) - 1, 0)""",
     "tx21_packing_plan" ->
       """SELECT source, doc_id,
@@ -2594,10 +2594,10 @@ object SparkEntry {
               + ord(d.text[i.i+4:i.i+4]) * 257
               + ord(d.text[i.i+5:i.i+5])) % 1000000007 AS h
            FROM documents d
-           JOIN generate_series(0, 600) AS i(i) ON i.i <= length(d.text) - 5
+           JOIN generate_series(0, 4000) AS i(i) ON i.i <= length(d.text) - 5
          ), wins AS (
            SELECT hs.doc_id, p.p AS p, min(hs.h) AS fingerprint
-           FROM hs JOIN generate_series(0, 600) AS p(p)
+           FROM hs JOIN generate_series(0, 4000) AS p(p)
              ON hs.i BETWEEN p.p AND p.p + 3
            GROUP BY hs.doc_id, p.p
            HAVING count(*) = 4
@@ -2612,10 +2612,10 @@ object SparkEntry {
               + ord(d.text[i.i+4:i.i+4]) * 257
               + ord(d.text[i.i+5:i.i+5])) % 1000000007 AS h
            FROM documents d
-           JOIN generate_series(0, 600) AS i(i) ON i.i <= length(d.text) - 5
+           JOIN generate_series(0, 4000) AS i(i) ON i.i <= length(d.text) - 5
          ), wins AS (
            SELECT hs.doc_id, p.p AS p, min(hs.h) AS fingerprint
-           FROM hs JOIN generate_series(0, 600) AS p(p)
+           FROM hs JOIN generate_series(0, 4000) AS p(p)
              ON hs.i BETWEEN p.p AND p.p + 3
            GROUP BY hs.doc_id, p.p
            HAVING count(*) = 4

@@ -38,8 +38,12 @@ case class EWMAModel(smoothing: Double) extends TimeSeriesModel {
   /** h-step SES forecast: flat at the last smoothed level (the SES
     * forecast function is constant in the horizon). This is THE forecast
     * path [[ModelOps.forecastEwma]] serves and mr03 certifies. */
-  def forecast(ts: Array[Double], h: Int): Array[Double] =
-    Array.fill(h)(addTimeDependentEffects(ts).last)
+  def forecast(ts: Array[Double], h: Int): Array[Double] = {
+    // smooth once — Array.fill's by-name element would re-run the O(n)
+    // pass (and its allocation) per horizon step
+    val level = addTimeDependentEffects(ts).last
+    Array.fill(h)(level)
+  }
 
   /** Sum of squared one-step-ahead forecast errors Σ (x_t - s_{t-1})². */
   def sse(ts: Array[Double]): Double = {

@@ -72,13 +72,19 @@ object Sketches {
     val est = price.agg(percentile_approx(col("v"),
       array(qs.map(lit): _*), lit(1000)).as("p")).head()
       .getAs[scala.collection.Seq[Double]]("p")
-    val n = price.count().toDouble
+    // all 8 rank counts + n in ONE scan (conditional sums), not 9 jobs
+    val rankAggs = count(lit(1)).as("n") +: qs.zip(est).flatMap { case (q, v) =>
+      Seq(sum(when(col("v") < v, 1L).otherwise(0L)).as(s"below_${(q * 100).toInt}"),
+        sum(when(col("v") <= v, 1L).otherwise(0L)).as(s"at_${(q * 100).toInt}"))
+    }
+    val r = price.agg(rankAggs.head, rankAggs.tail: _*).head()
+    val n = r.getAs[Long]("n").toDouble
     val eps = 2.0 / 1000
-    val rows = qs.zip(est).map { case (q, v) =>
-      val below = price.filter(col("v") < v).count() / n
-      val atOrBelow = price.filter(col("v") <= v).count() / n
-      (s"qs02", f"gk_rank_q${(q * 100).toInt}%d",
-        below <= q + eps && atOrBelow >= q - eps)
+    val rows = qs.map { q =>
+      val pct = (q * 100).toInt
+      val below = r.getAs[Long](s"below_$pct") / n
+      val atOrBelow = r.getAs[Long](s"at_$pct") / n
+      ("qs02", s"gk_rank_q$pct", below <= q + eps && atOrBelow >= q - eps)
     }
     checks(s, rows)
   }

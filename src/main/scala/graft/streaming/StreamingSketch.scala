@@ -55,7 +55,10 @@ object StreamingSketch {
     val s = stream.sparkSession
     import s.implicits._
     stream
-      .select(explode(split(lower(col(textCol)), " ")).as("token"))
+      // same tokenizer as the batch twin (Sketches.cms / qs03) — the
+      // streaming and batch heavy-hitter counts must never diverge
+      .select(explode(graft.text.TextFunctions.tokens(lower(col(textCol))))
+        .as("token"))
       .filter(length(col("token")) > 0)
       .select(pmod(hash(col("token")), lit(shards)).as("shard"), col("token"))
       .as[(Int, String)]

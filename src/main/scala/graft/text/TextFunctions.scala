@@ -617,7 +617,10 @@ object TextFunctions {
    */
   def winnowingFingerprints(df: DataFrame, k: Int = 5, w: Int = 4,
       idCol: String = "doc_id", text: String = "text"): DataFrame =
-    df.filter(length(col(text)) >= k + w - 1)
+    // octet_length, not length: the expression hashes UTF-8 BYTES, so the
+    // minimum-input gate must count bytes too (a 7-char doc with multibyte
+    // chars can still carry >= k+w-1 byte-grams)
+    df.filter(octet_length(col(text)) >= k + w - 1)
       .select(col(idCol), explode(array_distinct(
         WinnowingMins.ofColumn(col(text), k, w))).as("fingerprint"))
 
@@ -635,10 +638,13 @@ object TextFunctions {
   def winnowingDuplication(df: DataFrame, k: Int = 5, w: Int = 4,
       idCol: String = "doc_id", text: String = "text"): DataFrame = {
     val fps = winnowingFingerprints(df, k, w, idCol, text)
-    // distinct doc count per fingerprint (fingerprints are distinct-per-doc
-    // by construction, so count(*) = doc frequency)
-    val dfreq = fps.groupBy("fingerprint").agg(count(lit(1)).as("__df"))
-    fps.join(dfreq, "fingerprint")
+    // doc frequency via a window over the ONE fingerprint pipeline
+    // (fingerprints are distinct-per-doc, so count per fingerprint = doc
+    // frequency) — a join against a groupBy of the same plan would run the
+    // winnowing scan twice; the window costs the identical fingerprint
+    // shuffle exactly once
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy(col("fingerprint"))
+    fps.withColumn("__df", count(lit(1)).over(wFp))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_fingerprints"),
         sum(when(col("__df") > 1, 1L).otherwise(0L)).as("n_dup_fingerprints"))
