@@ -53,6 +53,14 @@ def pq_top_k(corpus, queries, k, m=8, codebook_size=16, rerank=50,
         int(rerank), id_col, vec_col, int(seed), int(train_max_rows)))
 
 
+def pca_project(df, k, id_col="vec_id", vec_col="embedding"):
+    """Project embeddings onto the top-k principal components (properly
+    mean-centered; Gramian aggregation is O(dim^2), constant in corpus)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.sim.Embeddings.pcaProject(
+        df._jdf, int(k), id_col, vec_col))
+
+
 def inertia(df, group_col="label", vec_col="embedding", id_col="vec_id"):
     """Per-group mean squared distance to the group centroid."""
     spark, jvm = ctx(df)

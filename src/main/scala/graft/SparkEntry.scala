@@ -659,6 +659,10 @@ object SparkEntry {
       graft.text.TextFunctions.distributionDrift(Tables.documents(s, dir),
         refFilter = pmod(col("doc_id"), lit(2)) === 0,
         curFilter = pmod(col("doc_id"), lit(2)) === 1)),
+    "em06_pca_certified" -> ((s, dir) =>
+      // PCA via the distributed Gramian (O(d^2) driver cost, constant in
+      // corpus size) certified by its linear-algebra identities
+      graft.sim.Embeddings.pcaCertified(s, dir)),
     "qs01_hll_certified" -> ((s, dir) => graft.sketch.Sketches.hll(s, dir)),
     "qs02_quantile_certified" -> ((s, dir) => graft.sketch.Sketches.quantiles(s, dir)),
     "qs03_cms_certified" -> ((s, dir) => graft.sketch.Sketches.cms(s, dir)),
@@ -2648,6 +2652,7 @@ object SparkEntry {
                   / (n_ref::DOUBLE / sum(n_ref) OVER ()))
            END, 6) AS psi_contrib
          FROM a""",
+    "em06_pca_certified" -> graft.sim.Embeddings.pcaOracle,
     "qs01_hll_certified" -> graft.sketch.Sketches.oracleFor("hll"),
     "qs02_quantile_certified" -> graft.sketch.Sketches.oracleFor("quantiles"),
     "qs03_cms_certified" -> graft.sketch.Sketches.oracleFor("cms"),

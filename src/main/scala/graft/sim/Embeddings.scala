@@ -120,4 +120,101 @@ object Embeddings {
         round(var_samp(col("v")), 6).as("dim_var"),
         min(col("v")).as("dim_min"),
         max(col("v")).as("dim_max"))
+
+  /**
+   * PCA basis via mllib's distributed Gramian path: `RowMatrix` aggregates
+   * the d×d Gramian with partial aggregation (O(d²) per task and on the
+   * driver, CONSTANT in corpus size — the standard design for d up to a
+   * few thousand) and eigendecomposes driver-side. Returns the column
+   * means and the top-`k` components as plain arrays for broadcasting.
+   */
+  private[graft] def pcaBasis(df: DataFrame, k: Int,
+      vecCol: String = "embedding"): (Array[Double], Array[Array[Double]], Array[Double]) = {
+    import org.apache.spark.mllib.linalg.Vectors
+    import org.apache.spark.mllib.linalg.distributed.RowMatrix
+    val rdd = df.select(col(vecCol).cast("array<double>")).rdd
+      .map(r => Vectors.dense(r.getSeq[Double](0).toArray))
+    val mat = new RowMatrix(rdd)
+    val (pc, explained) = mat.computePrincipalComponentsAndExplainedVariance(k)
+    val mean = mat.computeColumnSummaryStatistics().mean.toArray
+    val d = pc.numRows
+    val comps = Array.tabulate(k)(j => Array.tabulate(d)(i => pc(i, j)))
+    (mean, comps, explained.toArray)
+  }
+
+  /**
+   * Project embeddings onto the top-`k` principal components, properly
+   * MEAN-CENTERED first (mllib's own `PCA.transform` multiplies raw rows —
+   * a documented quirk that shifts projections by μ·v; centering here makes
+   * component means zero, the property [[em06/pcaCertified]] checks). The
+   * basis fit is one Gramian aggregation; projection is a narrow map over
+   * a broadcast (d×k) matrix.
+   */
+  def pcaProject(df: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val (mean, comps, _) = pcaBasis(df, k, vecCol)
+    val spark = df.sparkSession
+    val bMean = spark.sparkContext.broadcast(mean)
+    val bComps = spark.sparkContext.broadcast(comps)
+    val project = udf { (v: Seq[Double]) =>
+      val m = bMean.value
+      bComps.value.map { c =>
+        var s = 0.0
+        var i = 0
+        while (i < c.length) { s += (v(i) - m(i)) * c(i); i += 1 }
+        s
+      }
+    }
+    df.select(col(idCol), project(col(vecCol).cast("array<double>")).as("proj"))
+  }
+
+  /**
+   * In-query PCA certification (em06, the rc-/qs- pattern): fit the basis,
+   * project through the public [[pcaProject]] path, and check the
+   * linear-algebra identities that a correct PCA must satisfy —
+   * non-increasing explained variance, orthonormal components, projected
+   * means zero (certifies the centering fix), and var(X·v₁) = λ₁ (the
+   * defining property of the top eigenvector, checked against the
+   * distributed column-variance total). Constant-SELECT oracle.
+   */
+  def pcaCertified(s: org.apache.spark.sql.SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    import s.implicits._
+    val emb = graft.Tables.embeddings(s, dir)
+    val (_, comps, explained) = pcaBasis(emb, k)
+    val nonInc = explained.sliding(2).forall(a => a(0) >= a(1) - 1e-12)
+    val ortho = (for (i <- comps.indices; j <- i until comps.length) yield {
+      val dot = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
+      math.abs(dot - (if (i == j) 1.0 else 0.0))
+    }).max <= 1e-9
+    val proj = pcaProject(emb, k).persist()
+    try {
+      val stats = proj.select(
+        (0 until k).flatMap(j => Seq(
+          avg(element_at(col("proj"), j + 1)).as(s"m_$j"),
+          var_samp(element_at(col("proj"), j + 1)).as(s"v_$j"))): _*).head()
+      val meansZero = (0 until k).forall(j => math.abs(stats.getAs[Double](s"m_$j")) <= 1e-9)
+      val totalVar = emb.select(posexplode(col("embedding").cast("array<double>"))
+          .as(Seq("pos", "v")))
+        .groupBy("pos").agg(var_samp(col("v")).as("dv"))
+        .agg(sum(col("dv"))).head().getDouble(0)
+      val lambda1 = explained(0) * totalVar
+      val varMatch = math.abs(stats.getAs[Double]("v_0") - lambda1) <= 1e-6 * lambda1
+      Seq(
+        ("em06", "explained_nonincreasing", nonInc),
+        ("em06", "components_orthonormal", ortho),
+        ("em06", "projected_means_zero", meansZero),
+        ("em06", "pc1_variance_is_lambda1", varMatch)
+      ).toDF("key", "check_name", "ok")
+    } finally proj.unpersist(false)
+  }
+
+  /** Constant-SELECT DuckDB oracle for [[pcaCertified]]. */
+  private[graft] val pcaOracle: String =
+    """SELECT * FROM (VALUES
+       ('em06', 'explained_nonincreasing', true),
+       ('em06', 'components_orthonormal', true),
+       ('em06', 'projected_means_zero', true),
+       ('em06', 'pc1_variance_is_lambda1', true)
+     ) AS t(key, check_name, ok)"""
 }

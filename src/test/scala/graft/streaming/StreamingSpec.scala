@@ -243,6 +243,26 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally query.stop()
   }
 
+  test("chunkDocs runs unchanged on a stream (narrow ops are streaming-native)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val out = graft.text.TextFunctions.chunkDocs(
+      input.toDF().toDF("doc_id", "text"), window = 4, overlap = 1)
+    val query = out.writeStream.format("memory").queryName("chunk_out")
+      .outputMode("append").start()
+    try {
+      input.addData((7L, "a b c d e f g h i"))
+      query.processAllAvailable()
+      val rows = s.sql(
+        "SELECT chunk_idx, start_tok, n_chunk_tokens, chunk_text FROM chunk_out ORDER BY chunk_idx")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      rows shouldBe Array((0, 0, 4, "a b c d"), (1, 3, 4, "d e f g"),
+        (2, 6, 3, "g h i"))
+    } finally query.stop()
+  }
+
   test("streaming space-saving heavy hitters hold the Metwally bounds") {
     val s = spark
     import s.implicits._

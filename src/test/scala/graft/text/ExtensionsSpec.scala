@@ -433,6 +433,23 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     sqlMins.getAs[scala.collection.Seq[Long]]("e") shouldBe empty
   }
 
+  test("pca projection recovers a hand-built dominant axis, centered") {
+    val s = spark
+    import s.implicits._
+    // points on the line (t, 2t) in 4-d: ALL variance lies on one axis
+    val pts = Seq.tabulate(20)(i =>
+      (i.toLong, Seq(i.toDouble, 2.0 * i, 0.0, 0.0))).toDF("vec_id", "embedding")
+    val proj = graft.sim.Embeddings.pcaProject(pts, 2).collect()
+      .map(r => r.getLong(0) -> r.getAs[scala.collection.Seq[Double]]("proj"))
+      .toMap
+    // PC2 carries nothing; PC1 projections are centered t*sqrt(5) offsets
+    for ((id, p) <- proj) {
+      math.abs(p(1)) should be < 1e-9
+      math.abs(math.abs(p(0)) - math.abs((id - 9.5) * math.sqrt(5.0))) should be < 1e-9
+    }
+    proj.values.map(_.head).sum should be (0.0 +- 1e-9)
+  }
+
   test("quantizer training sample cap is byte-aware, not just row-counted") {
     import graft.sim.Similarity
     // dim 64: the 256 MB budget allows 512k rows, so the row cap binds
