@@ -168,6 +168,14 @@ def distribution_drift(df, ref_filter, cur_filter, strata="source"):
         df._jdf, ref_filter._jc, cur_filter._jc, strata))
 
 
+def bottom_k_sample(df, k, id_col="doc_id", text="text"):
+    """Mergeable reservoir-equivalent: the k rows with the smallest content
+    hashes (reproducible, append-stable, TakeOrderedAndProject plan)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.bottomKSample(
+        df._jdf, int(k), id_col, text))
+
+
 def gopher_filter(df, id_col="doc_id", text_col="text", min_words=10,
                   max_words=100000, min_mean_len=3.0, max_mean_len=12.0,
                   min_alpha_ratio=0.8, max_dup_ratio=0.4, min_stopwords=2):

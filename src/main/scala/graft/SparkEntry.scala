@@ -659,6 +659,11 @@ object SparkEntry {
       graft.text.TextFunctions.distributionDrift(Tables.documents(s, dir),
         refFilter = pmod(col("doc_id"), lit(2)) === 0,
         curFilter = pmod(col("doc_id"), lit(2)) === 1)),
+    "smp04_bottomk_sample" -> ((s, dir) =>
+      // mergeable reservoir-equivalent: 50 smallest content hashes
+      // (TakeOrderedAndProject - per-partition top-k, no global sort)
+      graft.text.TextFunctions.bottomKSample(Tables.documents(s, dir), k = 50)
+        .select(col("doc_id"), col("source"), col("sample_key"))),
     "em06_pca_certified" -> ((s, dir) =>
       // PCA via the distributed Gramian (O(d^2) driver cost, constant in
       // corpus size) certified by its linear-algebra identities
@@ -2652,6 +2657,9 @@ object SparkEntry {
                   / (n_ref::DOUBLE / sum(n_ref) OVER ()))
            END, 6) AS psi_contrib
          FROM a""",
+    "smp04_bottomk_sample" ->
+      """SELECT doc_id, source, md5(text) AS sample_key
+         FROM documents ORDER BY md5(text), doc_id LIMIT 50""",
     "em06_pca_certified" -> graft.sim.Embeddings.pcaOracle,
     "qs01_hll_certified" -> graft.sketch.Sketches.oracleFor("hll"),
     "qs02_quantile_certified" -> graft.sketch.Sketches.oracleFor("quantiles"),

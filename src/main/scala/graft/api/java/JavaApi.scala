@@ -312,6 +312,10 @@ object JavaPipelineOps {
       strata: String): DataFrame =
     graft.text.TextFunctions.distributionDrift(df, refFilter, curFilter, strata)
 
+  def bottomKSample(df: DataFrame, k: Int, idCol: String,
+      textCol: String): DataFrame =
+    graft.text.TextFunctions.bottomKSample(df, k, idCol, textCol)
+
   def centroids(df: DataFrame, groupCol: String, vecCol: String): DataFrame =
     graft.sim.Embeddings.centroids(df, groupCol, vecCol)
 

@@ -680,6 +680,22 @@ object TextFunctions {
           (q - p) * log(q / p)), 6).as("psi_contrib"))
   }
 
+  /**
+   * Bottom-k sample: the k rows with the smallest content hashes — the
+   * MERGEABLE distributed equivalent of reservoir sampling (bottom-k
+   * sketch: each partition keeps its k smallest, merge keeps the k
+   * smallest of the union; Spark plans it as TakeOrderedAndProject, no
+   * full sort, no shuffle of non-survivors). Content-hashed, so the
+   * sample is reproducible across engines/runs, independent of partition
+   * order, and stable under corpus appends (a new doc displaces at most
+   * one sampled doc) — properties seeded `RAND()` sampling lacks.
+   */
+  def bottomKSample(df: DataFrame, k: Int, idCol: String = "doc_id",
+      text: String = "text"): DataFrame =
+    df.withColumn("sample_key", md5(col(text).cast("binary")))
+      .orderBy(col("sample_key"), col(idCol))
+      .limit(k)
+
   /** Canonical fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text — near-dup resilient to formatting noise. */
   def canonicalFingerprint(text: Column): Column =
