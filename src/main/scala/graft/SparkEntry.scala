@@ -645,13 +645,21 @@ object SparkEntry {
         window = 32)),
     "tx22_winnowing" -> ((s, dir) =>
       // MOSS winnowing: min polynomial 5-gram hash per 4-gram window,
-      // distinct per doc; local fingerprints for substring-level dedup
-      graft.text.TextFunctions.winnowingFingerprints(Tables.documents(s, dir),
+      // distinct per doc; local fingerprints for substring-level dedup.
+      // Certified on single-byte text only: the expression hashes UTF-8
+      // bytes while DuckDB's ord() yields codepoints — they agree exactly
+      // when octet_length = char length (the oracle gates identically)
+      graft.text.TextFunctions.winnowingFingerprints(
+        Tables.documents(s, dir).filter(col("text").isNotNull &&
+          octet_length(col("text")) === length(col("text"))),
         k = 5, w = 4)),
     "dd12_winnow_duplication" -> ((s, dir) =>
       // substring-level dup signal: per-doc share of winnowing fingerprints
       // seen in other docs; fingerprint-keyed doc-freq join, never doc x doc
-      graft.text.TextFunctions.winnowingDuplication(Tables.documents(s, dir),
+      // (single-byte gate: see tx22)
+      graft.text.TextFunctions.winnowingDuplication(
+        Tables.documents(s, dir).filter(col("text").isNotNull &&
+          octet_length(col("text")) === length(col("text"))),
         k = 5, w = 4)),
     "qa01_psi_drift" -> ((s, dir) =>
       // corpus drift monitor: PSI of the source mix between deterministic
@@ -2575,14 +2583,21 @@ object SparkEntry {
                 WHEN 'src4' THEN 0.1 ELSE 0.0 END)::DOUBLE AS ts
            FROM documents GROUP BY source)""",
     "tx20_chunking" ->
-      """SELECT d.doc_id, c.c::INT AS chunk_idx, (c.c * 24)::INT AS start_tok,
-           least(len(string_split(d.text, ' ')) - c.c * 24, 32)::INT
-             AS n_chunk_tokens,
-           array_to_string(list_slice(string_split(d.text, ' '),
-             c.c * 24 + 1, c.c * 24 + 32), ' ') AS chunk_text
-         FROM documents d
-         JOIN generate_series(0, 50) AS c(c)
-           ON c.c * 24 <= greatest(len(string_split(d.text, ' ')) - 1, 0)""",
+      // chunk indices enumerated per-row via unnest(range(...)) — bound
+      // derived from each doc's own token count, no structural cap to
+      // outgrow at a future SF
+      """WITH ch AS (
+           SELECT d.doc_id, string_split(d.text, ' ') AS toks,
+             unnest(range(0,
+               greatest(len(string_split(d.text, ' ')) - 1, 0) // 24 + 1))
+               AS ci
+           FROM documents d
+         )
+         SELECT doc_id, ci::INT AS chunk_idx, (ci * 24)::INT AS start_tok,
+           least(len(toks) - ci * 24, 32)::INT AS n_chunk_tokens,
+           array_to_string(list_slice(toks, ci * 24 + 1, ci * 24 + 32), ' ')
+             AS chunk_text
+         FROM ch""",
     "tx21_packing_plan" ->
       """SELECT source, doc_id,
            len(string_split(text, ' '))::BIGINT AS n_tokens,
@@ -2595,41 +2610,58 @@ object SparkEntry {
            offset_in_bin + n_tokens > 32 AS straddles
          FROM documents""",
     "tx22_winnowing" ->
-      """WITH hs AS (
-           SELECT d.doc_id, i.i AS i,
-             (ord(d.text[i.i+1:i.i+1]) * 4362470401
-              + ord(d.text[i.i+2:i.i+2]) * 16974593
-              + ord(d.text[i.i+3:i.i+3]) * 66049
-              + ord(d.text[i.i+4:i.i+4]) * 257
-              + ord(d.text[i.i+5:i.i+5])) % 1000000007 AS h
+      // position enumeration is per-row unnest(range(...)) (no structural
+      // cap), window minima are a sliding window frame (O(n), not O(n·w)),
+      // and the single-byte gate (strlen = length) keeps DuckDB's
+      // codepoint-valued ord() aligned with Spark's UTF-8 byte hashing —
+      // the two only coincide on single-byte text
+      """WITH pos AS (
+           SELECT d.doc_id, d.text,
+             unnest(range(0, greatest(length(d.text) - 4, 0))) AS i
            FROM documents d
-           JOIN generate_series(0, 4000) AS i(i) ON i.i <= length(d.text) - 5
+           WHERE d.text IS NOT NULL AND strlen(d.text) = length(d.text)
+         ), hs AS (
+           SELECT doc_id, i,
+             (ord(text[i+1:i+1]) * 4362470401
+              + ord(text[i+2:i+2]) * 16974593
+              + ord(text[i+3:i+3]) * 66049
+              + ord(text[i+4:i+4]) * 257
+              + ord(text[i+5:i+5])) % 1000000007 AS h
+           FROM pos
          ), wins AS (
-           SELECT hs.doc_id, p.p AS p, min(hs.h) AS fingerprint
-           FROM hs JOIN generate_series(0, 4000) AS p(p)
-             ON hs.i BETWEEN p.p AND p.p + 3
-           GROUP BY hs.doc_id, p.p
-           HAVING count(*) = 4
+           SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,
+             count(*) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+           FROM hs
          )
-         SELECT DISTINCT doc_id, fingerprint FROM wins""",
+         SELECT DISTINCT doc_id, fingerprint FROM wins WHERE cnt = 4""",
     "dd12_winnow_duplication" ->
-      """WITH hs AS (
-           SELECT d.doc_id, i.i AS i,
-             (ord(d.text[i.i+1:i.i+1]) * 4362470401
-              + ord(d.text[i.i+2:i.i+2]) * 16974593
-              + ord(d.text[i.i+3:i.i+3]) * 66049
-              + ord(d.text[i.i+4:i.i+4]) * 257
-              + ord(d.text[i.i+5:i.i+5])) % 1000000007 AS h
+      // same cap-free, byte-gated winnowing formulation as tx22 (see the
+      // comment there), followed by the fingerprint doc-frequency rollup
+      """WITH pos AS (
+           SELECT d.doc_id, d.text,
+             unnest(range(0, greatest(length(d.text) - 4, 0))) AS i
            FROM documents d
-           JOIN generate_series(0, 4000) AS i(i) ON i.i <= length(d.text) - 5
+           WHERE d.text IS NOT NULL AND strlen(d.text) = length(d.text)
+         ), hs AS (
+           SELECT doc_id, i,
+             (ord(text[i+1:i+1]) * 4362470401
+              + ord(text[i+2:i+2]) * 16974593
+              + ord(text[i+3:i+3]) * 66049
+              + ord(text[i+4:i+4]) * 257
+              + ord(text[i+5:i+5])) % 1000000007 AS h
+           FROM pos
          ), wins AS (
-           SELECT hs.doc_id, p.p AS p, min(hs.h) AS fingerprint
-           FROM hs JOIN generate_series(0, 4000) AS p(p)
-             ON hs.i BETWEEN p.p AND p.p + 3
-           GROUP BY hs.doc_id, p.p
-           HAVING count(*) = 4
+           SELECT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fingerprint,
+             count(*) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS cnt
+           FROM hs
          ), fps AS (
-           SELECT DISTINCT doc_id, fingerprint FROM wins
+           SELECT DISTINCT doc_id, fingerprint FROM wins WHERE cnt = 4
          ), dfreq AS (
            SELECT fingerprint, count(*) AS df FROM fps GROUP BY fingerprint
          )
@@ -2658,8 +2690,12 @@ object SparkEntry {
            END, 6) AS psi_contrib
          FROM a""",
     "smp04_bottomk_sample" ->
+      // text IS NOT NULL mirrors bottomKSample's explicit null filter —
+      // without it Spark (NULLS FIRST) and DuckDB (NULLS LAST) would rank
+      // a null-text row at opposite ends of the sample
       """SELECT doc_id, source, md5(text) AS sample_key
-         FROM documents ORDER BY md5(text), doc_id LIMIT 50""",
+         FROM documents WHERE text IS NOT NULL
+         ORDER BY md5(text), doc_id LIMIT 50""",
     "em06_pca_certified" -> graft.sim.Embeddings.pcaOracle,
     "qs01_hll_certified" -> graft.sketch.Sketches.oracleFor("hll"),
     "qs02_quantile_certified" -> graft.sketch.Sketches.oracleFor("quantiles"),

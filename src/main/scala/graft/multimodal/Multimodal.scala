@@ -326,6 +326,11 @@ object Multimodal {
       bb.getInt // riff size (trust the walk, not the header)
       if (fcc() != "AVI ") return None
       var w = -1; var h = -1; var bits = -1; var comp = -1
+      // an strf chunk describes whichever stream the PRECEDING strh
+      // declared — in a multi-stream AVI (audio strl before video) the
+      // first strf is an audio WAVEFORMATEX, so bind only the strf that
+      // follows a 'vids' stream header
+      var lastStrh = ""
       val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
       while (bb.remaining() >= 8) {
         val id = fcc()
@@ -334,7 +339,12 @@ object Multimodal {
         if (id == "LIST") {
           fcc() // list type; walk its children in the flat loop
         } else {
-          if (id == "strf" && sz >= 40 && w < 0) {
+          if (id == "strh" && sz >= 4) {
+            val p = bb.position()
+            lastStrh = fcc()
+            bb.position(p)
+          }
+          if (id == "strf" && sz >= 40 && w < 0 && lastStrh == "vids") {
             val p = bb.position()
             bb.getInt // biSize
             w = bb.getInt; h = bb.getInt

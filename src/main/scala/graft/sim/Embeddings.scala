@@ -153,6 +153,14 @@ object Embeddings {
   def pcaProject(df: DataFrame, k: Int, idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val (mean, comps, _) = pcaBasis(df, k, vecCol)
+    projectWithBasis(df, mean, comps, idCol, vecCol)
+  }
+
+  /** Projection against a precomputed basis — lets callers that already
+    * ran [[pcaBasis]] (em06) avoid a second Gramian + column-stats pass. */
+  private[graft] def projectWithBasis(df: DataFrame, mean: Array[Double],
+      comps: Array[Array[Double]], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
     val spark = df.sparkSession
     val bMean = spark.sparkContext.broadcast(mean)
     val bComps = spark.sparkContext.broadcast(comps)
@@ -169,8 +177,9 @@ object Embeddings {
   }
 
   /**
-   * In-query PCA certification (em06, the rc-/qs- pattern): fit the basis,
-   * project through the public [[pcaProject]] path, and check the
+   * In-query PCA certification (em06, the rc-/qs- pattern): fit the basis
+   * ONCE, project through [[pcaProject]]'s kernel ([[projectWithBasis]] —
+   * the same code path, minus a redundant second fit), and check the
    * linear-algebra identities that a correct PCA must satisfy —
    * non-increasing explained variance, orthonormal components, projected
    * means zero (certifies the centering fix), and var(X·v₁) = λ₁ (the
@@ -181,13 +190,13 @@ object Embeddings {
       k: Int = 8): DataFrame = {
     import s.implicits._
     val emb = graft.Tables.embeddings(s, dir)
-    val (_, comps, explained) = pcaBasis(emb, k)
+    val (mean, comps, explained) = pcaBasis(emb, k)
     val nonInc = explained.sliding(2).forall(a => a(0) >= a(1) - 1e-12)
     val ortho = (for (i <- comps.indices; j <- i until comps.length) yield {
       val dot = comps(i).zip(comps(j)).map { case (a, b) => a * b }.sum
       math.abs(dot - (if (i == j) 1.0 else 0.0))
     }).max <= 1e-9
-    val proj = pcaProject(emb, k).persist()
+    val proj = projectWithBasis(emb, mean, comps).persist()
     try {
       val stats = proj.select(
         (0 until k).flatMap(j => Seq(

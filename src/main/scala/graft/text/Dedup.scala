@@ -338,11 +338,16 @@ object Dedup {
   def embeddingNearDuplicates(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.95,
       bands: Int = 8, planesPerBand: Int = 8, seed: Int = 7): DataFrame = {
+    // the signature table fans out FOUR ways below (both sides of the
+    // band self-join + both vector re-joins); materialize it once —
+    // n×(bands+dim) values, executor-resident — instead of re-running the
+    // normalize + bands×planes hyperplane dots four times per execution
     val sigs = spread(df)
       .select(col(idCol).as("id"),
         graft.sim.Similarity.normalized(col(vecCol)).as("v"))
       .withColumn("__sigs", graft.sim.Similarity.hyperplaneBandSignatures(
         col("v"), bands, planesPerBand, seed))
+      .localCheckpoint()
     val banded = sigs.select(col("id"), posexplode(col("__sigs")).as(Seq("band", "bucket")))
     val a = banded.as("a")
     val b = banded.as("b")

@@ -692,7 +692,11 @@ object TextFunctions {
    */
   def bottomKSample(df: DataFrame, k: Int, idCol: String = "doc_id",
       text: String = "text"): DataFrame =
-    df.withColumn("sample_key", md5(col(text).cast("binary")))
+    // null text has no content hash — excluded explicitly, rather than
+    // letting engine null-ordering defaults (Spark NULLS FIRST vs SQL
+    // NULLS LAST) decide whether it occupies a sample slot
+    df.filter(col(text).isNotNull)
+      .withColumn("sample_key", md5(col(text).cast("binary")))
       .orderBy(col("sample_key"), col(idCol))
       .limit(k)
 
