@@ -676,6 +676,25 @@ object SparkEntry {
       // PCA via the distributed Gramian (O(d^2) driver cost, constant in
       // corpus size) certified by its linear-algebra identities
       graft.sim.Embeddings.pcaCertified(s, dir)),
+    "sd01_semantic_dedup" -> ((s, dir) =>
+      // SemDeDup: k-means cluster the normalized embeddings, exact pairwise
+      // cosine within clusters only (meaning-level dups at cluster-bounded
+      // cost); threshold 0.2 for the unclustered synthetic space, same
+      // reasoning as dd06; rc07 certifies recall + precision in-query
+      graft.sim.SemDedup.semanticDuplicates(Tables.embeddings(s, dir),
+        k = 8, threshold = 0.2)),
+    "rc07_semdedup_recall" -> ((s, dir) =>
+      // sd01 certification: co-cluster recall vs exact all-pairs on the
+      // bounded vec_id<300 subset + verify-step precision theorem
+      graft.sim.Recall.semdedup(s, dir)),
+    "tx23_log_odds" -> ((s, dir) =>
+      // Fightin'-Words weighted log-odds with informative Dirichlet prior:
+      // top-5 tokens that distinguish each source from the rest
+      graft.text.TextFunctions.logOddsKeywords(Tables.documents(s, dir))),
+    "smp05_temperature_mix" -> ((s, dir) =>
+      // temperature-scaled source mixture (alpha=0.7): the multilingual-LM
+      // upweighting recipe; emits natural/temperature shares + resample factor
+      graft.text.TextFunctions.temperatureMix(Tables.documents(s, dir))),
     "qs01_hll_certified" -> ((s, dir) => graft.sketch.Sketches.hll(s, dir)),
     "qs02_quantile_certified" -> ((s, dir) => graft.sketch.Sketches.quantiles(s, dir)),
     "qs03_cms_certified" -> ((s, dir) => graft.sketch.Sketches.cms(s, dir)),
@@ -2697,6 +2716,46 @@ object SparkEntry {
          FROM documents WHERE text IS NOT NULL
          ORDER BY md5(text), doc_id LIMIT 50""",
     "em06_pca_certified" -> graft.sim.Embeddings.pcaOracle,
+    "rc07_semdedup_recall" -> graft.sim.Recall.oracleFor("semdedup"),
+    "tx23_log_odds" ->
+      """WITH tok AS (
+           SELECT source, unnest(string_split(text, ' ')) AS token
+           FROM documents),
+         c AS (
+           SELECT source, token, count(*) AS y_wi
+           FROM tok WHERE token <> '' GROUP BY 1, 2),
+         tt AS (SELECT token, sum(y_wi) AS y_w FROM c GROUP BY 1),
+         st AS (SELECT source, sum(y_wi) AS n_i FROM c GROUP BY 1),
+         n AS (SELECT sum(n_i) AS n_total FROM st),
+         sc AS (
+           SELECT c.source, c.token, c.y_wi, tt.y_w, st.n_i, n.n_total,
+             500.0 * tt.y_w / n.n_total AS aw
+           FROM c JOIN tt USING (token) JOIN st USING (source) CROSS JOIN n),
+         z AS (
+           SELECT source, token, y_wi,
+             (ln((y_wi + aw) / (n_i + 500.0 - y_wi - aw))
+              - ln(((y_w - y_wi) + aw)
+                   / ((n_total - n_i) + 500.0 - (y_w - y_wi) - aw)))
+             / sqrt(1.0 / (y_wi + aw) + 1.0 / ((y_w - y_wi) + aw)) AS z
+           FROM sc),
+         r AS (
+           SELECT source, token, y_wi, z,
+             row_number() OVER (PARTITION BY source
+               ORDER BY z DESC, token ASC) AS rank
+           FROM z)
+         SELECT source, rank::BIGINT AS rank, token, y_wi AS n_token,
+           round(z, 6) AS log_odds_z
+         FROM r WHERE rank <= 5""",
+    "smp05_temperature_mix" ->
+      """WITH a AS (
+           SELECT source, count(*) AS n_docs,
+             sum(len(string_split(text, ' ')))::BIGINT AS n_tokens
+           FROM documents GROUP BY source),
+         b AS (SELECT *, n_tokens::DOUBLE / sum(n_tokens) OVER () AS p FROM a),
+         c AS (SELECT *, power(p, 0.7) / sum(power(p, 0.7)) OVER () AS q FROM b)
+         SELECT source, n_docs, n_tokens, round(p, 6) AS p_natural,
+           round(q, 6) AS p_temperature, round(q / p, 6) AS sampling_factor
+         FROM c""",
     "qs01_hll_certified" -> graft.sketch.Sketches.oracleFor("hll"),
     "qs02_quantile_certified" -> graft.sketch.Sketches.oracleFor("quantiles"),
     "qs03_cms_certified" -> graft.sketch.Sketches.oracleFor("cms"),

@@ -227,6 +227,39 @@ object Recall {
     }
   }
 
+  /** rc07 — SemDeDup cluster-then-compare semantic dedup (sd01 params):
+    * recall vs exact all-pairs cosine on vec_id < 300, verify-step
+    * precision (exact cosine is computed inside every cluster, so a false
+    * positive is impossible by construction — the check certifies the
+    * wiring). Recall for UNCLUSTERED synthetic vectors is the co-cluster
+    * probability ≈ Σ_c p_c² (k=4 balanced ⇒ ~25%); real semantic dups sit
+    * near their cluster centroid and co-cluster with probability → 1. */
+  def semdedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
+    val v = emb.select(col("vec_id").as("id"),
+      Similarity.normalized(col("embedding")).as("nv"))
+    val a = v.select(col("id").as("id_a"), col("nv").as("va"))
+    val b = v.select(col("id").as("id_b"), col("nv").as("vb"))
+    val exact = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("c", Similarity.dot(col("va"), col("vb")))
+      .filter(col("c") >= 0.2)
+      .select("id_a", "id_b", "c")
+    val approx = SemDedup.semanticDuplicates(emb, k = 4, threshold = 0.2)
+    cached(exact, approx) {
+      val (hit, total) = pairRecall(pairKey(exact), pairKey(approx))
+      val falsePos = pairKey(approx)
+        .join(pairKey(exact), Seq("query_id", "neighbor_id"), "left_anti").count()
+      checks(s, Seq(
+        ("sd01", "recall_ok", recallOk(hit, total, RC07_BOUND)),
+        ("sd01", "precision_exact", falsePos == 0L)))
+    }
+  }
+
+  // measured co-cluster recall 0.393/0.436/0.424 at sf0.001/0.01/0.1
+  // (k=4 balanced predicts ~0.25+; see RecallProbe); bound set with ~5x
+  // margin below the observed minimum
+  private val RC07_BOUND = 0.08
+
   /** Canonical check names per query — oracle VALUES lists come from these. */
   private[graft] val checkNames: Map[String, Seq[(String, String)]] = Map(
     "lsh" -> Seq("sm02" -> "recall_ok", "sm02" -> "ranks_bounded"),
@@ -237,7 +270,8 @@ object Recall {
       "dd03" -> "precision_exact"),
     "simhash" -> Seq("dd04" -> "recall_ok", "dd04" -> "h3_pigeonhole_complete",
       "dd04" -> "precision_exact"),
-    "embedding" -> Seq("dd06" -> "recall_ok", "dd06" -> "precision_exact"))
+    "embedding" -> Seq("dd06" -> "recall_ok", "dd06" -> "precision_exact"),
+    "semdedup" -> Seq("sd01" -> "recall_ok", "sd01" -> "precision_exact"))
 
   /** Constant-SELECT DuckDB oracle: every (key, check) pair expected true. */
   private[graft] def oracleFor(group: String): String = {
@@ -260,7 +294,8 @@ object RecallProbe {
       for ((name, fn) <- Seq[(String, (SparkSession, String) => DataFrame)](
           "rc01_lsh" -> Recall.lsh, "rc02_ivf" -> Recall.ivf,
           "rc03_pq" -> Recall.pq, "rc04_minhash" -> Recall.minhash,
-          "rc05_simhash" -> Recall.simhash, "rc06_embedding" -> Recall.embedding)) {
+          "rc05_simhash" -> Recall.simhash, "rc06_embedding" -> Recall.embedding,
+          "rc07_semdedup" -> Recall.semdedup)) {
         fn(spark, dir).collect().foreach { r =>
           println(f"$name%-14s ${r.getString(0)}%-5s ${r.getString(1)}%-24s ok=${r.getBoolean(2)}")
         }

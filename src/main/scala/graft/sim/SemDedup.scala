@@ -1,0 +1,98 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * SemDeDup — semantic deduplication by cluster-then-compare (Abbas et al.,
+ * "SemDeDup: Data-efficient learning at web-scale through semantic
+ * deduplication", arXiv:2303.09540): k-means cluster the normalized
+ * embedding space, then compute exact pairwise cosine ONLY within each
+ * cluster; pairs above the threshold are semantic duplicates.
+ *
+ * Complements the lexical near-dup surface (MinHash dd03, SimHash dd04,
+ * winnowing dd12) and the hyperplane-LSH embedding near-dup (dd06):
+ * SemDeDup targets *meaning-level* duplicates — paraphrases and
+ * translations that share few tokens — and its cost model differs from
+ * LSH: Σ_c n_c² within-cluster work instead of band-bucket collisions, so
+ * candidate volume is controlled directly by the cluster count k rather
+ * than by band/row tuning.
+ *
+ * Scale design (the paper's own, re-expressed on Spark): the codebook fits
+ * driver-locally on a BOUNDED uniform sample ([[Similarity.localKMeans]] —
+ * O(sample) at any corpus size, byte-capped like IVF/PQ); cluster
+ * assignment is a narrow broadcast map; the only shuffle is the
+ * cluster-keyed self-join. At 100 TB, k grows with the corpus so E[n_c]
+ * stays bounded (the paper uses k ≈ √n); a skewed cluster is one keyed
+ * partition and can be salted by raising k.
+ */
+object SemDedup {
+
+  /**
+   * Within-cluster semantic duplicate pairs: `(cluster, id_a, id_b,
+   * cosine)` with `id_a < id_b`, cosine ≥ `threshold`, cosine exact (the
+   * cluster step only PRUNES candidates — reported similarity is never
+   * approximated, the same contract as dd06's verify step).
+   */
+  def semanticDuplicates(df: DataFrame, k: Int = 16, threshold: Double = 0.95,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L, quantizerMaxRows: Int = 100000): DataFrame = {
+    val toD = (c: Column) => transform(c, x => x.cast("double"))
+    val base = df.select(col(idCol).as("id"),
+      Similarity.normalized(toD(col(vecCol))).as("v"))
+    // bounded uniform sample -> driver-local deterministic Lloyd, exactly
+    // the IVF coarse-quantizer design (clusters live on the unit sphere:
+    // SemDeDup clusters the NORMALIZED embeddings)
+    val feats = base.select("v")
+    val n = feats.count()
+    require(n > 0, "SemDeDup needs a non-empty corpus")
+    val dim = feats.head.getSeq[Double](0).length
+    val cap = Similarity.boundedSampleRows(quantizerMaxRows, dim)
+    val fitInput =
+      if (n <= cap) feats
+      else feats.sample(withReplacement = false,
+        math.min(1.0, cap * 1.2 / n), seed).limit(cap)
+    val centers = Similarity.localKMeans(
+      fitInput.collect().map(_.getSeq[Double](0).toArray), k, seed)
+    val bc = df.sparkSession.sparkContext.broadcast(centers)
+    val assignCluster = udf { (v: Seq[Double]) =>
+      val cs = bc.value
+      var best = 0; var bestD = Double.MaxValue
+      var j = 0
+      while (j < cs.length) {
+        var d = 0.0; var i = 0
+        while (i < v.length) { val t = v(i) - cs(j)(i); d += t * t; i += 1 }
+        if (d < bestD) { bestD = d; best = j }
+        j += 1
+      }
+      best
+    }
+    // materialized once: the assigned table is both sides of the self-join
+    // (the dd06 lesson — without it the normalize + assign scan runs twice)
+    val assigned = base.withColumn("cluster", assignCluster(col("v")))
+      .localCheckpoint()
+    val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select(col("cluster"), col("id_a"), col("id_b"),
+        round(col("cosine"), 6).as("cosine"))
+  }
+
+  /**
+   * Keeper election over [[semanticDuplicates]]: every id that appears as
+   * the larger side of a duplicate pair is dropped; the per-group minimum
+   * id survives (the paper keeps one exemplar per semantic group — min-id
+   * is the deterministic choice, matching dd02's canonical election).
+   * One semi-join against the bounded pair set.
+   */
+  def semanticKeepers(df: DataFrame, k: Int = 16, threshold: Double = 0.95,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seed: Long = 42L): DataFrame = {
+    val dups = semanticDuplicates(df, k, threshold, idCol, vecCol, seed)
+      .select(col("id_b").as("__drop")).distinct()
+    df.join(dups, col(idCol) === col("__drop"), "left_anti")
+  }
+}

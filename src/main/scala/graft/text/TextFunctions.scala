@@ -681,6 +681,78 @@ object TextFunctions {
   }
 
   /**
+   * Distinguishing keywords per stratum via weighted log-odds with an
+   * informative Dirichlet prior (Monroe/Colaresi/Quinn, "Fightin' Words",
+   * Political Analysis 2008 — the standard "what words characterize this
+   * source vs the rest" statistic; raw log-odds overweights rare words,
+   * the corpus-proportional prior α_w = α0·y_w/N regularizes exactly by
+   * each word's overall rate):
+   *   δ_w = ln[(y_wi+α_w)/(n_i+α0−y_wi−α_w)] − ln[(y_wj+α_w)/(n_j+α0−y_wj−α_w)]
+   *   z_w = δ_w / √(1/(y_wi+α_w) + 1/(y_wj+α_w)),   j = all other strata.
+   * One (strata, token) aggregation (the corpus-sized shuffle), then
+   * token- and stratum-total joins over the VOCABULARY-sized count table —
+   * the stratum totals and grand total are broadcast scalars, never a
+   * global window. Top `topK` per stratum by z, token tie-break.
+   */
+  def logOddsKeywords(df: DataFrame, strata: String = "source",
+      text: String = "text", alpha0: Double = 500.0, topK: Int = 5): DataFrame = {
+    val counts = df.select(col(strata), explode(tokens(col(text))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy(col(strata), col("token")).agg(count(lit(1)).as("y_wi"))
+    val tokTot = counts.groupBy(col("token")).agg(sum(col("y_wi")).as("y_w"))
+    val strTot = counts.groupBy(col(strata)).agg(sum(col("y_wi")).as("n_i"))
+    val allTot = strTot.agg(sum(col("n_i")).as("n_total"))
+    val aW = lit(alpha0) * col("y_w") / col("n_total")
+    val yJ = col("y_w") - col("y_wi")
+    val nJ = col("n_total") - col("n_i")
+    val delta =
+      log((col("y_wi") + aW) / (col("n_i") + lit(alpha0) - col("y_wi") - aW)) -
+      log((yJ + aW) / (nJ + lit(alpha0) - yJ - aW))
+    val z = delta / sqrt(lit(1.0) / (col("y_wi") + aW) + lit(1.0) / (yJ + aW))
+    val scored = counts
+      .join(tokTot, "token")
+      .join(broadcast(strTot), strata)
+      .crossJoin(broadcast(allTot))
+      .withColumn("log_odds_z", z)
+    scored.withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col(strata))
+          .orderBy(col("log_odds_z").desc, col("token").asc)))
+      .filter(col("rank") <= topK)
+      .select(col(strata), col("rank").cast("long").as("rank"), col("token"),
+        col("y_wi").as("n_token"), round(col("log_odds_z"), 6).as("log_odds_z"))
+  }
+
+  /**
+   * Temperature-scaled mixture weights: rescale the natural per-stratum
+   * token shares p_i to q_i ∝ p_i^α (α < 1 flattens toward uniform — the
+   * multilingual-LM standard for upweighting low-resource slices without
+   * discarding the head; α = 1 keeps natural sampling, α = 0 is uniform;
+   * the exponent-smoothing design from the multilingual BERT/XLM-R and T5
+   * mixing recipes). Emits, per stratum, the natural share, the
+   * temperature share, and the resampling factor q/p a sampler applies.
+   * One keyed aggregation; the normalization window runs over the
+   * AGGREGATED rows (one per stratum — bounded by stratum cardinality,
+   * same shape as [[distributionDrift]]).
+   */
+  def temperatureMix(df: DataFrame, alpha: Double = 0.7,
+      strata: String = "source", text: String = "text"): DataFrame = {
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    // two projection steps: the q normalization windows over the
+    // MATERIALIZED p column (window expressions cannot nest)
+    df.groupBy(col(strata))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(text)))).cast("long").as("n_tokens"))
+      .withColumn("__p",
+        col("n_tokens").cast("double") / sum(col("n_tokens")).over(wAll))
+      .withColumn("__q",
+        pow(col("__p"), lit(alpha)) / sum(pow(col("__p"), lit(alpha))).over(wAll))
+      .select(col(strata), col("n_docs"), col("n_tokens"),
+        round(col("__p"), 6).as("p_natural"),
+        round(col("__q"), 6).as("p_temperature"),
+        round(try_divide(col("__q"), col("__p")), 6).as("sampling_factor"))
+  }
+
+  /**
    * Bottom-k sample: the k rows with the smallest content hashes — the
    * MERGEABLE distributed equivalent of reservoir sampling (bottom-k
    * sketch: each partition keeps its k smallest, merge keeps the k

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.sim.SemDedup
+import graft.text.TextFunctions
+
+/** Round-9 operators: SemDeDup semantic dedup, Fightin'-Words log-odds,
+  * temperature mixture weights. */
+class Round9Spec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  private def vecs = {
+    import spark.implicits._
+    // two tight semantic groups + one loner; within-group cosine > 0.99,
+    // cross-group cosine ~ 0
+    Seq(
+      (0L, Array(1.0, 0.01, 0.0)), (1L, Array(1.0, 0.02, 0.0)),
+      (2L, Array(0.99, 0.0, 0.01)),
+      (10L, Array(0.0, 1.0, 0.01)), (11L, Array(0.01, 1.0, 0.0)),
+      (20L, Array(0.0, 0.0, 1.0))
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("semanticDuplicates finds exactly the within-group pairs") {
+    // k=2 under-segments (groups merge, never split) so coverage of every
+    // true pair is guaranteed; the threshold filter removes merged-cluster
+    // cross pairs — emitted set must be exactly the true dup pairs
+    val pairs = SemDedup.semanticDuplicates(vecs, k = 2, threshold = 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs shouldBe Set((0L, 1L), (0L, 2L), (1L, 2L), (10L, 11L))
+  }
+
+  test("semanticDuplicates cosines are exact and ordered") {
+    val rows = SemDedup.semanticDuplicates(vecs, k = 2, threshold = 0.95).collect()
+    all(rows.map(_.getAs[Double]("cosine"))) should be >= 0.95
+    all(rows.map(r => r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))) shouldBe true
+  }
+
+  test("semanticKeepers keeps the min id of each semantic group") {
+    val kept = SemDedup.semanticKeepers(vecs, k = 2, threshold = 0.95)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    kept shouldBe Set(0L, 10L, 20L)
+  }
+
+  test("logOddsKeywords surfaces the distinguishing token per stratum") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "apple apple apple banana"), ("s1", "apple banana"),
+      ("s2", "cherry cherry banana"), ("s2", "cherry banana")
+    ).toDF("source", "text")
+    val bySrc = TextFunctions.logOddsKeywords(docs, topK = 1).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[String]("token"), r.getAs[Double]("log_odds_z")))).toMap
+    bySrc("s1")._1 shouldBe "apple"
+    bySrc("s2")._1 shouldBe "cherry"
+    bySrc("s1")._2 should be > 0.0
+    bySrc("s2")._2 should be > 0.0
+  }
+
+  test("temperatureMix matches the closed-form alpha=0.5 shares") {
+    import spark.implicits._
+    // 9 tokens vs 1 token: p = .9/.1; q = sqrt(p)/sum = exactly .75/.25
+    val docs = Seq(
+      ("a", "t t t t t t t t t"), ("b", "u")
+    ).toDF("source", "text")
+    val rows = TextFunctions.temperatureMix(docs, alpha = 0.5)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("p_natural"), r.getAs[Double]("p_temperature"),
+          r.getAs[Double]("sampling_factor")))).toMap
+    rows("a")._1 shouldBe 0.9 +- 1e-9
+    rows("a")._2 shouldBe 0.75 +- 1e-9
+    rows("a")._3 shouldBe 0.833333 +- 1e-6
+    rows("b")._1 shouldBe 0.1 +- 1e-9
+    rows("b")._2 shouldBe 0.25 +- 1e-9
+    rows("b")._3 shouldBe 2.5 +- 1e-9
+  }
+}
