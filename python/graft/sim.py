@@ -79,3 +79,22 @@ def dim_stats(df, vec_col="embedding"):
     """Per-dimension mean/var/min/max — embedding collapse detector."""
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.sim.Embeddings.dimStats(df._jdf, vec_col))
+
+
+def semantic_duplicates(df, k=16, threshold=0.95, id_col="vec_id",
+                        vec_col="embedding"):
+    """SemDeDup (Abbas et al. 2023): k-means cluster the normalized
+    embeddings, exact pairwise cosine within clusters only — meaning-level
+    duplicate pairs at cluster-bounded cost."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.semanticDuplicates(
+        df._jdf, int(k), float(threshold), id_col, vec_col))
+
+
+def semantic_keepers(df, k=16, threshold=0.95, id_col="vec_id",
+                     vec_col="embedding"):
+    """SemDeDup keeper election: drop every larger-id side of a semantic
+    duplicate pair; the per-group min id survives."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.semanticKeepers(
+        df._jdf, int(k), float(threshold), id_col, vec_col))

@@ -268,3 +268,19 @@ def lm_perplexity_gate(df, max_perplexity, id_col="doc_id", text="text"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.text.TextFunctions.lmPerplexityGate(
         df._jdf, float(max_perplexity), id_col, text))
+
+
+def log_odds_keywords(df, strata="source", text="text", alpha0=500.0, top_k=5):
+    """Fightin'-Words weighted log-odds (informative Dirichlet prior):
+    top-k tokens distinguishing each stratum from the rest."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.logOddsKeywords(
+        df._jdf, strata, text, float(alpha0), int(top_k)))
+
+
+def temperature_mix(df, alpha=0.7, strata="source", text="text"):
+    """Temperature-scaled source mixture weights (p_i^alpha renormalized —
+    the multilingual-LM upweighting recipe) with resample factors."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.temperatureMix(
+        df._jdf, float(alpha), strata, text))

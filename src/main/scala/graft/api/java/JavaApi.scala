@@ -504,4 +504,22 @@ object JavaPipelineOps {
 
   def dimStats(df: DataFrame, vecCol: String): DataFrame =
     graft.sim.Embeddings.dimStats(df, vecCol)
+
+  // ---------------- round-9 additions ----------------
+
+  def semanticDuplicates(df: DataFrame, k: Int, threshold: Double,
+      idCol: String, vecCol: String): DataFrame =
+    graft.sim.SemDedup.semanticDuplicates(df, k, threshold, idCol, vecCol)
+
+  def semanticKeepers(df: DataFrame, k: Int, threshold: Double,
+      idCol: String, vecCol: String): DataFrame =
+    graft.sim.SemDedup.semanticKeepers(df, k, threshold, idCol, vecCol)
+
+  def logOddsKeywords(df: DataFrame, strata: String, text: String,
+      alpha0: Double, topK: Int): DataFrame =
+    graft.text.TextFunctions.logOddsKeywords(df, strata, text, alpha0, topK)
+
+  def temperatureMix(df: DataFrame, alpha: Double, strata: String,
+      text: String): DataFrame =
+    graft.text.TextFunctions.temperatureMix(df, alpha, strata, text)
 }

@@ -116,6 +116,16 @@ def main() -> int:
     emb = graft.io.embeddings(spark, sf_dir)
     knn = graft.sim.brute_force_top_k(emb, emb.filter(F.col("vec_id") < 3), 2)
     assert knn.count() == 6, f"expected 6 knn rows, got {knn.count()}"
+
+    # ---- round-9 ops: SemDeDup, log-odds keywords, temperature mix ----
+    sd = graft.sim.semantic_duplicates(emb, k=4, threshold=0.2)
+    assert sd.count() > 0 and set(sd.columns) == {"cluster", "id_a", "id_b", "cosine"}
+    keep = graft.sim.semantic_keepers(emb, k=4, threshold=0.2)
+    assert 0 < keep.count() < emb.count()
+    lo = graft.text.log_odds_keywords(docs, top_k=3)
+    assert lo.groupBy("source").count().count() == lo.select("source").distinct().count()
+    tm = {r["source"]: r for r in graft.text.temperature_mix(docs).collect()}
+    assert abs(sum(r["p_temperature"] for r in tm.values()) - 1.0) < 1e-4
     cents = graft.sim.centroids(emb)
     assert cents.count() > 0
     q8 = graft.sim.quantize_8bit(emb)
