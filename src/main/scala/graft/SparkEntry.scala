@@ -695,6 +695,10 @@ object SparkEntry {
       // temperature-scaled source mixture (alpha=0.7): the multilingual-LM
       // upweighting recipe; emits natural/temperature shares + resample factor
       graft.text.TextFunctions.temperatureMix(Tables.documents(s, dir))),
+    "tx24_code_detect" -> ((s, dir) =>
+      // code-vs-prose gate: regex-free symbol-ratio + polyglot keyword
+      // signals, one codegen'd narrow projection
+      graft.text.TextFunctions.codeDetect(Tables.documents(s, dir))),
     "qs01_hll_certified" -> ((s, dir) => graft.sketch.Sketches.hll(s, dir)),
     "qs02_quantile_certified" -> ((s, dir) => graft.sketch.Sketches.quantiles(s, dir)),
     "qs03_cms_certified" -> ((s, dir) => graft.sketch.Sketches.cms(s, dir)),
@@ -2756,6 +2760,36 @@ object SparkEntry {
          SELECT source, n_docs, n_tokens, round(p, 6) AS p_natural,
            round(q, 6) AS p_temperature, round(q / p, 6) AS sampling_factor
          FROM c""",
+    "tx24_code_detect" ->
+      """WITH s AS (
+           SELECT doc_id, length(text)::BIGINT AS n_chars,
+             (length(text) - length(replace(text, '{', ''))
+              + length(text) - length(replace(text, '}', ''))
+              + length(text) - length(replace(text, '(', ''))
+              + length(text) - length(replace(text, ')', ''))
+              + length(text) - length(replace(text, ';', ''))
+              + length(text) - length(replace(text, '=', ''))
+              + length(text) - length(replace(text, '<', ''))
+              + length(text) - length(replace(text, '>', ''))
+              + length(text) - length(replace(text, '[', ''))
+              + length(text) - length(replace(text, ']', ''))
+              + length(text) - length(replace(text, '#', '')))::BIGINT
+               AS n_code_symbols,
+             ((CASE WHEN position('def ' IN text) > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN position('void ' IN text) > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN position('return ' IN text) > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN position('import ' IN text) > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN position('function ' IN text) > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN position('class ' IN text) > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN position('#include' IN text) > 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN position('const ' IN text) > 0 THEN 1 ELSE 0 END)
+             )::BIGINT AS keyword_hits
+           FROM documents)
+         SELECT doc_id, n_chars, n_code_symbols, keyword_hits,
+           round(n_code_symbols::DOUBLE / n_chars, 6) AS code_symbol_ratio,
+           (round(n_code_symbols::DOUBLE / n_chars, 6) > 0.05
+            OR keyword_hits >= 2) AS is_code
+         FROM s""",
     "qs01_hll_certified" -> graft.sketch.Sketches.oracleFor("hll"),
     "qs02_quantile_certified" -> graft.sketch.Sketches.oracleFor("quantiles"),
     "qs03_cms_certified" -> graft.sketch.Sketches.oracleFor("cms"),

@@ -753,6 +753,42 @@ object TextFunctions {
   }
 
   /**
+   * Code-vs-prose detection per document — the curation gate that keeps
+   * source code out of a prose corpus (or routes it to a code corpus).
+   * Signals are deliberately REGEX-FREE so every engine computes them
+   * identically (count-by-deletion: occurrences of c = len − len(text
+   * without c)):
+   *   code_symbol_ratio — share of chars in the C-family symbol set
+   *     `{ } ( ) ; = < > [ ] #` (prose sits < 1%, code > 5%);
+   *   keyword_hits — distinct hits from a small polyglot keyword list
+   *     (`def `, `void `, `return `, `import `, `function `, `class `,
+   *     `#include`, `const `), substring containment, not tokenization;
+   *   is_code — symbol ratio above `symbolThreshold` OR ≥ 2 keywords.
+   * One narrow projection, no shuffle, whole-stage codegen end to end.
+   */
+  def codeDetect(df: DataFrame, symbolThreshold: Double = 0.05,
+      idCol: String = "doc_id", text: String = "text"): DataFrame = {
+    val symbols = "{}();=<>[]#"
+    val nChars = length(col(text))
+    val nSym = symbols.map(c =>
+      nChars - length(replace(col(text), lit(c.toString), lit(""))))
+      .reduce(_ + _)
+    val keywords = Seq("def ", "void ", "return ", "import ", "function ",
+      "class ", "#include", "const ")
+    val hits = keywords.map(k => when(instr(col(text), k) > 0, 1).otherwise(0))
+      .reduce(_ + _)
+    df.select(col(idCol),
+        nChars.cast("long").as("n_chars"),
+        nSym.cast("long").as("n_code_symbols"),
+        hits.cast("long").as("keyword_hits"))
+      .withColumn("code_symbol_ratio",
+        round(try_divide(col("n_code_symbols").cast("double"),
+          col("n_chars").cast("double")), 6))
+      .withColumn("is_code",
+        col("code_symbol_ratio") > symbolThreshold || col("keyword_hits") >= 2)
+  }
+
+  /**
    * Bottom-k sample: the k rows with the smallest content hashes — the
    * MERGEABLE distributed equivalent of reservoir sampling (bottom-k
    * sketch: each partition keeps its k smallest, merge keeps the k

@@ -59,6 +59,23 @@ class Round9Spec extends AnyFunSuite with Matchers with SparkTestSession {
     bySrc("s2")._2 should be > 0.0
   }
 
+  test("codeDetect separates code from prose") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "void main() { int x = 0; return x; }"),
+      (2L, "the quick brown fox jumps over the lazy dog and keeps running"),
+      (3L, "import os; def f(x): return x = [1]")
+    ).toDF("doc_id", "text")
+    val rows = TextFunctions.codeDetect(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Boolean]("is_code")).toMap
+    rows(1L) shouldBe true
+    rows(2L) shouldBe false
+    rows(3L) shouldBe true
+    val r1 = TextFunctions.codeDetect(docs).filter($"doc_id" === 1L).head()
+    r1.getAs[Long]("n_code_symbols") shouldBe 7L // ( ) { = ; ; }
+    r1.getAs[Long]("keyword_hits") shouldBe 2L // "void ", "return "
+  }
+
   test("temperatureMix matches the closed-form alpha=0.5 shares") {
     import spark.implicits._
     // 9 tokens vs 1 token: p = .9/.1; q = sqrt(p)/sum = exactly .75/.25
