@@ -284,3 +284,20 @@ def temperature_mix(df, alpha=0.7, strata="source", text="text"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.temperatureMix(
         df._jdf, float(alpha), strata, text))
+
+
+def code_detect(df, symbol_threshold=0.05, id_col="doc_id", text="text"):
+    """Code-vs-prose gate: regex-free symbol-ratio + polyglot keyword
+    signals in one codegen'd narrow projection."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.codeDetect(
+        df._jdf, float(symbol_threshold), id_col, text))
+
+
+def feature_hash_embedding(df, dim=64, id_col="doc_id", text="text"):
+    """Hashing-trick document embeddings: token counts folded into `dim`
+    power-of-two buckets by rolling hash, L2-normalized — feeds the
+    embedding surface (SemDeDup/ANN) without a learned encoder."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.featureHashEmbedding(
+        df._jdf, int(dim), id_col, text))

@@ -699,6 +699,13 @@ object SparkEntry {
       // code-vs-prose gate: regex-free symbol-ratio + polyglot keyword
       // signals, one codegen'd narrow projection
       graft.text.TextFunctions.codeDetect(Tables.documents(s, dir))),
+    "fh01_feature_hash" -> ((s, dir) =>
+      // hashing-trick doc embeddings (64 power-of-two buckets, rolling-hash
+      // tokens, L2-normalized), exploded to long form for the exact compare
+      graft.text.TextFunctions.featureHashEmbedding(Tables.documents(s, dir))
+        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("bucket", "weight")))
+        .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+          round(col("weight"), 6).as("weight"))),
     "qs01_hll_certified" -> ((s, dir) => graft.sketch.Sketches.hll(s, dir)),
     "qs02_quantile_certified" -> ((s, dir) => graft.sketch.Sketches.quantiles(s, dir)),
     "qs03_cms_certified" -> ((s, dir) => graft.sketch.Sketches.cms(s, dir)),
@@ -2790,6 +2797,34 @@ object SparkEntry {
            (round(n_code_symbols::DOUBLE / n_chars, 6) > 0.05
             OR keyword_hits >= 2) AS is_code
          FROM s""",
+    "fh01_feature_hash" ->
+      // per-token HUGEINT rolling-hash fold (the tx05 oracle design) mod a
+      // power-of-two bucket count, so unsigned-mod here equals Spark's
+      // signed pmod exactly
+      """WITH tok AS (
+           SELECT doc_id, t AS tok
+           FROM documents, unnest(string_split(text, ' ')) AS u(t)
+           WHERE t <> ''),
+         h AS (
+           SELECT doc_id,
+             (list_reduce(
+                list_prepend(0::HUGEINT,
+                  list_transform(string_split(tok, ''), c -> ascii(c)::HUGEINT)),
+                (h, b) -> (h * 1000000007 + b)
+                  % 18446744073709551616::HUGEINT) % 64)::BIGINT AS bucket
+           FROM tok),
+         c AS (
+           SELECT doc_id, bucket, count(*)::DOUBLE AS cnt
+           FROM h GROUP BY 1, 2),
+         n AS (SELECT doc_id, sqrt(sum(cnt * cnt)) AS nrm FROM c GROUP BY 1),
+         grid AS (
+           SELECT d.doc_id, g.b AS bucket
+           FROM (SELECT DISTINCT doc_id FROM documents) d,
+                unnest(range(0, 64)) AS g(b))
+         SELECT grid.doc_id, grid.bucket::BIGINT AS bucket,
+           round(coalesce(c.cnt, 0) / n.nrm, 6) AS weight
+         FROM grid JOIN n USING (doc_id)
+           LEFT JOIN c USING (doc_id, bucket)""",
     "qs01_hll_certified" -> graft.sketch.Sketches.oracleFor("hll"),
     "qs02_quantile_certified" -> graft.sketch.Sketches.oracleFor("quantiles"),
     "qs03_cms_certified" -> graft.sketch.Sketches.oracleFor("cms"),

@@ -522,4 +522,12 @@ object JavaPipelineOps {
   def temperatureMix(df: DataFrame, alpha: Double, strata: String,
       text: String): DataFrame =
     graft.text.TextFunctions.temperatureMix(df, alpha, strata, text)
+
+  def codeDetect(df: DataFrame, symbolThreshold: Double, idCol: String,
+      text: String): DataFrame =
+    graft.text.TextFunctions.codeDetect(df, symbolThreshold, idCol, text)
+
+  def featureHashEmbedding(df: DataFrame, dim: Int, idCol: String,
+      text: String): DataFrame =
+    graft.text.TextFunctions.featureHashEmbedding(df, dim, idCol, text)
 }

@@ -789,6 +789,38 @@ object TextFunctions {
   }
 
   /**
+   * Feature-hashing ("hashing trick", Weinberger et al. ICML 2009)
+   * document embeddings: token counts folded into a fixed `dim`-bucket
+   * dense vector by token hash, L2-normalized — the no-model text
+   * embedding that feeds the embedding surface (SemDeDup, ANN, centroid
+   * analytics) when no learned encoder exists. Bucket = rolling polynomial
+   * hash of the token's bytes mod `dim`; `dim` must be a power of two so
+   * the signed-long `pmod` equals the unsigned mod any engine computes
+   * (2^64 ≡ 0 mod 2^k — the cross-engine parity argument, same family as
+   * tx05's HUGEINT-fold oracle). One explode + two keyed aggregations,
+   * all on the doc key; the dense array is built from a map literal, no
+   * pivot, no per-dimension shuffle.
+   */
+  def featureHashEmbedding(df: DataFrame, dim: Int = 64,
+      idCol: String = "doc_id", text: String = "text"): DataFrame = {
+    require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
+    val bucketed = df
+      .select(col(idCol), explode(tokens(col(text))).as("tok"))
+      .filter(col("tok") =!= "")
+      .withColumn("bucket", pmod(RollingHash.ofColumn(col("tok")), lit(dim.toLong)))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+    bucketed.groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt"))))
+        .as("__m"))
+      .withColumn("__raw", transform(sequence(lit(0), lit(dim - 1)),
+        b => coalesce(element_at(col("__m"), b.cast("long")), lit(0L)).cast("double")))
+      .withColumn("__norm",
+        sqrt(aggregate(col("__raw"), lit(0.0), (a, x) => a + x * x)))
+      .select(col(idCol),
+        transform(col("__raw"), x => x / col("__norm")).as("embedding"))
+  }
+
+  /**
    * Bottom-k sample: the k rows with the smallest content hashes — the
    * MERGEABLE distributed equivalent of reservoir sampling (bottom-k
    * sketch: each partition keeps its k smallest, merge keeps the k

@@ -76,6 +76,23 @@ class Round9Spec extends AnyFunSuite with Matchers with SparkTestSession {
     r1.getAs[Long]("keyword_hits") shouldBe 2L // "void ", "return "
   }
 
+  test("featureHashEmbedding is unit-norm and feeds SemDeDup") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"), (2L, "alpha beta gamma alpha"),
+      (3L, "delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val emb = TextFunctions.featureHashEmbedding(docs, dim = 16)
+    val norms = emb.select(
+      aggregate(col("embedding"), lit(0.0), (a, x) => a + x * x)).collect()
+    all(norms.map(_.getDouble(0))) shouldBe 1.0 +- 1e-9
+    // identical docs hash to identical vectors -> SemDeDup finds the pair
+    val pairs = SemDedup.semanticDuplicates(emb, k = 2, threshold = 0.99,
+        idCol = "doc_id")
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    pairs shouldBe Array((1L, 2L))
+  }
+
   test("temperatureMix matches the closed-form alpha=0.5 shares") {
     import spark.implicits._
     // 9 tokens vs 1 token: p = .9/.1; q = sqrt(p)/sum = exactly .75/.25

@@ -126,6 +126,13 @@ def main() -> int:
     assert lo.groupBy("source").count().count() == lo.select("source").distinct().count()
     tm = {r["source"]: r for r in graft.text.temperature_mix(docs).collect()}
     assert abs(sum(r["p_temperature"] for r in tm.values()) - 1.0) < 1e-4
+    cd = graft.text.code_detect(docs)
+    assert cd.count() == n_docs and "is_code" in cd.columns
+    fh = graft.text.feature_hash_embedding(docs, dim=32)
+    assert fh.count() == n_docs
+    fh_knn = graft.sim.brute_force_top_k(
+        fh, fh.filter(F.col("doc_id") < 2), 2, id_col="doc_id")
+    assert fh_knn.count() > 0
     cents = graft.sim.centroids(emb)
     assert cents.count() > 0
     q8 = graft.sim.quantize_8bit(emb)
