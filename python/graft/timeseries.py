@@ -424,3 +424,13 @@ def map_series_with_key(df, fn, key="key", series_col="series"):
               T.ArrayType(T.DoubleType()))
     return df.withColumn(series_col,
                          u(F.col(key).cast("string"), F.col(series_col)))
+
+
+def forecast_accuracy(df, key="key", ts="ts_nanos", actual="actual",
+                      predicted="predicted"):
+    """Per-key forecast evaluation: MAE, RMSE, MAPE (zero-actual rows
+    excluded, count reported) and Hyndman-Koehler MASE (MAE scaled by the
+    in-sample one-step naive MAE)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.forecastAccuracy(
+        df._jdf, key, ts, actual, predicted))

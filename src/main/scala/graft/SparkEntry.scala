@@ -706,6 +706,20 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("bucket", "weight")))
         .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
           round(col("weight"), 6).as("weight"))),
+    "m30_baseline_accuracy" -> ((s, dir) => {
+      // forecast-evaluation harness on the seasonal-naive (lag-7) baseline
+      // over each user's daily series: MAE/RMSE/MAPE + Hyndman-Koehler MASE
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day_us"))
+      val withPred = dailyWithMarket(s, dir)
+        .select(col("user_id"), col("day_us"), col("value"))
+        .withColumn("predicted", lag(col("value"), 7).over(w))
+      TS.forecastAccuracy(withPred, key = "user_id", ts = "day_us",
+        actual = "value", predicted = "predicted")
+        .select(col("user_id"), col("n_obs"), round(col("mae"), 6).as("mae"),
+          round(col("rmse"), 6).as("rmse"), round(col("mape"), 6).as("mape"),
+          col("n_mape"), round(col("mase"), 6).as("mase"))
+    }),
     "qs01_hll_certified" -> ((s, dir) => graft.sketch.Sketches.hll(s, dir)),
     "qs02_quantile_certified" -> ((s, dir) => graft.sketch.Sketches.quantiles(s, dir)),
     "qs03_cms_certified" -> ((s, dir) => graft.sketch.Sketches.cms(s, dir)),
@@ -2825,6 +2839,28 @@ object SparkEntry {
            round(coalesce(c.cnt, 0) / n.nrm, 6) AS weight
          FROM grid JOIN n USING (doc_id)
            LEFT JOIN c USING (doc_id, bucket)""",
+    "m30_baseline_accuracy" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             avg(value) AS v
+           FROM events GROUP BY 1, 2),
+         p AS (
+           SELECT user_id, day_us, v,
+             lag(v, 7) OVER (PARTITION BY user_id ORDER BY day_us) AS pred
+           FROM daily),
+         f AS (SELECT * FROM p WHERE pred IS NOT NULL AND v IS NOT NULL),
+         n AS (
+           SELECT *, abs(v - lag(v) OVER (PARTITION BY user_id
+             ORDER BY day_us)) AS ne
+           FROM f)
+         SELECT user_id, count(*) AS n_obs,
+           round(avg(abs(v - pred)), 6) AS mae,
+           round(sqrt(avg((v - pred) * (v - pred))), 6) AS rmse,
+           round(avg(CASE WHEN v <> 0 THEN abs(v - pred) / abs(v) END), 6)
+             AS mape,
+           count(CASE WHEN v <> 0 THEN 1 END) AS n_mape,
+           round(avg(abs(v - pred)) / avg(ne), 6) AS mase
+         FROM n GROUP BY user_id""",
     "qs01_hll_certified" -> graft.sketch.Sketches.oracleFor("hll"),
     "qs02_quantile_certified" -> graft.sketch.Sketches.oracleFor("quantiles"),
     "qs03_cms_certified" -> graft.sketch.Sketches.oracleFor("cms"),

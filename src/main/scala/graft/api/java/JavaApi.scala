@@ -530,4 +530,8 @@ object JavaPipelineOps {
   def featureHashEmbedding(df: DataFrame, dim: Int, idCol: String,
       text: String): DataFrame =
     graft.text.TextFunctions.featureHashEmbedding(df, dim, idCol, text)
+
+  def forecastAccuracy(df: DataFrame, key: String, ts: String,
+      actual: String, predicted: String): DataFrame =
+    graft.ts.TimeSeriesOps.forecastAccuracy(df, key, ts, actual, predicted)
 }

@@ -1297,6 +1297,37 @@ object TimeSeriesOps {
         sum(abs(col("__p") - col("__benford"))).as("benford_tvd"))
   }
 
+  /**
+   * Forecast-accuracy evaluation per key: MAE, RMSE, MAPE, and MASE of a
+   * `(actual, predicted)` pair — the metric block every forecasting
+   * pipeline needs next to the fit/forecast operators (the reference
+   * ships fits but no evaluation harness). MASE (Hyndman & Koehler 2006,
+   * "Another look at measures of forecast accuracy") scales MAE by the
+   * in-sample one-step naive MAE — scale-free and defined where MAPE
+   * breaks (zero actuals): mase = mae / mean|actual_t − actual_{t−1}|.
+   * One lag window + one keyed aggregate — a single key shuffle; MAPE
+   * averages only rows with actual ≠ 0 (the count is reported, nothing
+   * silently imputed).
+   */
+  def forecastAccuracy(df: DataFrame, key: String = "key",
+      ts: String = "ts_nanos", actual: String = "actual",
+      predicted: String = "predicted"): DataFrame = {
+    val err = col(actual) - col(predicted)
+    val naiveErr = abs(col(actual) - lag(col(actual), 1).over(wKey(key, ts)))
+    df.filter(col(actual).isNotNull && col(predicted).isNotNull)
+      .withColumn("__ne", naiveErr)
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_obs"),
+        avg(abs(err)).as("mae"),
+        sqrt(avg(err * err)).as("rmse"),
+        avg(when(col(actual) =!= 0.0, abs(err) / abs(col(actual)))).as("mape"),
+        count(when(col(actual) =!= 0.0, 1)).as("n_mape"),
+        avg(col("__ne")).as("__naive_mae"))
+      .withColumn("mase", try_divide(col("mae"), col("__naive_mae")))
+      .select(col(key), col("n_obs"), col("mae"), col("rmse"),
+        col("mape"), col("n_mape"), col("mase"))
+  }
+
   /** series layout -> observations (reference toObservationsDataFrame:
     * TimeSeriesRDD.scala:419-443 — NaN observations dropped, like the reference). */
   def fromSeries(df: DataFrame, index: DateTimeIndex, key: String = "key",

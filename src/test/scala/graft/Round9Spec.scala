@@ -93,6 +93,22 @@ class Round9Spec extends AnyFunSuite with Matchers with SparkTestSession {
     pairs shouldBe Array((1L, 2L))
   }
 
+  test("forecastAccuracy matches closed-form MAE/RMSE/MASE") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 1L, 10.0, 11.0), ("a", 2L, 12.0, 11.0),
+      ("a", 3L, 11.0, 12.0), ("a", 4L, 13.0, 12.0)
+    ).toDF("key", "ts_nanos", "actual", "predicted")
+    val r = graft.ts.TimeSeriesOps.forecastAccuracy(df).head()
+    r.getAs[Long]("n_obs") shouldBe 4L
+    r.getAs[Double]("mae") shouldBe 1.0 +- 1e-12
+    r.getAs[Double]("rmse") shouldBe 1.0 +- 1e-12
+    // naive in-sample errors |12-10|,|11-12|,|13-11| -> mean 5/3; mase 0.6
+    r.getAs[Double]("mase") shouldBe 0.6 +- 1e-12
+    r.getAs[Double]("mape") shouldBe
+      ((0.1 + 1.0 / 12 + 1.0 / 11 + 1.0 / 13) / 4) +- 1e-12
+  }
+
   test("temperatureMix matches the closed-form alpha=0.5 shares") {
     import spark.implicits._
     // 9 tokens vs 1 token: p = .9/.1; q = sqrt(p)/sum = exactly .75/.25
