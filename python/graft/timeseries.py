@@ -434,3 +434,19 @@ def forecast_accuracy(df, key="key", ts="ts_nanos", actual="actual",
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.forecastAccuracy(
         df._jdf, key, ts, actual, predicted))
+
+
+def periodogram(df, max_k=16, key="key", ts="ts_nanos", value="value"):
+    """Classical periodogram at Fourier frequencies k=1..max_k over the
+    mean-centered series — direct O(n*max_k) sums, engine-reproducible."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.periodogram(
+        df._jdf, int(max_k), key, ts, value))
+
+
+def dominant_period(df, max_k=16, key="key", ts="ts_nanos", value="value"):
+    """Dominant period per key: argmax periodogram power (earliest k on
+    exact ties)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.dominantPeriod(
+        df._jdf, int(max_k), key, ts, value))

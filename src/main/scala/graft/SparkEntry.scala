@@ -706,6 +706,16 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("bucket", "weight")))
         .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
           round(col("weight"), 6).as("weight"))),
+    "ts48_periodogram" -> ((s, dir) =>
+      // classical periodogram of each user's daily series at Fourier
+      // frequencies k=1..8 (mean-centered; direct O(n*maxK) sums — exact
+      // and engine-reproducible where an FFT's butterfly order isn't)
+      TS.periodogram(dailyWithMarket(s, dir)
+          .select(col("user_id"), col("day_us"), col("value")),
+        maxK = 8, key = "user_id", ts = "day_us", value = "value")
+        .select(col("user_id"), col("k"), col("n_obs"),
+          round(col("power"), 6).as("power"),
+          round(col("period"), 6).as("period"))),
     "m30_baseline_accuracy" -> ((s, dir) => {
       // forecast-evaluation harness on the seasonal-naive (lag-7) baseline
       // over each user's daily series: MAE/RMSE/MAPE + Hyndman-Koehler MASE
@@ -2839,6 +2849,31 @@ object SparkEntry {
            round(coalesce(c.cnt, 0) / n.nrm, 6) AS weight
          FROM grid JOIN n USING (doc_id)
            LEFT JOIN c USING (doc_id, bucket)""",
+    "ts48_periodogram" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             avg(value) AS v
+           FROM events GROUP BY 1, 2),
+         s AS (
+           SELECT user_id, v,
+             (row_number() OVER (PARTITION BY user_id ORDER BY day_us) - 1)
+               ::DOUBLE AS t,
+             count(*) OVER (PARTITION BY user_id) AS n_big,
+             avg(v) OVER (PARTITION BY user_id) AS m
+           FROM daily),
+         e AS (
+           SELECT user_id, v - m AS xc, t, n_big, n_big::DOUBLE AS n,
+             unnest(range(1, least(8, n_big // 2) + 1)) AS k
+           FROM s WHERE n_big >= 2),
+         g AS (
+           SELECT user_id, k, max(n_big) AS n_obs,
+             sum(xc * cos(2 * pi() * k * t / n)) AS c,
+             sum(xc * sin(2 * pi() * k * t / n)) AS sn
+           FROM e GROUP BY 1, 2)
+         SELECT user_id, k::BIGINT AS k, n_obs,
+           round((c * c + sn * sn) / n_obs, 6) AS power,
+           round(n_obs::DOUBLE / k, 6) AS period
+         FROM g""",
     "m30_baseline_accuracy" ->
       """WITH daily AS (
            SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

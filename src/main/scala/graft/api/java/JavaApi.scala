@@ -534,4 +534,12 @@ object JavaPipelineOps {
   def forecastAccuracy(df: DataFrame, key: String, ts: String,
       actual: String, predicted: String): DataFrame =
     graft.ts.TimeSeriesOps.forecastAccuracy(df, key, ts, actual, predicted)
+
+  def periodogram(df: DataFrame, maxK: Int, key: String, ts: String,
+      value: String): DataFrame =
+    graft.ts.TimeSeriesOps.periodogram(df, maxK, key, ts, value)
+
+  def dominantPeriod(df: DataFrame, maxK: Int, key: String, ts: String,
+      value: String): DataFrame =
+    graft.ts.TimeSeriesOps.dominantPeriod(df, maxK, key, ts, value)
 }

@@ -1328,6 +1328,57 @@ object TimeSeriesOps {
         col("mape"), col("n_mape"), col("mase"))
   }
 
+  /**
+   * Periodogram per key at the Fourier frequencies k/n, k = 1..min(maxK,
+   * ⌊n/2⌋): I(k) = (C_k² + S_k²)/n with C_k = Σ_t x̃_t·cos(2πkt/n),
+   * S_k = Σ_t x̃_t·sin(2πkt/n) over the MEAN-CENTERED series x̃ (centering
+   * removes the DC term that would otherwise dominate every bin) — the
+   * classical spectral-density estimate behind dominant-period detection
+   * (statsmodels/R `spec.pegram` territory; the reference has autocorr but
+   * nothing spectral). The frequency fan-out is a bounded explode (≤ maxK
+   * copies); everything else is one (key, k) aggregate over the same key
+   * shuffle the window pass created. No FFT needed at maxK ≪ n — the
+   * direct O(n·maxK) sums are exact, shuffle-free per frequency, and
+   * engine-reproducible (an FFT's butterfly order wouldn't be).
+   */
+  def periodogram(df: DataFrame, maxK: Int = 16, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    require(maxK >= 1, "maxK >= 1")
+    val w = wKey(key, ts)
+    val wAll = Window.partitionBy(col(key))
+    val twoPi = 2.0 * math.Pi
+    df.filter(col(value).isNotNull)
+      .withColumn("__t", (row_number().over(w) - 1).cast("double"))
+      .withColumn("__n", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("__xc", col(value) - avg(col(value)).over(wAll))
+      // n >= 2 guard: sequence(1, 0) would DESCEND in Spark, not empty
+      .filter(col("__n") >= 2.0)
+      .withColumn("k", explode(sequence(lit(1), least(lit(maxK),
+        floor(col("__n") / 2).cast("int")))))
+      .groupBy(col(key), col("k"))
+      .agg(max(col("__n")).cast("long").as("n_obs"),
+        sum(col("__xc") * cos(lit(twoPi) * col("k") * col("__t") / col("__n")))
+          .as("__c"),
+        sum(col("__xc") * sin(lit(twoPi) * col("k") * col("__t") / col("__n")))
+          .as("__s"))
+      .select(col(key), col("k").cast("long").as("k"), col("n_obs"),
+        ((col("__c") * col("__c") + col("__s") * col("__s"))
+          / col("n_obs").cast("double")).as("power"),
+        (col("n_obs").cast("double") / col("k")).as("period"))
+  }
+
+  /** Dominant period per key: the frequency with maximal periodogram
+    * power (earliest k on exact ties) — argmax over [[periodogram]]'s
+    * bounded (key × maxK) output, one tiny rank window. */
+  def dominantPeriod(df: DataFrame, maxK: Int = 16, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame =
+    periodogram(df, maxK, key, ts, value)
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(key)).orderBy(col("power").desc, col("k").asc)))
+      .filter(col("__rk") === 1)
+      .select(col(key), col("n_obs"), col("k").as("dominant_k"),
+        col("period").as("dominant_period"), col("power"))
+
   /** series layout -> observations (reference toObservationsDataFrame:
     * TimeSeriesRDD.scala:419-443 — NaN observations dropped, like the reference). */
   def fromSeries(df: DataFrame, index: DateTimeIndex, key: String = "key",

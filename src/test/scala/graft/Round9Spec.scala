@@ -93,6 +93,22 @@ class Round9Spec extends AnyFunSuite with Matchers with SparkTestSession {
     pairs shouldBe Array((1L, 2L))
   }
 
+  test("periodogram finds the planted period") {
+    import spark.implicits._
+    // pure sinusoid of period 8 over n=64 points -> all power at k = 64/8
+    val rows = (0 until 64).map(t =>
+      ("s", t.toLong, math.sin(2 * math.Pi * t / 8.0)))
+    val df = rows.toDF("key", "ts_nanos", "value")
+    val dom = graft.ts.TimeSeriesOps.dominantPeriod(df, maxK = 16).head()
+    dom.getAs[Long]("dominant_k") shouldBe 8L
+    dom.getAs[Double]("dominant_period") shouldBe 8.0 +- 1e-9
+    // unit tone at a Fourier frequency: I(k) = (C^2+S^2)/n = n*A^2/4 = 16
+    dom.getAs[Double]("power") shouldBe 16.0 +- 1e-9
+    val total = graft.ts.TimeSeriesOps.periodogram(df, maxK = 16)
+      .agg(sum(col("power"))).head().getDouble(0)
+    total shouldBe 16.0 +- 1e-6 // all other bins ~ zero
+  }
+
   test("forecastAccuracy matches closed-form MAE/RMSE/MASE") {
     import spark.implicits._
     val df = Seq(
