@@ -450,3 +450,11 @@ def dominant_period(df, max_k=16, key="key", ts="ts_nanos", value="value"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.dominantPeriod(
         df._jdf, int(max_k), key, ts, value))
+
+
+def var_fit(df, key="key", ts="ts_nanos", x="x", y="y"):
+    """Bivariate VAR(1) fit per key: closed-form 2x2 normal equations from
+    one keyed covariance aggregate (coefficients a11..a22 + intercepts)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.varFit(
+        df._jdf, key, ts, x, y))

@@ -706,6 +706,16 @@ object SparkEntry {
         .select(col("doc_id"), posexplode(col("embedding")).as(Seq("bucket", "weight")))
         .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
           round(col("weight"), 6).as("weight"))),
+    "m31_var_fit" -> ((s, dir) =>
+      // bivariate VAR(1) of (user daily series, market): closed-form 2x2
+      // normal equations from one keyed covariance aggregate
+      TS.varFit(dailyWithMarket(s, dir), key = "user_id", ts = "day_us",
+        x = "value", y = "mkt")
+        .select(col("user_id"), col("n_pairs"),
+          round(col("a11"), 6).as("a11"), round(col("a12"), 6).as("a12"),
+          round(col("c1"), 6).as("c1"),
+          round(col("a21"), 6).as("a21"), round(col("a22"), 6).as("a22"),
+          round(col("c2"), 6).as("c2"))),
     "ts48_periodogram" -> ((s, dir) =>
       // classical periodogram of each user's daily series at Fourier
       // frequencies k=1..8 (mean-centered; direct O(n*maxK) sums — exact
@@ -2849,6 +2859,44 @@ object SparkEntry {
            round(coalesce(c.cnt, 0) / n.nrm, 6) AS weight
          FROM grid JOIN n USING (doc_id)
            LEFT JOIN c USING (doc_id, bucket)""",
+    "m31_var_fit" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             avg(value) AS v
+           FROM events GROUP BY 1, 2),
+         market AS (SELECT day_us, avg(v) AS m FROM daily GROUP BY 1),
+         j AS (SELECT d.user_id, d.day_us, d.v, market.m
+               FROM daily d JOIN market USING (day_us)),
+         p AS (
+           SELECT user_id, v, m,
+             lag(v) OVER (PARTITION BY user_id ORDER BY day_us) AS xl,
+             lag(m) OVER (PARTITION BY user_id ORDER BY day_us) AS yl
+           FROM j),
+         a AS (
+           SELECT user_id, count(*) AS n_pairs,
+             var_samp(xl) AS sxx, var_samp(yl) AS syy,
+             covar_samp(xl, yl) AS sxy,
+             covar_samp(xl, v) AS sx_tx, covar_samp(yl, v) AS sy_tx,
+             covar_samp(xl, m) AS sx_ty, covar_samp(yl, m) AS sy_ty,
+             avg(v) AS mx, avg(m) AS my, avg(xl) AS mxl, avg(yl) AS myl
+           FROM p WHERE xl IS NOT NULL AND yl IS NOT NULL
+           GROUP BY user_id),
+         f AS (
+           SELECT *, sxx * syy - sxy * sxy AS det FROM a),
+         g AS (
+           SELECT user_id, n_pairs,
+             CASE WHEN det > 0 THEN (syy * sx_tx - sxy * sy_tx) / det END AS a11,
+             CASE WHEN det > 0 THEN (sxx * sy_tx - sxy * sx_tx) / det END AS a12,
+             CASE WHEN det > 0 THEN (syy * sx_ty - sxy * sy_ty) / det END AS a21,
+             CASE WHEN det > 0 THEN (sxx * sy_ty - sxy * sx_ty) / det END AS a22,
+             mx, my, mxl, myl
+           FROM f)
+         SELECT user_id, n_pairs,
+           round(a11, 6) AS a11, round(a12, 6) AS a12,
+           round(mx - a11 * mxl - a12 * myl, 6) AS c1,
+           round(a21, 6) AS a21, round(a22, 6) AS a22,
+           round(my - a21 * mxl - a22 * myl, 6) AS c2
+         FROM g""",
     "ts48_periodogram" ->
       """WITH daily AS (
            SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,

@@ -542,4 +542,8 @@ object JavaPipelineOps {
   def dominantPeriod(df: DataFrame, maxK: Int, key: String, ts: String,
       value: String): DataFrame =
     graft.ts.TimeSeriesOps.dominantPeriod(df, maxK, key, ts, value)
+
+  def varFit(df: DataFrame, key: String, ts: String, x: String,
+      y: String): DataFrame =
+    graft.ts.TimeSeriesOps.varFit(df, key, ts, x, y)
 }

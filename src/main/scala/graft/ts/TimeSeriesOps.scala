@@ -1379,6 +1379,50 @@ object TimeSeriesOps {
       .select(col(key), col("n_obs"), col("k").as("dominant_k"),
         col("period").as("dominant_period"), col("power"))
 
+  /**
+   * Bivariate VAR(1) fit per key — the vector extension of the AR(1)
+   * block (reference fits univariate AR only; statsmodels' `VAR` is the
+   * model users reach for next):
+   *   [x_t, y_t]' = c + A·[x_{t−1}, y_{t−1}]' + ε.
+   * Each of the two equations is a 2-regressor OLS with the SAME design
+   * matrix, solved in closed form from centered covariances (2×2 normal
+   * equations: det = SxxSyy − Sxy²; coefficients are covariance ratios —
+   * no iterative optimizer, no matrix library). One lag window + ONE keyed
+   * aggregate computing all 5 covariances and 4 means — a single key
+   * shuffle for the whole fit; null when det ≤ 0 (degenerate regressors),
+   * never a fabricated solve.
+   */
+  def varFit(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      x: String = "x", y: String = "y"): DataFrame = {
+    val w = wKey(key, ts)
+    val paired = df.filter(col(x).isNotNull && col(y).isNotNull)
+      .withColumn("__xl", lag(col(x), 1).over(w))
+      .withColumn("__yl", lag(col(y), 1).over(w))
+      .filter(col("__xl").isNotNull && col("__yl").isNotNull)
+    val agg = paired.groupBy(col(key)).agg(
+      count(lit(1)).as("n_pairs"),
+      var_samp(col("__xl")).as("__sxx"),
+      var_samp(col("__yl")).as("__syy"),
+      covar_samp(col("__xl"), col("__yl")).as("__sxy"),
+      covar_samp(col("__xl"), col(x)).as("__sx_tx"),
+      covar_samp(col("__yl"), col(x)).as("__sy_tx"),
+      covar_samp(col("__xl"), col(y)).as("__sx_ty"),
+      covar_samp(col("__yl"), col(y)).as("__sy_ty"),
+      avg(col(x)).as("__mx"), avg(col(y)).as("__my"),
+      avg(col("__xl")).as("__mxl"), avg(col("__yl")).as("__myl"))
+    val det = col("__sxx") * col("__syy") - col("__sxy") * col("__sxy")
+    def solve(sxT: Column, syT: Column): (Column, Column) = (
+      when(det > 0, (col("__syy") * sxT - col("__sxy") * syT) / det),
+      when(det > 0, (col("__sxx") * syT - col("__sxy") * sxT) / det))
+    val (a11, a12) = solve(col("__sx_tx"), col("__sy_tx"))
+    val (a21, a22) = solve(col("__sx_ty"), col("__sy_ty"))
+    agg.select(col(key), col("n_pairs"),
+      a11.as("a11"), a12.as("a12"),
+      (col("__mx") - a11 * col("__mxl") - a12 * col("__myl")).as("c1"),
+      a21.as("a21"), a22.as("a22"),
+      (col("__my") - a21 * col("__mxl") - a22 * col("__myl")).as("c2"))
+  }
+
   /** series layout -> observations (reference toObservationsDataFrame:
     * TimeSeriesRDD.scala:419-443 — NaN observations dropped, like the reference). */
   def fromSeries(df: DataFrame, index: DateTimeIndex, key: String = "key",

@@ -109,6 +109,27 @@ class Round9Spec extends AnyFunSuite with Matchers with SparkTestSession {
     total shouldBe 16.0 +- 1e-6 // all other bins ~ zero
   }
 
+  test("varFit recovers planted VAR(1) coefficients") {
+    import spark.implicits._
+    // x_t = 1 + 0.5 x_{t-1} + 0.2 y_{t-1} + e; y_t = 2 + 0.1 x + 0.6 y + e
+    val rnd = new scala.util.Random(7)
+    var xv = 2.0; var yv = 5.0
+    val rows = (0 until 4000).map { t =>
+      val nx = 1.0 + 0.5 * xv + 0.2 * yv + rnd.nextGaussian() * 0.1
+      val ny = 2.0 + 0.1 * xv + 0.6 * yv + rnd.nextGaussian() * 0.1
+      xv = nx; yv = ny
+      ("s", t.toLong, xv, yv)
+    }
+    val fit = graft.ts.TimeSeriesOps.varFit(
+      rows.toDF("key", "ts_nanos", "x", "y")).head()
+    fit.getAs[Double]("a11") shouldBe 0.5 +- 0.05
+    fit.getAs[Double]("a12") shouldBe 0.2 +- 0.05
+    fit.getAs[Double]("a21") shouldBe 0.1 +- 0.05
+    fit.getAs[Double]("a22") shouldBe 0.6 +- 0.05
+    fit.getAs[Double]("c1") shouldBe 1.0 +- 0.3
+    fit.getAs[Double]("c2") shouldBe 2.0 +- 0.3
+  }
+
   test("forecastAccuracy matches closed-form MAE/RMSE/MASE") {
     import spark.implicits._
     val df = Seq(
