@@ -612,6 +612,7 @@ object SparkEntry {
     "mr10_stationarity_decisions" -> ((s, _) => graft.models.Recovery.stationarity(s)),
     "mr11_lm_test_decisions" -> ((s, _) => graft.models.Recovery.lmTests(s)),
     "mr12_spline_recover" -> ((s, _) => graft.models.Recovery.spline(s)),
+    "mr13_var_recover" -> ((s, _) => graft.models.Recovery.varRecover(s)),
 
     // ---------------- round-8: in-query recall certification of the
     // approximate sm/dd surface (the mr* pattern for ANN/near-dup — exact
@@ -2627,6 +2628,7 @@ object SparkEntry {
     "mr10_stationarity_decisions" -> graft.models.Recovery.oracleFor("stationarity"),
     "mr11_lm_test_decisions" -> graft.models.Recovery.oracleFor("lm_tests"),
     "mr12_spline_recover" -> graft.models.Recovery.oracleFor("spline"),
+    "mr13_var_recover" -> graft.models.Recovery.oracleFor("var"),
     "rc01_lsh_recall" -> graft.sim.Recall.oracleFor("lsh"),
     "rc02_ivf_recall" -> graft.sim.Recall.oracleFor("ivf"),
     "rc03_pq_recall" -> graft.sim.Recall.oracleFor("pq"),

@@ -366,7 +366,37 @@ object Recovery {
     "lm_tests" -> Seq("bg_rejects_serial", "bg_keeps_clean",
       "bp_rejects_hetero", "bp_keeps_clean"),
     "spline" -> Seq("interp_1", "interp_3", "interp_5", "interp_7",
-      "knots_preserved", "outside_range_nan", "inside_gap_filled"))
+      "knots_preserved", "outside_range_nan", "inside_gap_filled"),
+    "var" -> Seq("a11", "a12", "a21", "a22", "c1", "c2"))
+
+  /** mr13 — bivariate VAR(1) recovery, certifying the DISTRIBUTED
+    * [[graft.ts.TimeSeriesOps.varFit]] (not a local twin): simulate
+    * x_t = 1 + 0.5x + 0.2y + ε, y_t = 2 + 0.1x + 0.6y + ε per seed,
+    * fit through the real operator, recover A and c. */
+  def varRecover(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val sims = seeds3.flatMap { case (k, seed) =>
+      val r = new MersenneTwister(seed)
+      var x = 2.0; var y = 5.0
+      (0 until 4000).map { t =>
+        val nx = 1.0 + 0.5 * x + 0.2 * y + r.nextGaussian() * 0.1
+        val ny = 2.0 + 0.1 * x + 0.6 * y + r.nextGaussian() * 0.1
+        x = nx; y = ny
+        (k, t.toLong, x, y)
+      }
+    }
+    val fits = graft.ts.TimeSeriesOps.varFit(
+        sims.toDF("key", "ts_nanos", "x", "y"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val truth = Map("a11" -> (0.5, 0.08), "a12" -> (0.2, 0.08),
+      "a21" -> (0.1, 0.08), "a22" -> (0.6, 0.08),
+      "c1" -> (1.0, 0.5), "c2" -> (2.0, 0.5))
+    val rows = for ((k, _) <- seeds3; name <- checkNames("var")) yield {
+      val (t, tol) = truth(name)
+      (k, name, math.abs(fits(k).getAs[Double](name) - t) < tol)
+    }
+    rows.toDF("key", "check_name", "ok")
+  }
 
   /** Constant-SELECT DuckDB oracle: every (key, check) pair expected true. */
   private[graft] def oracleFor(group: String): String = {
