@@ -804,16 +804,21 @@ object TextFunctions {
   def featureHashEmbedding(df: DataFrame, dim: Int = 64,
       idCol: String = "doc_id", text: String = "text"): DataFrame = {
     require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
+    // one doc-keyed exchange: `dim` conditional-sum aggregates stay inside
+    // whole-stage codegen with map-side partials (one dim-long row per doc
+    // per partition on the wire) — the (doc, bucket) pre-aggregation +
+    // collect_list map build costs a second exchange and drops to a
+    // non-codegen ObjectHashAggregate
     val bucketed = df
       .select(col(idCol), explode(tokens(col(text))).as("tok"))
       .filter(col("tok") =!= "")
-      .withColumn("bucket", pmod(RollingHash.ofColumn(col("tok")), lit(dim.toLong)))
-      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("cnt"))
+      .withColumn("__b", pmod(RollingHash.ofColumn(col("tok")), lit(dim.toLong)))
+    val sums = (0 until dim).map(b =>
+      sum(when(col("__b") === b, 1L).otherwise(0L)).as(s"__c$b"))
     bucketed.groupBy(col(idCol))
-      .agg(map_from_entries(collect_list(struct(col("bucket"), col("cnt"))))
-        .as("__m"))
-      .withColumn("__raw", transform(sequence(lit(0), lit(dim - 1)),
-        b => coalesce(element_at(col("__m"), b.cast("long")), lit(0L)).cast("double")))
+      .agg(sums.head, sums.tail: _*)
+      .withColumn("__raw",
+        array((0 until dim).map(b => col(s"__c$b").cast("double")): _*))
       .withColumn("__norm",
         sqrt(aggregate(col("__raw"), lit(0.0), (a, x) => a + x * x)))
       .select(col(idCol),
