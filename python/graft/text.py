@@ -301,3 +301,13 @@ def feature_hash_embedding(df, dim=64, id_col="doc_id", text="text"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.featureHashEmbedding(
         df._jdf, int(dim), id_col, text))
+
+
+def snapshot_diff(old_df, new_df, id_col="doc_id", text="text",
+                  strata="source"):
+    """Recrawl diff monitor: per-stratum added/removed/edited/unchanged
+    counts between two corpus versions (canonical fingerprints, so
+    formatting noise is not an edit)."""
+    spark, jvm = ctx(old_df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.snapshotDiff(
+        old_df._jdf, new_df._jdf, id_col, text, strata))

@@ -700,6 +700,16 @@ object SparkEntry {
       // code-vs-prose gate: regex-free symbol-ratio + polyglot keyword
       // signals, one codegen'd narrow projection
       graft.text.TextFunctions.codeDetect(Tables.documents(s, dir))),
+    "qa02_snapshot_diff" -> ((s, dir) => {
+      // recrawl diff monitor: deterministic old/new cohorts of the corpus
+      // (drop id%3==1 / add id%3==0, edit id%5==0) classified per source
+      val docs = Tables.documents(s, dir)
+      val oldSnap = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val newSnap = docs.filter(pmod(col("doc_id"), lit(3)) =!= 1)
+        .withColumn("text", when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.text.TextFunctions.snapshotDiff(oldSnap, newSnap)
+    }),
     "fh01_feature_hash" -> ((s, dir) =>
       // hashing-trick doc embeddings (64 power-of-two buckets, rolling-hash
       // tokens, L2-normalized), exploded to long form for the exact compare
@@ -2833,6 +2843,27 @@ object SparkEntry {
            (round(n_code_symbols::DOUBLE / n_chars, 6) > 0.05
             OR keyword_hits >= 2) AS is_code
          FROM s""",
+    "qa02_snapshot_diff" ->
+      """WITH oldv AS (
+           SELECT doc_id, source,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS fp
+           FROM documents WHERE doc_id % 3 <> 0),
+         newv AS (
+           SELECT doc_id, source,
+             md5(trim(regexp_replace(regexp_replace(lower(
+               CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END),
+               '[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS fp
+           FROM documents WHERE doc_id % 3 <> 1),
+         j AS (
+           SELECT coalesce(n.source, o.source) AS source,
+             CASE WHEN o.fp IS NULL THEN 'added'
+                  WHEN n.fp IS NULL THEN 'removed'
+                  WHEN o.fp = n.fp THEN 'unchanged'
+                  ELSE 'edited' END AS status
+           FROM oldv o FULL OUTER JOIN newv n USING (doc_id))
+         SELECT source, status, count(*) AS n_docs
+         FROM j GROUP BY 1, 2""",
     "fh01_feature_hash" ->
       // per-token HUGEINT rolling-hash fold (the tx05 oracle design) mod a
       // power-of-two bucket count, so unsigned-mod here equals Spark's

@@ -546,4 +546,8 @@ object JavaPipelineOps {
   def varFit(df: DataFrame, key: String, ts: String, x: String,
       y: String): DataFrame =
     graft.ts.TimeSeriesOps.varFit(df, key, ts, x, y)
+
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+      text: String, strata: String): DataFrame =
+    graft.text.TextFunctions.snapshotDiff(oldDf, newDf, idCol, text, strata)
 }

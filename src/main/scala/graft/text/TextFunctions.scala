@@ -826,6 +826,35 @@ object TextFunctions {
   }
 
   /**
+   * Corpus snapshot diff by content: classify every document of two
+   * corpus versions as `unchanged` (same id, same canonical fingerprint),
+   * `edited` (same id, fingerprint changed), `added` / `removed` (id in
+   * one side only), and roll the counts up per stratum — the monitor a
+   * recrawl pipeline runs before reprocessing ("how much actually
+   * changed?" decides incremental vs full runs). One full-outer equi-join
+   * on the id (both sides shuffle once on the same key) + one stratum
+   * aggregate; fingerprints are [[canonicalFingerprint]] so formatting
+   * noise doesn't count as an edit.
+   */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String = "doc_id", text: String = "text",
+      strata: String = "source"): DataFrame = {
+    def fp(df: DataFrame, side: String) =
+      df.select(col(idCol), col(strata).as(s"__s_$side"),
+        canonicalFingerprint(col(text)).as(s"__fp_$side"))
+    val joined = fp(oldDf, "old").join(fp(newDf, "new"), Seq(idCol), "full_outer")
+    val status = when(col("__fp_old").isNull, "added")
+      .when(col("__fp_new").isNull, "removed")
+      .when(col("__fp_old") === col("__fp_new"), "unchanged")
+      .otherwise("edited")
+    joined
+      .withColumn("status", status)
+      .withColumn(strata, coalesce(col("__s_new"), col("__s_old")))
+      .groupBy(col(strata), col("status"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  /**
    * Bottom-k sample: the k rows with the smallest content hashes — the
    * MERGEABLE distributed equivalent of reservoir sampling (bottom-k
    * sketch: each partition keeps its k smallest, merge keeps the k

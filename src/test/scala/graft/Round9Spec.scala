@@ -146,6 +146,21 @@ class Round9Spec extends AnyFunSuite with Matchers with SparkTestSession {
       ((0.1 + 1.0 / 12 + 1.0 / 11 + 1.0 / 13) / 4) +- 1e-12
   }
 
+  test("snapshotDiff classifies added/removed/edited/unchanged") {
+    import spark.implicits._
+    val oldv = Seq((1L, "s", "alpha beta"), (2L, "s", "gamma delta"),
+      (3L, "s", "keep me")).toDF("doc_id", "source", "text")
+    val newv = Seq((2L, "s", "gamma CHANGED"), (3L, "s", "Keep,  me!"),
+      (4L, "s", "brand new")).toDF("doc_id", "source", "text")
+    val counts = TextFunctions.snapshotDiff(oldv, newv).collect()
+      .map(r => r.getString(1) -> r.getLong(2)).toMap
+    counts("removed") shouldBe 1L // id 1
+    counts("edited") shouldBe 1L // id 2
+    // id 3: canonical fingerprint ignores case/punct/spacing -> unchanged
+    counts("unchanged") shouldBe 1L
+    counts("added") shouldBe 1L // id 4
+  }
+
   test("temperatureMix matches the closed-form alpha=0.5 shares") {
     import spark.implicits._
     // 9 tokens vs 1 token: p = .9/.1; q = sqrt(p)/sum = exactly .75/.25
