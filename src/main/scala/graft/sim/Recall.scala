@@ -245,12 +245,22 @@ object Recall {
       .filter(col("c") >= 0.2)
       .select("id_a", "id_b", "c")
     val approx = SemDedup.semanticDuplicates(emb, k = 4, threshold = 0.2)
-    cached(exact, approx) {
+    val approx2 = SemDedup.semanticDuplicates(emb, k = 4, threshold = 0.2,
+      nprobe = 2)
+    cached(exact, approx, approx2) {
       val (hit, total) = pairRecall(pairKey(exact), pairKey(approx))
+      val (hit2, total2) = pairRecall(pairKey(exact), pairKey(approx2))
       val falsePos = pairKey(approx)
         .join(pairKey(exact), Seq("query_id", "neighbor_id"), "left_anti").count()
+      // multi-probe can only ADD co-resident pairs: probe-1 pairs must be
+      // a subset of probe-2 pairs (a THEOREM of the construction)
+      val probeMonotone = pairKey(approx)
+        .join(pairKey(approx2), Seq("query_id", "neighbor_id"), "left_anti")
+        .count() == 0L
       checks(s, Seq(
         ("sd01", "recall_ok", recallOk(hit, total, RC07_BOUND)),
+        ("sd01", "recall_probe2_ok", recallOk(hit2, total2, RC07_P2_BOUND)),
+        ("sd01", "probe2_superset", probeMonotone),
         ("sd01", "precision_exact", falsePos == 0L)))
     }
   }
@@ -259,6 +269,10 @@ object Recall {
   // (k=4 balanced predicts ~0.25+; see RecallProbe); bound set with ~5x
   // margin below the observed minimum
   private val RC07_BOUND = 0.08
+  // nprobe=2 measured 0.928/0.926/0.941 at sf0.001/0.01/0.1 — boundary
+  // pairs become co-resident once each vector sits in its 2 nearest of 4
+  // cells; bound with >2x margin below the observed minimum
+  private val RC07_P2_BOUND = 0.4
 
   /** Canonical check names per query — oracle VALUES lists come from these. */
   private[graft] val checkNames: Map[String, Seq[(String, String)]] = Map(
@@ -271,7 +285,8 @@ object Recall {
     "simhash" -> Seq("dd04" -> "recall_ok", "dd04" -> "h3_pigeonhole_complete",
       "dd04" -> "precision_exact"),
     "embedding" -> Seq("dd06" -> "recall_ok", "dd06" -> "precision_exact"),
-    "semdedup" -> Seq("sd01" -> "recall_ok", "sd01" -> "precision_exact"))
+    "semdedup" -> Seq("sd01" -> "recall_ok", "sd01" -> "recall_probe2_ok",
+      "sd01" -> "probe2_superset", "sd01" -> "precision_exact"))
 
   /** Constant-SELECT DuckDB oracle: every (key, check) pair expected true. */
   private[graft] def oracleFor(group: String): String = {

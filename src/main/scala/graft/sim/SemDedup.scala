@@ -33,10 +33,19 @@ object SemDedup {
    * cosine)` with `id_a < id_b`, cosine ≥ `threshold`, cosine exact (the
    * cluster step only PRUNES candidates — reported similarity is never
    * approximated, the same contract as dd06's verify step).
+   *
+   * `nprobe` > 1 assigns every vector to its `nprobe` nearest centroids
+   * (multi-probe, the IVF trick applied to SemDeDup's known blind spot:
+   * a dup pair straddling a cluster boundary is invisible to single
+   * assignment). Candidate volume grows ≤ nprobe²×; pairs co-resident in
+   * several probed clusters are deduplicated before the cosine is
+   * computed, and `cluster` reports the smallest shared cluster id.
    */
   def semanticDuplicates(df: DataFrame, k: Int = 16, threshold: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      seed: Long = 42L, quantizerMaxRows: Int = 100000): DataFrame = {
+      seed: Long = 42L, quantizerMaxRows: Int = 100000,
+      nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1 && nprobe <= k, "1 <= nprobe <= k")
     val toD = (c: Column) => transform(c, x => x.cast("double"))
     val base = df.select(col(idCol).as("id"),
       Similarity.normalized(toD(col(vecCol))).as("v"))
@@ -55,26 +64,35 @@ object SemDedup {
     val centers = Similarity.localKMeans(
       fitInput.collect().map(_.getSeq[Double](0).toArray), k, seed)
     val bc = df.sparkSession.sparkContext.broadcast(centers)
-    val assignCluster = udf { (v: Seq[Double]) =>
+    val assignClusters = udf { (v: Seq[Double]) =>
       val cs = bc.value
-      var best = 0; var bestD = Double.MaxValue
+      val ds = new Array[Double](cs.length)
       var j = 0
       while (j < cs.length) {
         var d = 0.0; var i = 0
         while (i < v.length) { val t = v(i) - cs(j)(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = j }
+        ds(j) = d
         j += 1
       }
-      best
+      // nprobe nearest, ties to the lowest index (stable sort on (d, j))
+      ds.zipWithIndex.sortBy(_._1).take(nprobe).map(_._2)
     }
     // materialized once: the assigned table is both sides of the self-join
     // (the dd06 lesson — without it the normalize + assign scan runs twice)
-    val assigned = base.withColumn("cluster", assignCluster(col("v")))
+    val assigned = base
+      .withColumn("cluster", explode(assignClusters(col("v"))))
       .localCheckpoint()
     val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("cluster"))
-      .filter(col("id_a") < col("id_b"))
+    val joined = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
+    // single assignment -> pairs are already unique; multi-probe -> collapse
+    // the <= nprobe shared-cluster copies BEFORE the cosine is computed
+    val cands =
+      if (nprobe == 1) joined
+      else joined.groupBy(col("id_a"), col("id_b"))
+        .agg(min(col("cluster")).as("cluster"),
+          first(col("v_a")).as("v_a"), first(col("v_b")).as("v_b"))
+    cands
       .withColumn("cosine", Similarity.dot(col("v_a"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("cluster"), col("id_a"), col("id_b"),
