@@ -128,6 +128,9 @@ def main() -> int:
     assert abs(sum(r["p_temperature"] for r in tm.values()) - 1.0) < 1e-4
     cd = graft.text.code_detect(docs)
     assert cd.count() == n_docs and "is_code" in cd.columns
+    sdiff = graft.text.snapshot_diff(
+        docs.filter(F.col("doc_id") % 2 == 0), docs)
+    assert {r["status"] for r in sdiff.collect()} == {"added", "unchanged"}
     fh = graft.text.feature_hash_embedding(docs, dim=32)
     assert fh.count() == n_docs
     fh_knn = graft.sim.brute_force_top_k(
