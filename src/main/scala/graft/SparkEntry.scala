@@ -700,6 +700,19 @@ object SparkEntry {
       // code-vs-prose gate: regex-free symbol-ratio + polyglot keyword
       // signals, one codegen'd narrow projection
       graft.text.TextFunctions.codeDetect(Tables.documents(s, dir))),
+    "tx25_fertility" -> ((s, dir) =>
+      // tokenizer fertility per detected language: subword tokens per
+      // whitespace word (the multilingual tokenizer-efficiency metric) —
+      // composes two certified primitives (langId, bpeishTokenCount)
+      graft.text.TextFunctions.langId(Tables.documents(s, dir))
+        .withColumn("__words", size(split(col("text"), " ")))
+        .withColumn("__sub", graft.text.TextFunctions.bpeishTokenCount(col("text")))
+        .groupBy(col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__words")).cast("long").as("n_words"),
+          sum(col("__sub")).cast("long").as("n_subtokens"))
+        .withColumn("fertility", round(try_divide(
+          col("n_subtokens").cast("double"), col("n_words").cast("double")), 6))),
     "qa02_snapshot_diff" -> ((s, dir) => {
       // recrawl diff monitor: deterministic old/new cohorts of the corpus
       // (drop id%3==1 / add id%3==0, edit id%5==0) classified per source
@@ -2843,6 +2856,17 @@ object SparkEntry {
            (round(n_code_symbols::DOUBLE / n_chars, 6) > 0.05
             OR keyword_hits >= 2) AS is_code
          FROM s""",
+    "tx25_fertility" ->
+      s"""$langIdCte
+         SELECT p.lang_pred, count(*) AS n_docs,
+           sum(len(string_split(d.text, ' ')))::BIGINT AS n_words,
+           sum(len(regexp_extract_all(d.text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::BIGINT AS n_subtokens,
+           round(sum(len(regexp_extract_all(d.text,
+             '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')))::DOUBLE
+             / sum(len(string_split(d.text, ' '))), 6) AS fertility
+         FROM p JOIN documents d USING (doc_id)
+         GROUP BY p.lang_pred""",
     "qa02_snapshot_diff" ->
       """WITH oldv AS (
            SELECT doc_id, source,
