@@ -531,6 +531,14 @@ object SparkEntry {
         graft.multimodal.Multimodal.aviAssetsFromDocuments(Tables.documents(s, dir)))
         .select(col("asset_id"), col("video_frames"), col("video_width"),
           col("video_height"), col("video_sampled"), col("video_px_sum"))),
+    "mm08_mjpeg_decode" -> ((s, dir) =>
+      // COMPRESSED video decode certification: MJPEG frames really decoded
+      // through javax.imageio; metadata is closed-form (hash-exact) and a
+      // decode failure drops the row, turning the oracle red. Pixel sums
+      // are lossy-decoder-valued -> certified in the spec, not hashed.
+      graft.multimodal.Multimodal.mjpegDecodeTable(Tables.documents(s, dir))
+        .select(col("asset_id"), col("frames_total"), col("width"),
+          col("height"), col("frames_sampled"))),
     "mm06_image_resize" -> ((s, dir) =>
       // REAL resize over REALLY-decoded pixels: ImageIO-decoded PNGs,
       // nearest-neighbor to 4x4 with the pinned floor index map, exact
@@ -1584,6 +1592,13 @@ object SparkEntry {
          JOIN generate_series(0, 5) AS y(y) ON y.y < d.doc_id % 4 + 2
          WHERE d.doc_id % 3 = 2
          GROUP BY d.doc_id""",
+    "mm08_mjpeg_decode" ->
+      """SELECT doc_id AS asset_id,
+           ((doc_id % 6) + 2)::INT AS frames_total,
+           ((doc_id % 5) + 8)::INT AS width,
+           ((doc_id % 4) + 8)::INT AS height,
+           (((doc_id % 6) + 3) // 2)::INT AS frames_sampled
+         FROM documents WHERE doc_id % 3 = 2""",
     "mm06_image_resize" ->
       """SELECT d.doc_id AS asset_id,
            ((d.doc_id % 7) + 1)::INT AS src_width,

@@ -227,6 +227,95 @@ object Multimodal {
           .as("meta_duration_ms"))
   }
 
+  /**
+   * MJPEG asset table: the same hand-rolled RIFF/AVI container as
+   * [[aviAssetsFromDocuments]] but with fccHandler/biCompression 'MJPG'
+   * and every `00dc` chunk a standalone JPEG (encoded with javax.imageio —
+   * the Motion-JPEG convention, and the one COMPRESSED video codec a JVM
+   * can encode AND decode with no native libs). Frame f of asset a renders
+   * the same deterministic gray ramp as the DIB generator; dims are
+   * (a mod 5)+8 × (a mod 4)+8 (≥ one JPEG MCU), frames (a mod 6)+2.
+   * JPEG is LOSSY, so pixel sums are certified in the spec with a decode-
+   * error tolerance; the hash-exact query (mm08) certifies that ImageIO
+   * really decoded every frame — decode failure drops the row and the
+   * closed-form metadata oracle turns red.
+   */
+  def mjpegAssetsFromDocuments(docs: DataFrame): DataFrame = {
+    val avi = udf { (id: Long) =>
+      val nFrames = (id % 6).toInt + 2
+      val w = (id % 5).toInt + 8
+      val h = (id % 4).toInt + 8
+      val jpegs = (0 until nFrames).map { f =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val v = ((id * 29 + f * 11 + x * 7 + y * 13) % 256).toInt
+            img.setRGB(x, y, (v << 16) | (v << 8) | v)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      val moviBody = 4 + jpegs.map(j => 8 + j.length + (j.length & 1)).sum
+      val riffSize = 4 + 200 + (8 + moviBody)
+      val buf = java.nio.ByteBuffer.allocate(8 + riffSize)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(s: String): Unit = buf.put(s.getBytes("US-ASCII"))
+      fcc("RIFF"); buf.putInt(riffSize); fcc("AVI ")
+      fcc("LIST"); buf.putInt(192); fcc("hdrl")
+      fcc("avih"); buf.putInt(56)
+      buf.putInt(100000).putInt(0).putInt(0).putInt(0)
+        .putInt(nFrames).putInt(0).putInt(1).putInt(0)
+        .putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      fcc("LIST"); buf.putInt(116); fcc("strl")
+      fcc("strh"); buf.putInt(56)
+      fcc("vids"); fcc("MJPG")
+      buf.putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(10).putInt(0).putInt(nFrames)
+        .putInt(0).putInt(-1).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      fcc("strf"); buf.putInt(40)
+      buf.putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24)
+      fcc("MJPG")                   // biCompression, read LE as 0x47504A4D
+      buf.putInt(0)                 // biSizeImage (0 legal for compressed)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      fcc("LIST"); buf.putInt(moviBody); fcc("movi")
+      jpegs.foreach { j =>
+        fcc("00dc"); buf.putInt(j.length); buf.put(j)
+        if ((j.length & 1) == 1) buf.put(0.toByte)
+      }
+      buf.array()
+    }
+    docs.filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id").as("asset_id"),
+        lit("video").as("modality"),
+        avi(col("doc_id")).as("payload"),
+        lit("video/x-msvideo").as("mime"))
+  }
+
+  /** mm08 decode table: frames/dims/sampled/pixel-sum from REALLY decoding
+    * the MJPEG container (every-2nd-frame sampling, like the DIB path); a
+    * decode failure yields a null struct, visibly breaking the metadata
+    * oracle. `px_sum` is decoder-valued (JPEG is lossy) — certified in the
+    * spec with an error budget, excluded from the hash-exact query. */
+  def mjpegDecodeTable(docs: DataFrame): DataFrame = {
+    val dec = udf { (payload: Array[Byte]) => decodeAvi(payload) }
+    mjpegAssetsFromDocuments(docs)
+      .select(col("asset_id"), dec(col("payload")).as("d"))
+      .select(col("asset_id"),
+        col("d._1").as("frames_total"), col("d._2").as("width"),
+        col("d._3").as("height"), col("d._4").as("frames_sampled"),
+        col("d._5").as("px_sum"))
+  }
+
   case class AssetFeatures(asset_id: Long, modality: String, n_bytes: Long,
       byte_mean: Double, byte_entropy: Double, frames_sampled: Int,
       feature: Array[Double], decoded_width: Option[Int] = None,
@@ -358,8 +447,13 @@ object Multimodal {
           bb.position(bb.position() + sz + (sz & 1)) // RIFF pads odd chunks
         }
       }
-      // bottom-up only (biHeight > 0); compressed codecs need native libs
-      if (w <= 0 || h <= 0 || bits != 24 || comp != 0 || frames.isEmpty)
+      // BI_RGB bottom-up DIBs decoded in place; MJPG frames are standalone
+      // JPEGs decoded through javax.imageio (pure JVM) — together the two
+      // codecs a JVM can decode without native libs. Anything else is
+      // declined (None), never a task kill.
+      val MJPG = 0x47504A4D // 'MJPG' read little-endian
+      if (w <= 0 || h <= 0 || bits != 24 || frames.isEmpty ||
+          (comp != 0 && comp != MJPG))
         return None
       val stride = ((w * 3) + 3) / 4 * 4
       var sum = 0L
@@ -367,12 +461,25 @@ object Multimodal {
       var f = 0
       while (f < frames.length) {
         val (off, sz) = frames(f)
-        if (sz < stride * h) return None
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) { sum += payload(off + y * stride + x * 3) & 0xff; x += 1 }
-          y += 1
+        if (comp == 0) {
+          if (sz < stride * h) return None
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += payload(off + y * stride + x * 3) & 0xff; x += 1 }
+            y += 1
+          }
+        } else {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(payload, off, sz))
+          if (img == null || img.getWidth != w || img.getHeight != h)
+            return None
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { sum += img.getRGB(x, y) & 0xff; x += 1 }
+            y += 1
+          }
         }
         sampled += 1
         f += step

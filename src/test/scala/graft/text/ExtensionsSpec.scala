@@ -306,6 +306,31 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("MJPEG frames really decode through javax.imageio") {
+    import graft.multimodal.Multimodal
+    val rows = Multimodal.mjpegDecodeTable(docs).collect()
+    rows.length shouldBe 1 // doc_id % 3 == 2 -> id 2
+    for (r <- rows) {
+      val id = r.getAs[Long]("asset_id")
+      val nFrames = (id % 6).toInt + 2
+      val w = (id % 5).toInt + 8
+      val h = (id % 4).toInt + 8
+      r.getAs[Int]("frames_total") shouldBe nFrames
+      r.getAs[Int]("width") shouldBe w
+      r.getAs[Int]("height") shouldBe h
+      r.getAs[Int]("frames_sampled") shouldBe (nFrames + 1) / 2
+      // lossy codec: the decoded gray must track the source ramp within a
+      // per-pixel error budget (mod-256 wrap edges ring the hardest)
+      val sampled = 0 until nFrames by 2
+      val truth = (for (f <- sampled; x <- 0 until w; y <- 0 until h)
+        yield (id * 29 + f * 11 + x * 7 + y * 13) % 256).sum
+      val nPx = sampled.size.toLong * w * h
+      val got = r.getAs[Long]("px_sum")
+      got should be > 0L
+      math.abs(got - truth) should be <= 64L * nPx
+    }
+  }
+
   test("resize maps really-decoded pixels through the pinned floor index map") {
     import graft.multimodal.Multimodal
     val assets = Multimodal.pngAssetsFromDocuments(docs)
