@@ -63,3 +63,19 @@ def audio_window_energy(assets, window):
     spark, jvm = ctx(assets)
     return lift(spark, jvm.graft.multimodal.Multimodal.audioWindowEnergy(
         assets._jdf, int(window)))
+
+
+def mjpeg_assets_from_documents(docs):
+    """MJPEG AVI asset table: every 00dc chunk a standalone JPEG (the one
+    compressed video codec a JVM encodes/decodes without native libs)."""
+    spark, jvm = ctx(docs)
+    return lift(spark, jvm.graft.multimodal.Multimodal
+                .mjpegAssetsFromDocuments(docs._jdf))
+
+
+def mjpeg_decode_table(docs):
+    """Really-decoded MJPEG metadata + lossy pixel sums per asset (decode
+    failure -> null struct, never a task kill)."""
+    spark, jvm = ctx(docs)
+    return lift(spark, jvm.graft.multimodal.Multimodal
+                .mjpegDecodeTable(docs._jdf))
