@@ -331,6 +331,39 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("decoder fuzz: random payload mutations never kill a task") {
+    import graft.multimodal.Multimodal
+    // seeded mutations of VALID containers (bit flips, truncations, size
+    // corruption) driven through the public decode paths — every row must
+    // come back decoded-or-null, never a thrown task
+    val rnd = new scala.util.Random(42)
+    def mutate(p: Array[Byte]): Array[Byte] = rnd.nextInt(3) match {
+      case 0 => // flip up to 8 random bytes
+        val c = p.clone()
+        (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+          c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte }
+        c
+      case 1 => p.take(rnd.nextInt(p.length)) // truncate anywhere
+      case _ => // corrupt a declared chunk size field
+        val c = p.clone()
+        if (c.length > 8) c(4 + rnd.nextInt(4)) = 0xff.toByte
+        c
+    }
+    val spark2 = spark
+    import spark2.implicits._
+    for (assets <- Seq(Multimodal.aviAssetsFromDocuments(docs),
+        Multimodal.mjpegAssetsFromDocuments(docs))) {
+      val base = assets.select("payload").head().getAs[Array[Byte]]("payload")
+      val variants = (0 until 60).map(i => (i.toLong, mutate(base)))
+      val df = variants.toDF("asset_id", "payload")
+        .withColumn("modality", org.apache.spark.sql.functions.lit("video"))
+        .withColumn("mime", org.apache.spark.sql.functions.lit("video/x-msvideo"))
+        .withColumn("meta_duration_ms", org.apache.spark.sql.functions.lit(0L))
+      // must complete without a task failure; decode either succeeds or nulls
+      Multimodal.extractFeatures(df).collect().length shouldBe 60
+    }
+  }
+
   test("resize maps really-decoded pixels through the pinned floor index map") {
     import graft.multimodal.Multimodal
     val assets = Multimodal.pngAssetsFromDocuments(docs)
