@@ -91,4 +91,32 @@ public final class JavaApiExample {
     return new long[] {clusters.count(), spans.count(), repetition.count(),
         sampled.count(), cents.count(), quantized.count(), flagged.count()};
   }
+
+  /** Runs the round-9 slice: semantic dedup, mixing, detection, evaluation,
+    * spectral + VAR analytics. `fc` carries (key, ts_nanos, actual,
+    * predicted). */
+  public static long[] runRound9(Dataset<Row> docs, Dataset<Row> vecs,
+      Dataset<Row> fc) {
+    Dataset<Row> semdups =
+        JavaPipelineOps.semanticDuplicates(vecs, 2, 0.9, "vec_id", "embedding");
+    Dataset<Row> keepers =
+        JavaPipelineOps.semanticKeepers(vecs, 2, 0.9, "vec_id", "embedding");
+    Dataset<Row> keywords =
+        JavaPipelineOps.logOddsKeywords(docs, "source", "text", 500.0, 2);
+    Dataset<Row> mix = JavaPipelineOps.temperatureMix(docs, 0.7, "source", "text");
+    Dataset<Row> code = JavaPipelineOps.codeDetect(docs, 0.05, "doc_id", "text");
+    Dataset<Row> hashed =
+        JavaPipelineOps.featureHashEmbedding(docs, 16, "doc_id", "text");
+    Dataset<Row> diff =
+        JavaPipelineOps.snapshotDiff(docs, docs, "doc_id", "text", "source");
+    Dataset<Row> acc = JavaPipelineOps.forecastAccuracy(fc, "key", "ts_nanos",
+        "actual", "predicted");
+    Dataset<Row> period =
+        JavaPipelineOps.dominantPeriod(fc, 4, "key", "ts_nanos", "actual");
+    Dataset<Row> var =
+        JavaPipelineOps.varFit(fc, "key", "ts_nanos", "actual", "predicted");
+    return new long[] {semdups.count(), keepers.count(), keywords.count(),
+        mix.count(), code.count(), hashed.count(), diff.count(), acc.count(),
+        period.count(), var.count()};
+  }
 }

@@ -43,6 +43,28 @@ class JavaApiSpec extends AnyFunSuite with Matchers with SparkTestSession {
     counts(6) shouldBe 1L // only doc 0 shares 3-shingles with the holdout (itself)
   }
 
+  test("Java round-9 facade drives semantic dedup/mixing/evaluation") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((0L, "alpha beta gamma", "web"), (1L, "alpha beta delta", "web"),
+      (2L, "int main() { return 0; }", "books")).toDF("doc_id", "text", "source")
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val fc = (1 to 12).map(t => ("k", t.toLong, t * 1.0, t * 1.0 + 0.5))
+      .toDF("key", "ts_nanos", "actual", "predicted")
+    val counts = graft.api.java.JavaApiExample.runRound9(docs, vecs, fc)
+    counts(0) shouldBe 1L // cos(v0,v1)=0.994 >= 0.9: one semantic dup pair
+    counts(1) shouldBe 2L // keeper election drops id 1
+    counts(2) shouldBe 4L // top-2 log-odds keywords x 2 sources
+    counts(3) shouldBe 2L // one temperature-mix row per source
+    counts(4) shouldBe 3L // code detection: one row per doc
+    counts(5) shouldBe 3L // hashed embedding per doc
+    counts(6) shouldBe 2L // snapshot self-diff: one 'unchanged' row per source
+    counts(7) shouldBe 1L // forecast accuracy: one row per key
+    counts(8) shouldBe 1L // dominant period: one row per key
+    counts(9) shouldBe 1L // VAR(1): one row per key
+  }
+
   test("Java round-4 facade drives clustering/repetition/sampling/embeddings") {
     val s = spark
     import s.implicits._
