@@ -351,13 +351,17 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
     val spark2 = spark
     import spark2.implicits._
-    for (assets <- Seq(Multimodal.aviAssetsFromDocuments(docs),
-        Multimodal.mjpegAssetsFromDocuments(docs))) {
+    val families = Seq(
+      (Multimodal.aviAssetsFromDocuments(docs), "video", "video/x-msvideo"),
+      (Multimodal.mjpegAssetsFromDocuments(docs), "video", "video/x-msvideo"),
+      (Multimodal.pngAssetsFromDocuments(docs), "image", "image/png"),
+      (Multimodal.wavAssetsFromDocuments(docs), "audio", "audio/wav"))
+    for ((assets, modality, mime) <- families) {
       val base = assets.select("payload").head().getAs[Array[Byte]]("payload")
       val variants = (0 until 60).map(i => (i.toLong, mutate(base)))
       val df = variants.toDF("asset_id", "payload")
-        .withColumn("modality", org.apache.spark.sql.functions.lit("video"))
-        .withColumn("mime", org.apache.spark.sql.functions.lit("video/x-msvideo"))
+        .withColumn("modality", org.apache.spark.sql.functions.lit(modality))
+        .withColumn("mime", org.apache.spark.sql.functions.lit(mime))
         .withColumn("meta_duration_ms", org.apache.spark.sql.functions.lit(0L))
       // must complete without a task failure; decode either succeeds or nulls
       Multimodal.extractFeatures(df).collect().length shouldBe 60
