@@ -696,9 +696,16 @@ object TextFunctions {
    */
   def logOddsKeywords(df: DataFrame, strata: String = "source",
       text: String = "text", alpha0: Double = 500.0, topK: Int = 5): DataFrame = {
+    // materialized once: the count table feeds FOUR consumers (scored path,
+    // token totals, stratum totals, grand total) and AQE's runtime exchange
+    // reuse only collapses two of them — without this the corpus explode +
+    // aggregate re-runs per consumer (measured: 6 parquet scans -> 1).
+    // Vocabulary × strata rows: large at web scale but orders of magnitude
+    // below the corpus, the standard materialization point.
     val counts = df.select(col(strata), explode(tokens(col(text))).as("token"))
       .filter(col("token") =!= "")
       .groupBy(col(strata), col("token")).agg(count(lit(1)).as("y_wi"))
+      .localCheckpoint()
     val tokTot = counts.groupBy(col("token")).agg(sum(col("y_wi")).as("y_w"))
     val strTot = counts.groupBy(col(strata)).agg(sum(col("y_wi")).as("n_i"))
     val allTot = strTot.agg(sum(col("n_i")).as("n_total"))
