@@ -19,14 +19,21 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
   /**
-   * events with `ts` read as LONG nanos (requires
-   * spark.sql.legacy.parquet.nanosAsLong=true — Spark cannot read
-   * TIMESTAMP(NANOS) parquet natively) plus a derived `ts_us` column.
-   * Oracle comparisons use `ts_us` because DuckDB truncates the same
-   * parquet to microsecond timestamps on read.
+   * events plus a derived `ts_us` column (microseconds since epoch, LONG).
+   * The driver has shipped `ts` as either TIMESTAMP(NANOS) parquet (read as
+   * LONG nanos via spark.sql.legacy.parquet.nanosAsLong=true) or
+   * TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ); both normalize to the same
+   * `ts_us`. Oracle comparisons use `ts_us` = DuckDB `epoch_us(ts)`; the
+   * session timezone is pinned to UTC so the NTZ→epoch cast is deterministic.
    */
-  def events(s: SparkSession, d: String): DataFrame =
-    table(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    raw.withColumn("ts_us", tsUs)
+  }
 
   /** Session config every entry point needs (nanos parquet + stable shuffles). */
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
