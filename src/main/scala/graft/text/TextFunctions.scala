@@ -721,12 +721,27 @@ object TextFunctions {
       .join(broadcast(strTot), strata)
       .crossJoin(broadcast(allTot))
       .withColumn("log_odds_z", z)
-    scored.withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col(strata))
-          .orderBy(col("log_odds_z").desc, col("token").asc)))
-      .filter(col("rank") <= topK)
-      .select(col(strata), col("rank").cast("long").as("rank"), col("token"),
-        col("y_wi").as("n_token"), round(col("log_odds_z"), 6).as("log_odds_z"))
+    // Two-phase top-K, NO stratum-wide sort: a rank window partitioned by
+    // stratum alone would sort an entire stratum's vocabulary in one task
+    // (10^8+ rows at web scale). Phase 1 takes a bounded top-K per
+    // (stratum, physical partition) — each group holds only one task's
+    // share of the vocabulary; phase 2 merges strata × partitions × K
+    // candidate rows, bounded by the partition count, never by vocabulary.
+    // Struct sort order (−z asc, token asc) = (z desc, token asc), the same
+    // total order as the old rank window; (stratum, token) is unique after
+    // the count aggregation, so the top-K set is partitioning-independent.
+    val cand = struct((-col("log_odds_z")).as("nz"), col("token"),
+      col("y_wi"), col("log_odds_z").as("z"))
+    scored
+      .groupBy(col(strata), spark_partition_id().as("__pid"))
+      .agg(slice(sort_array(collect_list(cand)), 1, topK).as("__cand"))
+      .groupBy(col(strata))
+      .agg(slice(sort_array(flatten(collect_list(col("__cand")))), 1, topK)
+        .as("__top"))
+      .select(col(strata), posexplode(col("__top")).as(Seq("__pos", "__t")))
+      .select(col(strata), (col("__pos") + 1).cast("long").as("rank"),
+        col("__t.token").as("token"), col("__t.y_wi").as("n_token"),
+        round(col("__t.z"), 6).as("log_odds_z"))
   }
 
   /**
