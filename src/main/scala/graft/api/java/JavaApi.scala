@@ -511,9 +511,21 @@ object JavaPipelineOps {
       idCol: String, vecCol: String): DataFrame =
     graft.sim.SemDedup.semanticDuplicates(df, k, threshold, idCol, vecCol)
 
+  def semanticDuplicates(df: DataFrame, k: Int, threshold: Double,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame =
+    graft.sim.SemDedup.semanticDuplicates(df, k, threshold, idCol, vecCol,
+      nprobe = nprobe)
+
   def semanticKeepers(df: DataFrame, k: Int, threshold: Double,
       idCol: String, vecCol: String): DataFrame =
     graft.sim.SemDedup.semanticKeepers(df, k, threshold, idCol, vecCol)
+
+  def semanticKeepers(df: DataFrame, k: Int, threshold: Double,
+      idCol: String, vecCol: String, nprobe: Int): DataFrame =
+    graft.sim.SemDedup.semanticKeepers(df, k, threshold, idCol, vecCol,
+      nprobe = nprobe)
+
+  def semdedupSuggestedK(n: Long): Int = graft.sim.SemDedup.suggestedK(n)
 
   def logOddsKeywords(df: DataFrame, strata: String, text: String,
       alpha0: Double, topK: Int): DataFrame =

@@ -247,7 +247,13 @@ object Recall {
     val approx = SemDedup.semanticDuplicates(emb, k = 4, threshold = 0.2)
     val approx2 = SemDedup.semanticDuplicates(emb, k = 4, threshold = 0.2,
       nprobe = 2)
-    cached(exact, approx, approx2) {
+    // keeper path — the operator a pipeline actually runs (nprobe defaults
+    // to 2 there; certify both probe levels end-to-end)
+    val keep1 = SemDedup.semanticKeepers(emb, k = 4, threshold = 0.2,
+      nprobe = 1).select(col("vec_id"))
+    val keep2 = SemDedup.semanticKeepers(emb, k = 4, threshold = 0.2,
+      nprobe = 2).select(col("vec_id"))
+    cached(exact, approx, approx2, keep1, keep2) {
       val (hit, total) = pairRecall(pairKey(exact), pairKey(approx))
       val (hit2, total2) = pairRecall(pairKey(exact), pairKey(approx2))
       val falsePos = pairKey(approx)
@@ -257,10 +263,27 @@ object Recall {
       val probeMonotone = pairKey(approx)
         .join(pairKey(approx2), Seq("query_id", "neighbor_id"), "left_anti")
         .count() == 0L
+      // more probes -> more detected pairs -> more dropped ids: the nprobe=2
+      // keeper set must be a subset of the nprobe=1 keeper set (same theorem
+      // seen through the election)
+      val keeperMonotone = keep2.join(keep1, Seq("vec_id"), "left_anti")
+        .count() == 0L
+      // dropped-dup coverage: an exact dup pair is HANDLED when at least one
+      // endpoint was dropped by the nprobe=2 election. Every detected pair
+      // drops its larger side, so coverage >= probe-2 pair recall; certify
+      // against the same calibrated bound.
+      val notCovered = exact
+        .join(keep2.select(col("vec_id").as("id_a")), Seq("id_a"), "left_semi")
+        .join(keep2.select(col("vec_id").as("id_b")), Seq("id_b"), "left_semi")
+        .count() // pairs with BOTH endpoints still kept
+      val coverageOk = total2 == 0 ||
+        (total2 - notCovered).toDouble / total2 >= RC07_P2_BOUND
       checks(s, Seq(
         ("sd01", "recall_ok", recallOk(hit, total, RC07_BOUND)),
         ("sd01", "recall_probe2_ok", recallOk(hit2, total2, RC07_P2_BOUND)),
         ("sd01", "probe2_superset", probeMonotone),
+        ("sd01", "keeper_probe2_subset", keeperMonotone),
+        ("sd01", "keeper_coverage_ok", coverageOk),
         ("sd01", "precision_exact", falsePos == 0L)))
     }
   }
@@ -286,7 +309,8 @@ object Recall {
       "dd04" -> "precision_exact"),
     "embedding" -> Seq("dd06" -> "recall_ok", "dd06" -> "precision_exact"),
     "semdedup" -> Seq("sd01" -> "recall_ok", "sd01" -> "recall_probe2_ok",
-      "sd01" -> "probe2_superset", "sd01" -> "precision_exact"))
+      "sd01" -> "probe2_superset", "sd01" -> "keeper_probe2_subset",
+      "sd01" -> "keeper_coverage_ok", "sd01" -> "precision_exact"))
 
   /** Constant-SELECT DuckDB oracle: every (key, check) pair expected true. */
   private[graft] def oracleFor(group: String): String = {
