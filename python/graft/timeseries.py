@@ -458,3 +458,23 @@ def var_fit(df, key="key", ts="ts_nanos", x="x", y="y"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.varFit(
         df._jdf, key, ts, x, y))
+
+
+def varp_fit(df, p, value_cols, key="key", ts="ts_nanos"):
+    """n-variate VAR(p) fit per key: equation-wise OLS with a streamed Gram
+    matrix and a local pivoted solve. Long output: one row per (key, eq,
+    term, lag) — term 'c' (lag 0) is the intercept. Singular/collinear
+    series yield no rows, never a fabricated solve."""
+    spark, jvm = ctx(df)
+    jl = spark._sc._jvm.java.util.Arrays.asList(*[str(c) for c in value_cols])
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.varpFit(
+        df._jdf, int(p), jl, key, ts))
+
+
+def varp_forecast(df, p, h, value_cols, key="key", ts="ts_nanos"):
+    """h-step iterated VAR(p) point forecast per key (forecasts fed back
+    in); future ts extrapolates the median observed step."""
+    spark, jvm = ctx(df)
+    jl = spark._sc._jvm.java.util.Arrays.asList(*[str(c) for c in value_cols])
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.varpForecast(
+        df._jdf, int(p), int(h), jl, key, ts))

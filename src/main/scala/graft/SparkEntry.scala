@@ -28,6 +28,18 @@ object SparkEntry {
     daily.join(mkt, Seq("day_us"))
   }
 
+  /** (user_id, day_us, v, cnt, mkt) — the trivariate frame behind m32/m33:
+    * per-user daily mean + event count, joined with the market mean (same
+    * join shape as [[dailyWithMarket]], one extra agg column). */
+  private def dailyTriple(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), unix_micros(date_trunc("DAY",
+        timestamp_micros(col("ts_us")))).as("day_us"))
+      .agg(avg("value").as("v"), count(lit(1)).cast("double").as("cnt"))
+    val mkt = daily.groupBy(col("day_us")).agg(avg(col("v")).as("mkt"))
+    daily.join(mkt, Seq("day_us"))
+  }
+
   /** [lo, hi] day bounds (micros) from the RAW ts column: day truncation is
     * monotone, so trunc(min(ts)) == min(trunc(ts)) — the prelim bounds job
     * is a shuffle-free scalar column scan instead of re-running the whole
@@ -621,6 +633,7 @@ object SparkEntry {
     "mr11_lm_test_decisions" -> ((s, _) => graft.models.Recovery.lmTests(s)),
     "mr12_spline_recover" -> ((s, _) => graft.models.Recovery.spline(s)),
     "mr13_var_recover" -> ((s, _) => graft.models.Recovery.varRecover(s)),
+    "mr14_varp_recover" -> ((s, _) => graft.models.Recovery.varpRecover(s)),
 
     // ---------------- round-8: in-query recall certification of the
     // approximate sm/dd surface (the mr* pattern for ANN/near-dup — exact
@@ -748,6 +761,24 @@ object SparkEntry {
           round(col("c1"), 6).as("c1"),
           round(col("a21"), 6).as("a21"), round(col("a22"), 6).as("a22"),
           round(col("c2"), 6).as("c2"))),
+    "m32_varp_fit" -> ((s, dir) =>
+      // trivariate VAR(2) per user over (daily avg value, daily event
+      // count, market avg): equation-wise OLS in one groupByKey kernel —
+      // streamed Gram matrix + local pivoted solve, no matrix library.
+      // DuckDB cannot express the linear solve -> rows-only here; mr14
+      // certifies coefficient recovery hash-exactly on planted systems
+      graft.models.VectorAR.varpFit(dailyTriple(s, dir), 2,
+        Seq("v", "cnt", "mkt"), key = "user_id", ts = "day_us")
+        .select(col("key").cast("long").as("user_id"), col("eq"), col("term"),
+          col("lag").cast("long").as("lag"), round(col("coef"), 6).as("coef"))),
+    "m33_varp_forecast" -> ((s, dir) =>
+      // 5-step iterated VAR(2) point forecast from the m32 fit (forecasts
+      // fed back in; future ts extrapolates the median observed step)
+      graft.models.VectorAR.varpForecast(dailyTriple(s, dir), 2, 5,
+        Seq("v", "cnt", "mkt"), key = "user_id", ts = "day_us")
+        .select(col("key").cast("long").as("user_id"),
+          col("step").cast("long").as("step"), col("ts").as("day_us"),
+          col("eq"), round(col("value"), 6).as("value"))),
     "ts48_periodogram" -> ((s, dir) =>
       // classical periodogram of each user's daily series at Fourier
       // frequencies k=1..8 (mean-centered; direct O(n*maxK) sums — exact
@@ -2667,6 +2698,7 @@ object SparkEntry {
     "mr11_lm_test_decisions" -> graft.models.Recovery.oracleFor("lm_tests"),
     "mr12_spline_recover" -> graft.models.Recovery.oracleFor("spline"),
     "mr13_var_recover" -> graft.models.Recovery.oracleFor("var"),
+    "mr14_varp_recover" -> graft.models.Recovery.oracleFor("varp"),
     "rc01_lsh_recall" -> graft.sim.Recall.oracleFor("lsh"),
     "rc02_ivf_recall" -> graft.sim.Recall.oracleFor("ivf"),
     "rc03_pq_recall" -> graft.sim.Recall.oracleFor("pq"),

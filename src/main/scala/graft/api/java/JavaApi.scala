@@ -559,6 +559,18 @@ object JavaPipelineOps {
       y: String): DataFrame =
     graft.ts.TimeSeriesOps.varFit(df, key, ts, x, y)
 
+  def varpFit(df: DataFrame, p: Int, valueCols: java.util.List[String],
+      key: String, ts: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.models.VectorAR.varpFit(df, p, valueCols.asScala.toSeq, key, ts)
+  }
+
+  def varpForecast(df: DataFrame, p: Int, h: Int,
+      valueCols: java.util.List[String], key: String, ts: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.models.VectorAR.varpForecast(df, p, h, valueCols.asScala.toSeq, key, ts)
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       text: String, strata: String): DataFrame =
     graft.text.TextFunctions.snapshotDiff(oldDf, newDf, idCol, text, strata)

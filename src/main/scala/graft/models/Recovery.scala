@@ -367,7 +367,8 @@ object Recovery {
       "bp_rejects_hetero", "bp_keeps_clean"),
     "spline" -> Seq("interp_1", "interp_3", "interp_5", "interp_7",
       "knots_preserved", "outside_range_nan", "inside_gap_filled"),
-    "var" -> Seq("a11", "a12", "a21", "a22", "c1", "c2"))
+    "var" -> Seq("a11", "a12", "a21", "a22", "c1", "c2"),
+    "varp" -> Seq("a1_close", "a2_close", "c_close", "forecast_matches_fit"))
 
   /** mr13 — bivariate VAR(1) recovery, certifying the DISTRIBUTED
     * [[graft.ts.TimeSeriesOps.varFit]] (not a local twin): simulate
@@ -394,6 +395,70 @@ object Recovery {
     val rows = for ((k, _) <- seeds3; name <- checkNames("var")) yield {
       val (t, tol) = truth(name)
       (k, name, math.abs(fits(k).getAs[Double](name) - t) < tol)
+    }
+    rows.toDF("key", "check_name", "ok")
+  }
+
+  /** mr14 — trivariate VAR(2) recovery, certifying the DISTRIBUTED
+    * [[graft.models.VectorAR.varpFit]] and the iterated
+    * [[graft.models.VectorAR.varpForecast]]: simulate a planted stable
+    * (A₁, A₂, c) system per seed, fit through the real operator, recover
+    * every coefficient within tolerance; the forecast check replays the
+    * one-step recursion from the FITTED coefficients and must agree with
+    * the operator bit-for-bit (same arithmetic order). */
+  def varpRecover(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val names = Seq("x", "y", "z")
+    val n = 3; val p = 2
+    val a1 = Array(Array(0.4, 0.1, 0.0), Array(0.0, 0.3, 0.1),
+      Array(0.1, 0.0, 0.2))
+    val a2 = Array(Array(0.2, 0.0, 0.05), Array(0.05, 0.2, 0.0),
+      Array(0.0, 0.05, 0.3))
+    val cv = Array(1.0, 2.0, 0.5)
+    val lastTwo = collection.mutable.Map.empty[String, (Array[Double], Array[Double])]
+    val sims = seeds3.flatMap { case (k, seed) =>
+      val r = new MersenneTwister(seed)
+      var y1 = Array(2.0, 5.0, 1.0)
+      var y2 = Array(2.0, 5.0, 1.0)
+      val out = (0 until 4000).map { t =>
+        val nxt = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var v = cv(i)
+          var j = 0
+          while (j < n) { v += a1(i)(j) * y1(j) + a2(i)(j) * y2(j); j += 1 }
+          nxt(i) = v + r.nextGaussian() * 0.1
+          i += 1
+        }
+        y2 = y1; y1 = nxt
+        (k, t.toLong, nxt(0), nxt(1), nxt(2))
+      }
+      lastTwo(k) = (y1, y2) // newest, second-newest
+      out
+    }
+    val df = sims.toDF("key", "ts_nanos", "x", "y", "z")
+    // coef map: (key, eq, term, lag) -> unrounded coefficient
+    val fit = VectorAR.varpFit(df, p, names).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)) ->
+        r.getDouble(4)).toMap
+    val fc1 = VectorAR.varpForecast(df, p, 1, names).collect()
+      .map(r => (r.getString(0), r.getString(3)) -> r.getDouble(4)).toMap
+    val rows = seeds3.flatMap { case (k, _) =>
+      def err(truth: Array[Array[Double]], lag: Int): Double =
+        (for (e <- 0 until n; j <- 0 until n) yield
+          math.abs(fit((k, names(e), names(j), lag)) - truth(e)(j))).max
+      val cErr = (0 until n).map(e =>
+        math.abs(fit((k, names(e), "c", 0)) - cv(e))).max
+      // replay the operator's one-step arithmetic from the fitted coefs
+      val (h0, h1) = lastTwo(k)
+      val fcErr = (0 until n).map { e =>
+        var v = fit((k, names(e), "c", 0))
+        for (l <- 1 to p; i <- 0 until n)
+          v += fit((k, names(e), names(i), l)) * (if (l == 1) h0(i) else h1(i))
+        math.abs(fc1((k, names(e))) - v)
+      }.max
+      Seq((k, "a1_close", err(a1, 1) < 0.08), (k, "a2_close", err(a2, 2) < 0.08),
+        (k, "c_close", cErr < 0.5), (k, "forecast_matches_fit", fcErr < 1e-9))
     }
     rows.toDF("key", "check_name", "ok")
   }

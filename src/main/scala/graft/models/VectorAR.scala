@@ -1,0 +1,237 @@
+package graft.models
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * n-variate VAR(p) — the general vector autoregression the bivariate
+ * closed form ([[graft.ts.TimeSeriesOps.varFit]]) opened:
+ *   y_t = c + A_1·y_{t−1} + … + A_p·y_{t−p} + ε,  y_t ∈ R^n.
+ * Estimated per key by equation-wise OLS (the standard VAR estimator —
+ * every equation shares the design matrix [1, y_{t−1}, …, y_{t−p}], so one
+ * Gram matrix serves all n equations; Lütkepohl, "New Introduction to
+ * Multiple Time Series Analysis", ch. 3).
+ *
+ * Scale design: one `groupByKey(key)` shuffle; each task streams its
+ * series once, accumulating the (1+np)×(1+np) Gram matrix and the
+ * (1+np)×n cross-moment matrix — O((np)²) memory per series regardless of
+ * length, no T×m design matrix materialized — then solves the normal
+ * equations locally by Gaussian elimination with partial pivoting (no
+ * matrix library). A singular Gram matrix (collinear or constant
+ * regressors) yields no rows for that key, never a fabricated solve —
+ * the same honesty contract as varFit's det ≤ 0 null.
+ *
+ * The reference fits univariate models only (reference
+ * models/Autoregression.scala:31-78); this extends SURVEY §2.8's
+ * multivariate block past bivariate VAR(1).
+ */
+object VectorAR {
+
+  /** Long-format fit rows: one per (equation, regressor). `term` is "c"
+    * (lag 0) for the intercept, else the lagged series name. */
+  case class VarpCoef(key: String, eq: String, term: String, lag: Int,
+      coef: Double)
+
+  /** Per-key h-step iterated forecast point for one component series. */
+  case class VarpForecast(key: String, step: Int, ts: Long, eq: String,
+      value: Double)
+
+  /**
+   * Fit VAR(p) per key over the wide columns `valueCols`. Output: one row
+   * per (key, equation, term) — `eq` names the target column, `term` the
+   * regressor column (or "c"), `lag` in 1..p (0 for the intercept).
+   * Rows with any null component are dropped (a missing point cannot
+   * enter a lag-aligned design row).
+   */
+  def varpFit(df: DataFrame, p: Int, valueCols: Seq[String],
+      key: String = "key", ts: String = "ts_nanos"): DataFrame = {
+    require(p >= 1, "p >= 1")
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = valueCols.toArray
+    val n = names.length
+    gathered(df, p, valueCols, key, ts).flatMapGroups { (k, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      fitLocal(rows.map(_._3.toArray), p) match {
+        case Some(beta) =>
+          for (j <- 0 until n; r <- 0 until beta.length) yield {
+            if (r == 0) VarpCoef(k, names(j), "c", 0, beta(0)(j))
+            else VarpCoef(k, names(j), names((r - 1) % n), (r - 1) / n + 1,
+              beta(r)(j))
+          }
+        case None => Seq.empty[VarpCoef]
+      }
+    }.toDF()
+  }
+
+  /**
+   * Fit + h-step iterated forecast per key: ŷ_{T+1} from the last p
+   * observations, then roll forward feeding forecasts back in (the
+   * standard VAR point forecast). Future `ts` extrapolates the median
+   * observed step, matching [[ModelOps.forecastArima]].
+   */
+  def varpForecast(df: DataFrame, p: Int, h: Int, valueCols: Seq[String],
+      key: String = "key", ts: String = "ts_nanos"): DataFrame = {
+    require(h >= 1, "h >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = valueCols.toArray
+    val n = names.length
+    gathered(df, p, valueCols, key, ts).flatMapGroups { (k, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      val y = rows.map(_._3.toArray)
+      fitLocal(y, p) match {
+        case Some(beta) =>
+          val tss = rows.map(_._2)
+          val step = if (tss.length > 1) {
+            val steps = tss.sliding(2).map(w => w(1) - w(0)).toArray.sorted
+            steps(steps.length / 2)
+          } else 1L
+          // ring of the last p observations, newest first after reverse
+          var hist = y.takeRight(p).reverse.toVector // hist(0) = y_{t}, hist(1) = y_{t-1}, ...
+          val out = collection.mutable.ArrayBuffer.empty[VarpForecast]
+          var s = 1
+          while (s <= h) {
+            val next = new Array[Double](n)
+            var j = 0
+            while (j < n) {
+              var v = beta(0)(j)
+              var l = 1
+              while (l <= p) {
+                var i = 0
+                while (i < n) { v += beta(1 + (l - 1) * n + i)(j) * hist(l - 1)(i); i += 1 }
+                l += 1
+              }
+              next(j) = v
+              j += 1
+            }
+            val fts = tss.last + step * s
+            var j2 = 0
+            while (j2 < n) {
+              out += VarpForecast(k, s, fts, names(j2), next(j2)); j2 += 1
+            }
+            hist = next +: hist.dropRight(1)
+            s += 1
+          }
+          out.toSeq
+        case None => Seq.empty[VarpForecast]
+      }
+    }.toDF()
+  }
+
+  /** (key, ts, values) gathering shared by fit and forecast. */
+  private def gathered(df: DataFrame, p: Int, valueCols: Seq[String],
+      key: String, ts: String) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(valueCols.map(c => col(c).isNotNull).reduce(_ && _))
+      .select(col(key).cast("string").as("_1"), col(ts).cast("long").as("_2"),
+        array(valueCols.map(c => col(c).cast("double")): _*).as("_3"))
+      .as[(String, Long, Seq[Double])]
+      .groupByKey(_._1)
+  }
+
+  /**
+   * Equation-wise OLS for VAR(p) from a T×n value matrix: returns the
+   * (1+np)×n coefficient matrix B (row 0 = intercepts; row 1+(l−1)n+i =
+   * coefficient of series i at lag l), or None when the system is
+   * under-determined or the Gram matrix is singular. Streams the series
+   * once — never materializes the T×m design matrix.
+   */
+  private[graft] def fitLocal(y: Array[Array[Double]], p: Int)
+      : Option[Array[Array[Double]]] = {
+    val tTot = y.length
+    val n = if (tTot > 0) y(0).length else 0
+    val m = 1 + n * p
+    if (n == 0 || tTot - p < m) return None
+    val g = Array.ofDim[Double](m, m)
+    val b = Array.ofDim[Double](m, n)
+    val x = new Array[Double](m)
+    var t = p
+    while (t < tTot) {
+      x(0) = 1.0
+      var idx = 1
+      var l = 1
+      while (l <= p) {
+        val yl = y(t - l)
+        var i = 0
+        while (i < n) { x(idx) = yl(i); idx += 1; i += 1 }
+        l += 1
+      }
+      var r = 0
+      while (r < m) {
+        val xr = x(r)
+        var c2 = r
+        while (c2 < m) { g(r)(c2) += xr * x(c2); c2 += 1 }
+        val yt = y(t)
+        var j = 0
+        while (j < n) { b(r)(j) += xr * yt(j); j += 1 }
+        r += 1
+      }
+      t += 1
+    }
+    var r = 1
+    while (r < m) {
+      var c2 = 0
+      while (c2 < r) { g(r)(c2) = g(c2)(r); c2 += 1 }
+      r += 1
+    }
+    solve(g, b)
+  }
+
+  /** Solve G·X = B in place (G m×m symmetric positive semi-definite from a
+    * Gram construction, B m×n) by Gaussian elimination with partial
+    * pivoting; None when a pivot falls below a relative tolerance
+    * (singular/collinear system). Deterministic: fixed elimination order. */
+  private[graft] def solve(g: Array[Array[Double]], b: Array[Array[Double]])
+      : Option[Array[Array[Double]]] = {
+    val m = g.length
+    val n = if (m > 0) b(0).length else 0
+    var maxAbs = 0.0
+    var i = 0
+    while (i < m) {
+      var j = 0
+      while (j < m) { val a = math.abs(g(i)(j)); if (a > maxAbs) maxAbs = a; j += 1 }
+      i += 1
+    }
+    val eps = 1e-12 * math.max(maxAbs, 1.0)
+    var col = 0
+    while (col < m) {
+      var piv = col
+      var best = math.abs(g(col)(col))
+      var r = col + 1
+      while (r < m) {
+        val a = math.abs(g(r)(col)); if (a > best) { best = a; piv = r }; r += 1
+      }
+      if (best <= eps) return None
+      if (piv != col) {
+        val tg = g(piv); g(piv) = g(col); g(col) = tg
+        val tb = b(piv); b(piv) = b(col); b(col) = tb
+      }
+      val d = g(col)(col)
+      r = 0
+      while (r < m) {
+        if (r != col) {
+          val f = g(r)(col) / d
+          if (f != 0.0) {
+            var c2 = col
+            while (c2 < m) { g(r)(c2) -= f * g(col)(c2); c2 += 1 }
+            var j = 0
+            while (j < n) { b(r)(j) -= f * b(col)(j); j += 1 }
+          }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    val out = Array.ofDim[Double](m, n)
+    i = 0
+    while (i < m) {
+      var j = 0
+      while (j < n) { out(i)(j) = b(i)(j) / g(i)(i); j += 1 }
+      i += 1
+    }
+    Some(out)
+  }
+}

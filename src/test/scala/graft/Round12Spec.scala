@@ -44,6 +44,66 @@ class Round12Spec extends AnyFunSuite with Matchers with SparkTestSession {
     many shouldBe one
   }
 
+  test("VectorAR solve is exact on a planted SPD system") {
+    import graft.models.VectorAR
+    // G = M^T M is SPD for any full-rank M; plant X_true, form B = G X_true
+    val mM = Array(Array(2.0, 1.0, 0.0), Array(1.0, 3.0, 1.0),
+      Array(0.0, 1.0, 2.0), Array(1.0, 0.0, 1.0))
+    val g = Array.ofDim[Double](3, 3)
+    for (i <- 0 until 3; j <- 0 until 3; r <- 0 until 4)
+      g(i)(j) += mM(r)(i) * mM(r)(j)
+    val xTrue = Array(Array(1.5, -2.0), Array(0.25, 3.0), Array(-1.0, 0.5))
+    val b = Array.ofDim[Double](3, 2)
+    for (i <- 0 until 3; j <- 0 until 2; k <- 0 until 3)
+      b(i)(j) += g(i)(k) * xTrue(k)(j)
+    val sol = VectorAR.solve(g.map(_.clone), b.map(_.clone))
+    sol.isDefined shouldBe true
+    for (i <- 0 until 3; j <- 0 until 2)
+      math.abs(sol.get(i)(j) - xTrue(i)(j)) should be < 1e-9
+    // singular system -> None
+    val sing = Array(Array(1.0, 2.0), Array(2.0, 4.0))
+    VectorAR.solve(sing, Array(Array(1.0), Array(2.0))) shouldBe None
+  }
+
+  test("VectorAR fitLocal satisfies the OLS normal equations on arbitrary data") {
+    import graft.models.VectorAR
+    // residual orthogonality r ⊥ [1, lags] holds EXACTLY for any input —
+    // an algebraic identity of a correct least-squares solve
+    val n = 2; val p = 2
+    val ys = collection.mutable.ArrayBuffer(Array(2.0, 5.0), Array(1.0, 4.0))
+    for (t <- 0 until 150) {
+      val y1 = ys.last; val y2 = ys(ys.length - 2)
+      ys += Array(
+        1.0 + 0.4 * y1(0) + 0.1 * y1(1) + 0.2 * y2(0) +
+          math.sin(0.7 * t) * 0.5,
+        2.0 + 0.3 * y1(1) + 0.05 * y2(0) + 0.2 * y2(1) +
+          math.cos(1.3 * t) * 0.4)
+    }
+    val y = ys.toArray
+    val beta = VectorAR.fitLocal(y, p).get
+    val m = 1 + n * p
+    val dot = Array.ofDim[Double](m, n) // sum_t x_t(r) * resid_t(j)
+    var scale = 0.0
+    for (t <- p until y.length) {
+      val x = new Array[Double](m)
+      x(0) = 1.0
+      for (l <- 1 to p; i <- 0 until n) x(1 + (l - 1) * n + i) = y(t - l)(i)
+      for (j <- 0 until n) {
+        var pred = 0.0
+        for (r <- 0 until m) pred += beta(r)(j) * x(r)
+        val resid = y(t)(j) - pred
+        for (r <- 0 until m) dot(r)(j) += x(r) * resid
+      }
+      scale += x.map(math.abs).sum
+    }
+    for (r <- 0 until m; j <- 0 until n)
+      math.abs(dot(r)(j)) / scale should be < 1e-9
+    // constant series -> singular Gram -> None, not a fabricated fit
+    VectorAR.fitLocal(Array.fill(50)(Array(1.0, 1.0)), p) shouldBe None
+    // under-determined -> None
+    VectorAR.fitLocal(y.take(6), p) shouldBe None
+  }
+
   test("Tables.events normalizes ts to micros for both long-nanos and timestamp schemas") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evt").toString
