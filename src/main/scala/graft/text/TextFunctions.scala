@@ -819,28 +819,49 @@ object TextFunctions {
    * hash of the token's bytes mod `dim`; `dim` must be a power of two so
    * the signed-long `pmod` equals the unsigned mod any engine computes
    * (2^64 ≡ 0 mod 2^k — the cross-engine parity argument, same family as
-   * tx05's HUGEINT-fold oracle). One explode + two keyed aggregations,
-   * all on the doc key; the dense array is built from a map literal, no
-   * pivot, no per-dimension shuffle.
+   * tx05's HUGEINT-fold oracle). No pivot, no per-dimension shuffle; two
+   * plans by `dim`: codegen'd conditional sums in ONE doc-keyed exchange
+   * up to `largeDimThreshold`, a sparse (doc, bucket) pre-aggregation +
+   * map build above it (plan size O(1) in dim — the conditional-sum plan
+   * would blow codegen limits at dim ≳ 1k). Both paths produce identical
+   * vectors (spec-asserted).
    */
   def featureHashEmbedding(df: DataFrame, dim: Int = 64,
-      idCol: String = "doc_id", text: String = "text"): DataFrame = {
+      idCol: String = "doc_id", text: String = "text",
+      largeDimThreshold: Int = 256): DataFrame = {
     require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
-    // one doc-keyed exchange: `dim` conditional-sum aggregates stay inside
-    // whole-stage codegen with map-side partials (one dim-long row per doc
-    // per partition on the wire) — the (doc, bucket) pre-aggregation +
-    // collect_list map build costs a second exchange and drops to a
-    // non-codegen ObjectHashAggregate
     val bucketed = df
       .select(col(idCol), explode(tokens(col(text))).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("__b", pmod(RollingHash.ofColumn(col("tok")), lit(dim.toLong)))
-    val sums = (0 until dim).map(b =>
-      sum(when(col("__b") === b, 1L).otherwise(0L)).as(s"__c$b"))
-    bucketed.groupBy(col(idCol))
-      .agg(sums.head, sums.tail: _*)
-      .withColumn("__raw",
-        array((0 until dim).map(b => col(s"__c$b").cast("double")): _*))
+    val raw =
+      if (dim <= largeDimThreshold) {
+        // small dim — one doc-keyed exchange: `dim` conditional-sum
+        // aggregates stay inside whole-stage codegen with map-side partials
+        // (one dim-long row per doc per partition on the wire)
+        val sums = (0 until dim).map(b =>
+          sum(when(col("__b") === b, 1L).otherwise(0L)).as(s"__c$b"))
+        bucketed.groupBy(col(idCol))
+          .agg(sums.head, sums.tail: _*)
+          .withColumn("__raw",
+            array((0 until dim).map(b => col(s"__c$b").cast("double")): _*))
+      } else {
+        // large dim — `dim` generated agg expressions exceed the codegen
+        // method/constant-pool limits (interpreted fallback or minutes of
+        // janino compilation at dim ≳ 1k). Sparse (doc, bucket) pre-agg +
+        // map build instead: one extra exchange and an ObjectHashAggregate,
+        // but plan size is O(1) in `dim` and the wire carries only the
+        // OCCUPIED buckets per doc (≤ tokens, typically ≪ dim)
+        bucketed.groupBy(col(idCol), col("__b"))
+          .agg(count(lit(1)).as("__c"))
+          .groupBy(col(idCol))
+          .agg(map_from_entries(collect_list(struct(col("__b"), col("__c"))))
+            .as("__m"))
+          .withColumn("__raw", transform(
+            sequence(lit(0L), lit(dim.toLong - 1L)),
+            b => coalesce(element_at(col("__m"), b), lit(0L)).cast("double")))
+      }
+    raw
       .withColumn("__norm",
         sqrt(aggregate(col("__raw"), lit(0.0), (a, x) => a + x * x)))
       .select(col(idCol),

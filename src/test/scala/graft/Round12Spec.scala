@@ -104,6 +104,42 @@ class Round12Spec extends AnyFunSuite with Matchers with SparkTestSession {
     VectorAR.fitLocal(y.take(6), p) shouldBe None
   }
 
+  test("featureHashEmbedding large-dim path matches the conditional-sum path") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha"), (2L, "delta epsilon"),
+      (3L, "zeta zeta zeta eta theta iota"), (4L, "single")
+    ).toDF("doc_id", "text")
+    def collect(threshold: Int) =
+      TextFunctions.featureHashEmbedding(docs, dim = 64,
+          largeDimThreshold = threshold)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val dense = collect(256) // conditional-sum path at dim=64
+    val sparse = collect(1)  // forced map path at the same dim
+    dense.keySet shouldBe sparse.keySet
+    for (k <- dense.keySet; i <- dense(k).indices)
+      math.abs(dense(k)(i) - sparse(k)(i)) should be < 1e-12
+  }
+
+  test("featureHashEmbedding at dim=4096 stays sane (plan and vectors)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta gamma alpha beta"), (2L, "delta"))
+      .toDF("doc_id", "text")
+    val emb = TextFunctions.featureHashEmbedding(docs, dim = 4096)
+    // plan must NOT carry per-dimension aggregate expressions
+    val agg = emb.queryExecution.executedPlan.toString
+    agg should not include "__c1024"
+    val rows = emb.collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    rows(1L).length shouldBe 4096
+    // unit norm
+    math.abs(rows(1L).map(x => x * x).sum - 1.0) should be < 1e-9
+    // doc 2 has one token -> exactly one nonzero bucket at value 1.0
+    rows(2L).count(_ != 0.0) shouldBe 1
+    rows(2L).max shouldBe 1.0 +- 1e-12
+    // doc 1: 2x alpha, 2x beta, 1x gamma -> norm 3, nonzero multiset {2/3,2/3,1/3}
+    rows(1L).filter(_ != 0.0).sorted shouldBe Seq(1.0 / 3, 2.0 / 3, 2.0 / 3)
+  }
+
   test("Tables.events normalizes ts to micros for both long-nanos and timestamp schemas") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evt").toString
