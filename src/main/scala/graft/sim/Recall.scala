@@ -247,13 +247,14 @@ object Recall {
     val approx = SemDedup.semanticDuplicates(emb, k = 4, threshold = 0.2)
     val approx2 = SemDedup.semanticDuplicates(emb, k = 4, threshold = 0.2,
       nprobe = 2)
-    // keeper path — the operator a pipeline actually runs (nprobe defaults
-    // to 2 there; certify both probe levels end-to-end)
-    val keep1 = SemDedup.semanticKeepers(emb, k = 4, threshold = 0.2,
-      nprobe = 1).select(col("vec_id"))
-    val keep2 = SemDedup.semanticKeepers(emb, k = 4, threshold = 0.2,
-      nprobe = 2).select(col("vec_id"))
-    cached(exact, approx, approx2, keep1, keep2) {
+    // keeper path — ONE run of the real operator at its default nprobe=2
+    // (the path a pipeline actually executes); the probe-1 comparison set
+    // derives from the already-persisted probe-1 pairs by the election
+    // definition (drop every larger-side id) rather than a second full
+    // cluster+join pass — the pair sets are themselves certified above
+    val keep2 = SemDedup.semanticKeepers(emb, k = 4, threshold = 0.2)
+      .select(col("vec_id"))
+    cached(exact, approx, approx2, keep2) {
       val (hit, total) = pairRecall(pairKey(exact), pairKey(approx))
       val (hit2, total2) = pairRecall(pairKey(exact), pairKey(approx2))
       val falsePos = pairKey(approx)
@@ -263,11 +264,24 @@ object Recall {
       val probeMonotone = pairKey(approx)
         .join(pairKey(approx2), Seq("query_id", "neighbor_id"), "left_anti")
         .count() == 0L
+      // the real operator's keeper set must equal the election applied to
+      // the certified probe-2 pair set: all ids minus every larger-side id
+      // (an EXACT equality — a broken default nprobe, a changed election
+      // rule, or assignment drift all flip this boolean)
+      val ids = emb.select(col("vec_id"))
+      val derive = (p: DataFrame) => ids.join(
+        p.select(col("neighbor_id").as("vec_id")).distinct(),
+        Seq("vec_id"), "left_anti")
+      val keep2Derived = derive(pairKey(approx2))
+      // symmetric difference in ONE job: full-outer join, count one-sided rows
+      val keeperMatches = keep2.withColumn("__l", lit(1))
+        .join(keep2Derived.withColumn("__r", lit(1)), Seq("vec_id"), "full_outer")
+        .filter(col("__l").isNull || col("__r").isNull).count() == 0L
       // more probes -> more detected pairs -> more dropped ids: the nprobe=2
-      // keeper set must be a subset of the nprobe=1 keeper set (same theorem
+      // keeper set must be a subset of the probe-1 keeper set (same theorem
       // seen through the election)
-      val keeperMonotone = keep2.join(keep1, Seq("vec_id"), "left_anti")
-        .count() == 0L
+      val keeperMonotone = keep2.join(derive(pairKey(approx)),
+        Seq("vec_id"), "left_anti").count() == 0L
       // dropped-dup coverage: an exact dup pair is HANDLED when at least one
       // endpoint was dropped by the nprobe=2 election. Every detected pair
       // drops its larger side, so coverage >= probe-2 pair recall; certify
@@ -282,6 +296,7 @@ object Recall {
         ("sd01", "recall_ok", recallOk(hit, total, RC07_BOUND)),
         ("sd01", "recall_probe2_ok", recallOk(hit2, total2, RC07_P2_BOUND)),
         ("sd01", "probe2_superset", probeMonotone),
+        ("sd01", "keeper_matches_pairs", keeperMatches),
         ("sd01", "keeper_probe2_subset", keeperMonotone),
         ("sd01", "keeper_coverage_ok", coverageOk),
         ("sd01", "precision_exact", falsePos == 0L)))
@@ -309,8 +324,9 @@ object Recall {
       "dd04" -> "precision_exact"),
     "embedding" -> Seq("dd06" -> "recall_ok", "dd06" -> "precision_exact"),
     "semdedup" -> Seq("sd01" -> "recall_ok", "sd01" -> "recall_probe2_ok",
-      "sd01" -> "probe2_superset", "sd01" -> "keeper_probe2_subset",
-      "sd01" -> "keeper_coverage_ok", "sd01" -> "precision_exact"))
+      "sd01" -> "probe2_superset", "sd01" -> "keeper_matches_pairs",
+      "sd01" -> "keeper_probe2_subset", "sd01" -> "keeper_coverage_ok",
+      "sd01" -> "precision_exact"))
 
   /** Constant-SELECT DuckDB oracle: every (key, check) pair expected true. */
   private[graft] def oracleFor(group: String): String = {

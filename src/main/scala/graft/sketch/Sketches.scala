@@ -44,19 +44,20 @@ object Sketches {
     * rsd 0.05 ⇒ |est−exact|/exact within 0.15 (3σ) certifies the sketch;
     * the grouped variant additionally certifies partial-agg merge. */
   def hll(s: SparkSession, dir: String): DataFrame = {
-    val li = Tables.lineitem(s, dir)
-    val g = li.agg(
-      countDistinct(col("l_orderkey")).as("exact"),
-      approx_count_distinct(col("l_orderkey"), 0.05).as("est"))
-      .head()
-    val globalOk =
-      math.abs(g.getLong(1) - g.getLong(0)).toDouble / g.getLong(0) <= 0.15
-    val grouped = li.groupBy(col("l_returnflag")).agg(
-      countDistinct(col("l_orderkey")).as("exact"),
-      approx_count_distinct(col("l_orderkey"), 0.05).as("est"))
+    // ONE scan for both the global and the per-group certification:
+    // rollup(l_returnflag) emits the per-flag rows plus the grand-total
+    // row (null flag) from a single pass — the separate global aggregate
+    // used to re-scan the corpus (r8→r9 creep, adjudicated r9)
+    val rows = Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag")).agg(
+        countDistinct(col("l_orderkey")).as("exact"),
+        approx_count_distinct(col("l_orderkey"), 0.05).as("est"))
       .withColumn("ok",
         abs(col("est") - col("exact")) <= col("exact") * 0.15)
-    val groupedOk = grouped.filter(!col("ok")).count() == 0
+      .collect()
+    val globalOk = rows.filter(_.isNullAt(0)).forall(_.getAs[Boolean]("ok")) &&
+      rows.exists(_.isNullAt(0))
+    val groupedOk = rows.filter(!_.isNullAt(0)).forall(_.getAs[Boolean]("ok"))
     checks(s, Seq(
       ("qs01", "hll_global_within_3rsd", globalOk),
       ("qs01", "hll_grouped_within_3rsd", groupedOk)))
