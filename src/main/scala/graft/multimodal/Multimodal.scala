@@ -8,20 +8,34 @@ import org.apache.spark.sql.types._
  * Multimodal column plumbing: image/audio/video carried as opaque `BINARY`
  * payloads with typed metadata, processed in partition-local batches.
  *
- * PNG payloads get a REAL decode via javax.imageio and WAV payloads a REAL
- * decode via javax.sound.sampled (both pure JVM — see
- * [[pngAssetsFromDocuments]] / [[wavAssetsFromDocuments]] for the
- * encode→decode round trips the oracle certifies). Video payloads get a
- * REAL container decode via [[aviAssetsFromDocuments]]: a standard RIFF/AVI
- * file carrying uncompressed BI_RGB DIB frames (the 'DIB ' codec — a real
- * AVI codec id any player accepts), parsed back by an honest RIFF chunk
- * walker with every-2nd-frame sampling. COMPRESSED video codecs
- * (MJPEG/H.264) would need native libs this container lacks — for those
- * payloads `decodeStub` still derives deterministic fake features from the
- * bytes (clearly marked). Everything around the decoders — the schema, the
- * batch shape (mapPartitions with an iterator, so one task streams many
- * payloads without collect), the partitioning story — is the real
- * production layout; swapping in a JNI/FFI codec changes no plumbing.
+ * ==Codec matrix (what decodes for real vs what is declined)==
+ *
+ * {{{
+ *  modality  container/codec          decode            status
+ *  --------  -----------------------  ----------------  ------------------
+ *  image     PNG                      javax.imageio     REAL (pure JVM)
+ *  audio     WAV / PCM                javax.sound       REAL (pure JVM)
+ *  video     AVI / 'DIB ' (BI_RGB)    RIFF walker       REAL (pure JVM)
+ *  video     AVI / 'MJPG'             RIFF walker +     REAL (pure JVM)
+ *                                       javax.imageio
+ *  video     AVI / anything else      —                 DECLINED -> null
+ *            (H.264, VP9, HEVC, ...)                    row, never error
+ *  any       corrupt/truncated bytes  —                 DECLINED -> null
+ * }}}
+ *
+ * PNG/WAV round trips are oracle-certified ([[pngAssetsFromDocuments]] /
+ * [[wavAssetsFromDocuments]]); DIB and MJPEG video decode through an honest
+ * RIFF chunk walker ([[decodeAvi]]) with every-2nd-frame sampling — MJPEG
+ * frames are standalone JPEGs, the one compressed video codec a JVM decodes
+ * without native libraries. Codecs that require native libs (H.264 etc.)
+ * are DELIBERATELY declined: the decoder returns None, the operator emits
+ * null fields, and a 100 TB scan never dies on an asset (spec-asserted).
+ * The clearly-marked `decodeStub` (byte statistics standing in for learned
+ * features) exists only for payloads with no JVM decoder. Everything around
+ * the decoders — the schema, the batch shape (mapPartitions with an
+ * iterator, so one task streams many payloads without collect), the
+ * partitioning story — is the real production layout; swapping in a
+ * JNI/FFI codec changes no plumbing.
  */
 object Multimodal {
 

@@ -331,6 +331,31 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("native-codec video (H.264 fourcc) is declined to null rows, never an error") {
+    import graft.multimodal.Multimodal
+    // take a VALID generated AVI and overwrite its strf biCompression
+    // with the 'H264' fourcc — a well-formed container whose codec needs
+    // native libraries the JVM lacks; the decode must decline (null
+    // fields), exactly the documented codec-matrix boundary
+    val toH264 = org.apache.spark.sql.functions.udf { (p: Array[Byte]) =>
+      val q = p.clone()
+      val i = q.indices.dropRight(3).find(i =>
+        q(i) == 's' && q(i + 1) == 't' && q(i + 2) == 'r' && q(i + 3) == 'f').get
+      // chunk data starts at i+8; biCompression sits 16 bytes in
+      val o = i + 8 + 16
+      q(o) = 'H'; q(o + 1) = '2'; q(o + 2) = '6'; q(o + 3) = '4'
+      q
+    }
+    val assets = Multimodal.aviAssetsFromDocuments(docs)
+      .withColumn("payload", toH264(org.apache.spark.sql.functions.col("payload")))
+    val feats = Multimodal.extractFeatures(assets).collect()
+    feats should not be empty
+    feats.foreach { r =>
+      r.isNullAt(r.fieldIndex("video_px_sum")) shouldBe true
+      r.isNullAt(r.fieldIndex("video_frames")) shouldBe true
+    }
+  }
+
   test("decoder fuzz: random payload mutations never kill a task") {
     import graft.multimodal.Multimodal
     // seeded mutations of VALID containers (bit flips, truncations, size
