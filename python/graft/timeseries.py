@@ -471,6 +471,15 @@ def varp_fit(df, p, value_cols, key="key", ts="ts_nanos"):
         df._jdf, int(p), jl, key, ts))
 
 
+def granger_lag_p(df, p, key="key", ts="ts_nanos", y="y", x="x"):
+    """Lag-p Granger causality F per key (restricted vs unrestricted OLS in
+    one kernel pass); F ~ F(p, n_obs - 2p - 1) under the null. The p=1
+    statistic equals the closed-form granger_f."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.grangerLagP(
+        df._jdf, int(p), key, ts, y, x))
+
+
 def varp_forecast(df, p, h, value_cols, key="key", ts="ts_nanos"):
     """h-step iterated VAR(p) point forecast per key (forecasts fed back
     in); future ts extrapolates the median observed step."""

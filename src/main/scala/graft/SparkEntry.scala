@@ -634,6 +634,7 @@ object SparkEntry {
     "mr12_spline_recover" -> ((s, _) => graft.models.Recovery.spline(s)),
     "mr13_var_recover" -> ((s, _) => graft.models.Recovery.varRecover(s)),
     "mr14_varp_recover" -> ((s, _) => graft.models.Recovery.varpRecover(s)),
+    "mr15_granger_recover" -> ((s, _) => graft.models.Recovery.grangerRecover(s)),
 
     // ---------------- round-8: in-query recall certification of the
     // approximate sm/dd surface (the mr* pattern for ANN/near-dup — exact
@@ -779,6 +780,14 @@ object SparkEntry {
         .select(col("key").cast("long").as("user_id"),
           col("step").cast("long").as("step"), col("ts").as("day_us"),
           col("eq"), round(col("value"), 6).as("value"))),
+    "m34_granger_varp" -> ((s, dir) =>
+      // lag-2 Granger F (market -> user series) via restricted/unrestricted
+      // OLS in the VectorAR kernel; the p=1 slice of this operator is
+      // certified against the closed-form m25 statistic in mr15
+      graft.models.VectorAR.grangerLagP(dailyWithMarket(s, dir), 2,
+        key = "user_id", ts = "day_us", y = "value", x = "mkt")
+        .select(col("key").cast("long").as("user_id"), col("n_obs"),
+          col("df1"), col("df2"), round(col("f_stat"), 6).as("f_stat"))),
     "ts48_periodogram" -> ((s, dir) =>
       // classical periodogram of each user's daily series at Fourier
       // frequencies k=1..8 (mean-centered; direct O(n*maxK) sums — exact
@@ -2699,6 +2708,7 @@ object SparkEntry {
     "mr12_spline_recover" -> graft.models.Recovery.oracleFor("spline"),
     "mr13_var_recover" -> graft.models.Recovery.oracleFor("var"),
     "mr14_varp_recover" -> graft.models.Recovery.oracleFor("varp"),
+    "mr15_granger_recover" -> graft.models.Recovery.oracleFor("granger"),
     "rc01_lsh_recall" -> graft.sim.Recall.oracleFor("lsh"),
     "rc02_ivf_recall" -> graft.sim.Recall.oracleFor("ivf"),
     "rc03_pq_recall" -> graft.sim.Recall.oracleFor("pq"),

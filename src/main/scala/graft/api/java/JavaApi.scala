@@ -571,6 +571,10 @@ object JavaPipelineOps {
     graft.models.VectorAR.varpForecast(df, p, h, valueCols.asScala.toSeq, key, ts)
   }
 
+  def grangerLagP(df: DataFrame, p: Int, key: String, ts: String,
+      y: String, x: String): DataFrame =
+    graft.models.VectorAR.grangerLagP(df, p, key, ts, y, x)
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       text: String, strata: String): DataFrame =
     graft.text.TextFunctions.snapshotDiff(oldDf, newDf, idCol, text, strata)

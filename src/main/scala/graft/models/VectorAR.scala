@@ -120,6 +120,88 @@ object VectorAR {
     }.toDF()
   }
 
+  /** Lag-p Granger result: F ~ F(p, n_obs − 2p − 1) under the null that
+    * x's lags add nothing over y's own lags. */
+  case class GrangerLagP(key: String, n_obs: Long, df1: Long, df2: Long,
+      f_stat: Double)
+
+  /**
+   * Lag-p Granger causality per key — the general form of the closed-form
+   * lag-1 [[graft.ts.TimeSeriesOps.grangerF]] (spec-asserted to agree with
+   * it at p=1): restricted OLS of y on [1, y_{t−1..t−p}] vs unrestricted
+   * on [1, y-lags, x-lags], F = ((RSS_r − RSS_u)/p) / (RSS_u/df2).
+   * Same kernel shape as [[varpFit]]: one groupByKey shuffle, streamed
+   * Gram matrices (the restricted Gram is a stride of the unrestricted
+   * one — the series is scanned ONCE), local pivoted solves. Degenerate
+   * keys (singular either way, or df2 ≤ 0) emit no row.
+   */
+  def grangerLagP(df: DataFrame, p: Int, key: String = "key",
+      ts: String = "ts_nanos", y: String = "y", x: String = "x"): DataFrame = {
+    require(p >= 1, "p >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    gathered(df, p, Seq(y, x), key, ts).flatMapGroups { (k, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      val ys = rows.map(_._3(0).toDouble) // (y, x) order fixed by the select
+      val xs = rows.map(_._3(1).toDouble)
+      val tTot = ys.length
+      val mU = 1 + 2 * p
+      val nObs = tTot - p
+      if (nObs <= mU) Seq.empty[GrangerLagP]
+      else {
+        // one streamed pass builds the unrestricted Gram/moment; the
+        // restricted system is the [intercept + y-lag] sub-block
+        val g = Array.ofDim[Double](mU, mU)
+        val b = Array.ofDim[Double](mU, 1)
+        val xrow = new Array[Double](mU)
+        var yy = 0.0
+        var t = p
+        while (t < tTot) {
+          xrow(0) = 1.0
+          var l = 1
+          while (l <= p) {
+            xrow(l) = ys(t - l); xrow(p + l) = xs(t - l); l += 1
+          }
+          var r = 0
+          while (r < mU) {
+            var c = r
+            while (c < mU) { g(r)(c) += xrow(r) * xrow(c); c += 1 }
+            b(r)(0) += xrow(r) * ys(t)
+            r += 1
+          }
+          yy += ys(t) * ys(t)
+          t += 1
+        }
+        var r = 1
+        while (r < mU) {
+          var c = 0
+          while (c < r) { g(r)(c) = g(c)(r); c += 1 }
+          r += 1
+        }
+        val mR = 1 + p
+        val gR = Array.tabulate(mR, mR)((i, j) => g(i)(j))
+        val bR = Array.tabulate(mR, 1)((i, _) => b(i)(0))
+        val res = for {
+          bu <- solve(g.map(_.clone), b.map(_.clone))
+          br <- solve(gR, bR)
+        } yield {
+          def rss(beta: Array[Array[Double]], bt: Array[Array[Double]]): Double = {
+            var s = yy
+            var i = 0
+            while (i < beta.length) { s -= beta(i)(0) * bt(i)(0); i += 1 }
+            s
+          }
+          val rssU = rss(bu, b)
+          val rssR = rss(br, Array.tabulate(mR, 1)((i, _) => b(i)(0)))
+          val df2 = nObs - mU
+          val f = ((rssR - rssU) / p) / (rssU / df2)
+          GrangerLagP(k, nObs.toLong, p.toLong, df2.toLong, f)
+        }
+        res.filter(r => !r.f_stat.isNaN && !r.f_stat.isInfinite).toSeq
+      }
+    }.toDF()
+  }
+
   /** (key, ts, values) gathering shared by fit and forecast. */
   private def gathered(df: DataFrame, p: Int, valueCols: Seq[String],
       key: String, ts: String) = {

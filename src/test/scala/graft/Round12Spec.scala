@@ -140,6 +140,24 @@ class Round12Spec extends AnyFunSuite with Matchers with SparkTestSession {
     rows(1L).filter(_ != 0.0).sorted shouldBe Seq(1.0 / 3, 2.0 / 3, 2.0 / 3)
   }
 
+  test("grangerLagP at p=1 equals the closed-form grangerF") {
+    import spark.implicits._
+    import graft.models.VectorAR
+    val rows = for (k <- Seq("a", "b"); t <- 0 until 80) yield {
+      val x = math.sin(0.3 * t) + 0.1 * t % 3
+      val y = 0.5 * math.sin(0.3 * (t - 1)) + math.cos(0.9 * t) * 0.4
+      (k, t.toLong, y, x)
+    }
+    val df = rows.toDF("key", "ts_nanos", "y", "x")
+    val gen = VectorAR.grangerLagP(df, 1).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("f_stat")).toMap
+    val closed = graft.ts.TimeSeriesOps.grangerF(df).collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("granger_f")).toMap
+    gen.keySet shouldBe closed.keySet
+    for (k <- gen.keySet)
+      math.abs(gen(k) - closed(k)) / math.max(math.abs(closed(k)), 1e-12) should be < 1e-6
+  }
+
   test("Tables.events normalizes ts to micros for both long-nanos and timestamp schemas") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evt").toString
