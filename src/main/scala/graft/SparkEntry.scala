@@ -695,6 +695,13 @@ object SparkEntry {
       // (TakeOrderedAndProject - per-partition top-k, no global sort)
       graft.text.TextFunctions.bottomKSample(Tables.documents(s, dir), k = 50)
         .select(col("doc_id"), col("source"), col("sample_key"))),
+    "smp06_stratum_cap" -> ((s, dir) =>
+      // domain-cap curation: at most 20 docs per source, smallest content
+      // hashes win — bounded two-phase top-K per stratum, never a
+      // stratum-wide sort (the tx23 plan shape applied to sampling)
+      graft.text.TextFunctions.stratumCapSample(Tables.documents(s, dir),
+        cap = 20)
+        .select(col("source"), col("doc_id"), col("sample_key"))),
     "em06_pca_certified" -> ((s, dir) =>
       // PCA via the distributed Gramian (O(d^2) driver cost, constant in
       // corpus size) certified by its linear-algebra identities
@@ -2842,6 +2849,13 @@ object SparkEntry {
       """SELECT doc_id, source, md5(text) AS sample_key
          FROM documents WHERE text IS NOT NULL
          ORDER BY md5(text), doc_id LIMIT 50""",
+    "smp06_stratum_cap" ->
+      """SELECT source, doc_id, sample_key FROM (
+           SELECT source, doc_id, md5(text) AS sample_key,
+             row_number() OVER (PARTITION BY source
+               ORDER BY md5(text), doc_id) AS rk
+           FROM documents WHERE text IS NOT NULL)
+         WHERE rk <= 20""",
     "em06_pca_certified" -> graft.sim.Embeddings.pcaOracle,
     "rc07_semdedup_recall" -> graft.sim.Recall.oracleFor("semdedup"),
     "tx23_log_odds" ->

@@ -917,6 +917,37 @@ object TextFunctions {
       .orderBy(col("sample_key"), col(idCol))
       .limit(k)
 
+  /**
+   * Per-stratum capped bottom-k sample — the "domain cap" curation step
+   * (C4/RefinedWeb-style: no single source may contribute more than `cap`
+   * documents): within every stratum keep the `cap` rows with the smallest
+   * content hashes, the same mergeable, append-stable, engine-reproducible
+   * selection as [[bottomKSample]] applied per group.
+   *
+   * Scale shape: a rank window partitioned by stratum alone would sort an
+   * entire source's documents in one task (the tx23 lesson); this is the
+   * bounded two-phase top-K instead — phase 1 keeps the `cap` smallest per
+   * (stratum, physical partition), phase 2 merges strata × partitions ×
+   * cap candidate rows, bounded by the partition count, never by stratum
+   * size. Ties beyond identical text are broken by id, so the selected
+   * set is partitioning-independent (spec-asserted). Returns (strata, id,
+   * sample_key); semi-join on id to recover full rows.
+   */
+  def stratumCapSample(df: DataFrame, cap: Int, strata: String = "source",
+      idCol: String = "doc_id", text: String = "text"): DataFrame = {
+    require(cap >= 1, "cap >= 1")
+    val cand = struct(md5(col(text).cast("binary")).as("sample_key"),
+      col(idCol).as("id"))
+    df.filter(col(text).isNotNull)
+      .groupBy(col(strata), spark_partition_id().as("__pid"))
+      .agg(slice(sort_array(collect_list(cand)), 1, cap).as("__cand"))
+      .groupBy(col(strata))
+      .agg(slice(sort_array(flatten(collect_list(col("__cand")))), 1, cap)
+        .as("__top"))
+      .select(col(strata), explode(col("__top")).as("__t"))
+      .select(col(strata), col("__t.id").as(idCol), col("__t.sample_key"))
+  }
+
   /** Canonical fingerprint: md5 of lowercased, punctuation-stripped,
     * whitespace-collapsed text — near-dup resilient to formatting noise. */
   def canonicalFingerprint(text: Column): Column =

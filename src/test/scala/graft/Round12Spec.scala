@@ -140,6 +140,33 @@ class Round12Spec extends AnyFunSuite with Matchers with SparkTestSession {
     rows(1L).filter(_ != 0.0).sorted shouldBe Seq(1.0 / 3, 2.0 / 3, 2.0 / 3)
   }
 
+  test("stratumCapSample is partitioning-independent, bounded, and windowless") {
+    import spark.implicits._
+    val docs = (0 until 300).map(i => (i.toLong, s"src${i % 3}", s"doc text $i"))
+      .toDF("doc_id", "source", "text")
+    def sel(df: org.apache.spark.sql.DataFrame) =
+      TextFunctions.stratumCapSample(df, cap = 7).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    val one = sel(docs.coalesce(1))
+    val many = sel(docs.repartition(17))
+    many shouldBe one
+    one.groupBy(_._1).foreach { case (_, rows) => rows.size shouldBe 7 }
+    // no rank window anywhere in the plan
+    val plan = TextFunctions.stratumCapSample(docs, cap = 7)
+      .queryExecution.executedPlan.toString
+    plan should not include "Window"
+    // matches the rank-window definition computed naively
+    val naive = docs.withColumn("sample_key",
+        org.apache.spark.sql.functions.md5($"text".cast("binary")))
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"source")
+          .orderBy($"sample_key", $"doc_id")))
+      .filter($"rk" <= 7)
+      .select($"source", $"doc_id", $"sample_key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    one shouldBe naive
+  }
+
   test("grangerLagP at p=1 equals the closed-form grangerF") {
     import spark.implicits._
     import graft.models.VectorAR
