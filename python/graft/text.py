@@ -176,6 +176,16 @@ def bottom_k_sample(df, k, id_col="doc_id", text="text"):
         df._jdf, int(k), id_col, text))
 
 
+def stratum_cap_sample(df, cap, strata="source", id_col="doc_id", text="text"):
+    """Per-stratum capped bottom-k sample (the 'domain cap' curation step):
+    within each stratum keep the cap rows with the smallest content hashes.
+    Bounded two-phase top-K — no stratum-wide sort. Returns (strata, id,
+    sample_key); semi-join on id to recover full rows."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.stratumCapSample(
+        df._jdf, int(cap), strata, id_col, text))
+
+
 def gopher_filter(df, id_col="doc_id", text_col="text", min_words=10,
                   max_words=100000, min_mean_len=3.0, max_mean_len=12.0,
                   min_alpha_ratio=0.8, max_dup_ratio=0.4, min_stopwords=2):

@@ -466,7 +466,9 @@ def varp_fit(df, p, value_cols, key="key", ts="ts_nanos"):
     term, lag) — term 'c' (lag 0) is the intercept. Singular/collinear
     series yield no rows, never a fabricated solve."""
     spark, jvm = ctx(df)
-    jl = spark._sc._jvm.java.util.Arrays.asList(*[str(c) for c in value_cols])
+    jl = jvm.java.util.ArrayList()
+    for c in value_cols:
+        jl.add(str(c))
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.varpFit(
         df._jdf, int(p), jl, key, ts))
 
@@ -484,6 +486,8 @@ def varp_forecast(df, p, h, value_cols, key="key", ts="ts_nanos"):
     """h-step iterated VAR(p) point forecast per key (forecasts fed back
     in); future ts extrapolates the median observed step."""
     spark, jvm = ctx(df)
-    jl = spark._sc._jvm.java.util.Arrays.asList(*[str(c) for c in value_cols])
+    jl = jvm.java.util.ArrayList()
+    for c in value_cols:
+        jl.add(str(c))
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.varpForecast(
         df._jdf, int(p), int(h), jl, key, ts))

@@ -312,6 +312,10 @@ object JavaPipelineOps {
       strata: String): DataFrame =
     graft.text.TextFunctions.distributionDrift(df, refFilter, curFilter, strata)
 
+  def stratumCapSample(df: DataFrame, cap: Int, strata: String,
+      idCol: String, textCol: String): DataFrame =
+    graft.text.TextFunctions.stratumCapSample(df, cap, strata, idCol, textCol)
+
   def bottomKSample(df: DataFrame, k: Int, idCol: String,
       textCol: String): DataFrame =
     graft.text.TextFunctions.bottomKSample(df, k, idCol, textCol)

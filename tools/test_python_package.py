@@ -149,6 +149,28 @@ def main() -> int:
         events, threshold=3.0, key="user_id", value="value")
     assert outl.count() >= 0
 
+    # ---- round-12: VAR(p) / lag-p Granger / stratum cap ----
+    daily3 = (
+        events.groupBy(
+            "user_id",
+            F.unix_micros(F.date_trunc("DAY", F.timestamp_micros(
+                F.col("ts_us")))).alias("day_us"))
+        .agg(F.avg("value").alias("v"),
+             F.count(F.lit(1)).cast("double").alias("cnt")))
+    vfit = graft.timeseries.varp_fit(
+        daily3, 1, ["v", "cnt"], key="user_id", ts="day_us")
+    assert vfit.count() > 0
+    assert set(vfit.columns) == {"key", "eq", "term", "lag", "coef"}
+    vfc = graft.timeseries.varp_forecast(
+        daily3, 1, 2, ["v", "cnt"], key="user_id", ts="day_us")
+    assert vfc.count() > 0
+    gr = graft.timeseries.granger_lag_p(
+        daily3, 1, key="user_id", ts="day_us", y="v", x="cnt")
+    assert gr.count() > 0 and "f_stat" in gr.columns
+    capd = graft.text.stratum_cap_sample(docs, 5)
+    per = capd.groupBy("source").count().agg(F.max("count")).head()[0]
+    assert per <= 5, per
+
     # ---- map_series / map_series_with_key (python-side whole-series fns) ----
     sdf = spark.createDataFrame(
         [("a", [1.0, 2.0, 3.0]), ("b", [4.0, 5.0, 6.0])], ["key", "series"])
