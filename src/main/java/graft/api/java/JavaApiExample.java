@@ -119,4 +119,23 @@ public final class JavaApiExample {
         mix.count(), code.count(), hashed.count(), diff.count(), acc.count(),
         period.count(), var.count()};
   }
+
+  /** Runs the round-12 slice: n-variate VAR(p) fit/forecast, lag-p Granger,
+    * per-stratum capped sampling, multi-probe keeper election. `biv` carries
+    * (key, ts_nanos, y, x). */
+  public static long[] runRound12(Dataset<Row> docs, Dataset<Row> vecs,
+      Dataset<Row> biv) {
+    java.util.List<String> cols = java.util.Arrays.asList("y", "x");
+    Dataset<Row> fit = JavaPipelineOps.varpFit(biv, 1, cols, "key", "ts_nanos");
+    Dataset<Row> fc =
+        JavaPipelineOps.varpForecast(biv, 1, 3, cols, "key", "ts_nanos");
+    Dataset<Row> granger =
+        JavaPipelineOps.grangerLagP(biv, 2, "key", "ts_nanos", "y", "x");
+    Dataset<Row> capped =
+        JavaPipelineOps.stratumCapSample(docs, 3, "source", "doc_id", "text");
+    Dataset<Row> keepers =
+        JavaPipelineOps.semanticKeepers(vecs, 2, 0.9, "vec_id", "embedding", 2);
+    return new long[] {fit.count(), fc.count(), granger.count(),
+        capped.count(), keepers.count()};
+  }
 }

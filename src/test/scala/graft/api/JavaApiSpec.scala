@@ -65,6 +65,26 @@ class JavaApiSpec extends AnyFunSuite with Matchers with SparkTestSession {
     counts(9) shouldBe 1L // VAR(1): one row per key
   }
 
+  test("Java round-12 facade drives VAR(p)/Granger/stratum-cap/multi-probe keepers") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 20).map(i =>
+      (i.toLong, s"some document text $i", if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "text", "source")
+    val vecs = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val biv = (for (k <- Seq("a", "b"); t <- 0 until 40) yield
+      (k, t.toLong, math.sin(0.4 * t) + 0.1 * (t % 5),
+        math.cos(0.9 * t) * 0.7 + 0.05 * (t % 3)))
+      .toDF("key", "ts_nanos", "y", "x")
+    val counts = graft.api.java.JavaApiExample.runRound12(docs, vecs, biv)
+    counts(0) shouldBe 12L // VAR(1) bivariate: 2 keys x 2 eqs x 3 terms
+    counts(1) shouldBe 12L // forecast: 2 keys x 3 steps x 2 series
+    counts(2) shouldBe 2L  // one Granger F row per key
+    counts(3) shouldBe 6L  // 2 sources x cap 3
+    counts(4) shouldBe 2L  // multi-probe keeper election drops id 1
+  }
+
   test("Java round-4 facade drives clustering/repetition/sampling/embeddings") {
     val s = spark
     import s.implicits._
