@@ -75,6 +75,14 @@ def centroid_similarity(df, group_col="label", vec_col="embedding"):
         df._jdf, group_col, vec_col))
 
 
+def silhouette(df, group_col="label", vec_col="embedding", id_col="vec_id"):
+    """Centroid-based simplified silhouette per group: O(n*k) point x
+    centroid distances, never point x point."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.sim.Embeddings.silhouette(
+        df._jdf, group_col, vec_col, id_col))
+
+
 def dim_stats(df, vec_col="embedding"):
     """Per-dimension mean/var/min/max — embedding collapse detector."""
     spark, jvm = ctx(df)

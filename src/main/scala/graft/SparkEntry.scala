@@ -1009,6 +1009,10 @@ object SparkEntry {
     "em03_inertia" -> ((s, dir) =>
       // per-label mean squared distance to the label centroid
       graft.sim.Embeddings.inertia(Tables.embeddings(s, dir))),
+    "em07_silhouette" -> ((s, dir) =>
+      // centroid-based simplified silhouette per label: O(n*k) point x
+      // centroid distances, never point x point
+      graft.sim.Embeddings.silhouette(Tables.embeddings(s, dir))),
     "m22_holt_smoothed" -> ((s, dir) =>
       // fixed-parameter Holt linear smoothing: recurrence arithmetic mirrors
       // the recursive-CTE oracle term-for-term, compared unrounded
@@ -2145,6 +2149,18 @@ object SparkEntry {
          SELECT label, count(DISTINCT vec_id) AS n_vectors,
            round(sum((v - cv) * (v - cv)) / count(DISTINCT vec_id), 6) AS inertia
          FROM p JOIN c USING (label, pos) GROUP BY label""",
+    "em07_silhouette" ->
+      """WITH p AS (SELECT label, vec_id, i AS pos, embedding[i+1]::DOUBLE AS v
+             FROM embeddings, unnest(range(len(embedding))) AS t(i)),
+         c AS (SELECT label AS g, pos, avg(v) AS cv FROM p GROUP BY 1, 2),
+         d AS (SELECT p.label, p.vec_id, c.g, sum((p.v - c.cv) * (p.v - c.cv)) AS d2
+               FROM p JOIN c USING (pos) GROUP BY 1, 2, 3),
+         own AS (SELECT label, vec_id, sqrt(d2) AS a FROM d WHERE label = g),
+         oth AS (SELECT label, vec_id, sqrt(min(d2)) AS b FROM d
+                 WHERE label <> g GROUP BY 1, 2)
+         SELECT label, count(*) AS n_vectors,
+           round(avg((b - a) / greatest(a, b)), 6) AS silhouette
+         FROM own JOIN oth USING (label, vec_id) GROUP BY label""",
     // the level/trend recursion repeats the level expression inside the
     // trend term exactly as the Scala kernel orders it — bit-exact unrounded
     "m22_holt_smoothed" ->

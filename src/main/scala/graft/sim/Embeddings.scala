@@ -50,6 +50,39 @@ object Embeddings {
   }
 
   /**
+   * Simplified silhouette per group (Hruschka et al.'s centroid-based
+   * form): for each vector, a = Euclidean distance to its OWN group
+   * centroid, b = min distance to any OTHER group's centroid,
+   * s = (b − a)/max(a, b); averaged per group. Replaces the O(n²)
+   * pairwise silhouette with O(n·k) — the only join is point × centroid
+   * with the k×dim centroid table on the build side (AQE broadcasts it),
+   * never point × point. Groups with no other group emit no row (b is
+   * undefined), matching the SQL semantics of the inner join.
+   */
+  def silhouette(df: DataFrame, groupCol: String = "label",
+      vecCol: String = "embedding", idCol: String = "vec_id"): DataFrame = {
+    val p = df.select(col(groupCol), col(idCol),
+        posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .withColumn("v", col("v").cast("double"))
+    val cent = p.groupBy(col(groupCol).as("g"), col("pos"))
+      .agg(avg(col("v")).as("c"))
+    val d2 = p.join(cent, Seq("pos"))
+      .withColumn("__d", (col("v") - col("c")) * (col("v") - col("c")))
+      .groupBy(col(groupCol), col(idCol), col("g"))
+      .agg(sum(col("__d")).as("d2"))
+    val own = d2.filter(col(groupCol) === col("g"))
+      .select(col(groupCol), col(idCol), sqrt(col("d2")).as("__a"))
+    val other = d2.filter(col(groupCol) =!= col("g"))
+      .groupBy(col(groupCol), col(idCol)).agg(sqrt(min(col("d2"))).as("__b"))
+    own.join(other, Seq(groupCol, idCol))
+      .withColumn("__s",
+        try_divide(col("__b") - col("__a"), greatest(col("__a"), col("__b"))))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("__s")), 6).as("silhouette"))
+  }
+
+  /**
    * Pairwise cosine similarity between group centroids — the cluster
    * separation matrix (which labels are about to merge, which IVF cells
    * overlap). Unrounded centroids are aggregated per (group, pos), then the

@@ -167,6 +167,30 @@ class Round12Spec extends AnyFunSuite with Matchers with SparkTestSession {
     one shouldBe naive
   }
 
+  test("silhouette is ~1 for tight separated clusters and negative for a misassigned point") {
+    import spark.implicits._
+    import graft.sim.Embeddings
+    val tight = Seq(
+      (0L, 0, Array(0.0, 0.0)), (1L, 0, Array(0.1, 0.0)), (2L, 0, Array(0.0, 0.1)),
+      (10L, 1, Array(10.0, 10.0)), (11L, 1, Array(10.1, 10.0)), (12L, 1, Array(10.0, 10.1))
+    ).toDF("vec_id", "label", "embedding")
+    val s1 = Embeddings.silhouette(tight).collect()
+      .map(r => r.getInt(0) -> r.getAs[Double]("silhouette")).toMap
+    all(s1.values) should be > 0.95
+    // move one label-0 point into cluster 1's territory: its s goes deeply
+    // negative and drags the label-0 average below the tight value
+    val bad = Seq(
+      (0L, 0, Array(0.0, 0.0)), (1L, 0, Array(0.1, 0.0)), (2L, 0, Array(10.0, 10.0)),
+      (10L, 1, Array(10.0, 10.0)), (11L, 1, Array(10.1, 10.0)), (12L, 1, Array(10.0, 10.1))
+    ).toDF("vec_id", "label", "embedding")
+    val s2 = Embeddings.silhouette(bad).collect()
+      .map(r => r.getInt(0) -> r.getAs[Double]("silhouette")).toMap
+    s2(0) should be < s1(0)
+    // single group -> no "other" centroid -> no rows, not a crash
+    val one = Seq((0L, 0, Array(1.0, 2.0))).toDF("vec_id", "label", "embedding")
+    Embeddings.silhouette(one).count() shouldBe 0L
+  }
+
   test("grangerLagP at p=1 equals the closed-form grangerF") {
     import spark.implicits._
     import graft.models.VectorAR
