@@ -713,6 +713,17 @@ object SparkEntry {
       // reasoning as dd06; rc07 certifies recall + precision in-query
       graft.sim.SemDedup.semanticDuplicates(Tables.embeddings(s, dir),
         k = 8, threshold = 0.2)),
+    "dd13_semantic_decontaminate" -> ((s, dir) =>
+      // semantic decontamination: corpus survivors after dropping rows
+      // whose exact cosine to any holdout (vec_id < 50) vector >= 0.2;
+      // banded hyperplane LSH corpus x holdout candidates, exact verify.
+      // rc08 certifies precision (theorem), recall, and the partition
+      graft.text.Dedup.semanticDecontaminate(
+        Tables.embeddings(s, dir).filter(col("vec_id") >= 50),
+        Tables.embeddings(s, dir).filter(col("vec_id") < 50),
+        threshold = 0.2)
+        .select(col("vec_id"), col("label"))),
+    "rc08_semdecon_recall" -> ((s, dir) => graft.sim.Recall.semdecon(s, dir)),
     "rc07_semdedup_recall" -> ((s, dir) =>
       // sd01 certification: co-cluster recall vs exact all-pairs on the
       // bounded vec_id<300 subset + verify-step precision theorem
@@ -2874,6 +2885,7 @@ object SparkEntry {
          WHERE rk <= 20""",
     "em06_pca_certified" -> graft.sim.Embeddings.pcaOracle,
     "rc07_semdedup_recall" -> graft.sim.Recall.oracleFor("semdedup"),
+    "rc08_semdecon_recall" -> graft.sim.Recall.oracleFor("semdecon"),
     "tx23_log_odds" ->
       """WITH tok AS (
            SELECT source, unnest(string_split(text, ' ')) AS token

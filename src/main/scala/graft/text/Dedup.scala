@@ -363,4 +363,46 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
   }
+
+  /**
+   * Semantic decontamination: drop every corpus row whose embedding's
+   * exact cosine to ANY holdout vector reaches `threshold` — the
+   * meaning-level sibling of the lexical [[decontaminate]] (paraphrased
+   * benchmark leakage shares few shingles but sits close in embedding
+   * space). Candidates come from the same banded random-hyperplane LSH as
+   * [[embeddingNearDuplicates]] but as a corpus × holdout TWO-TABLE band
+   * equi-join (never corpus × corpus, never corpus × holdout cross);
+   * verification is exact cosine on candidates only, so a dropped row is
+   * PROVABLY contaminated (precision is a theorem — rc08 certifies it
+   * plus the LSH recall bound). Returns the surviving corpus rows.
+   *
+   * 100 TB shape: the holdout (an eval set) is orders of magnitude
+   * smaller than the corpus; its banded signature table is broadcast by
+   * AQE, so the corpus is touched in ONE scan + one bucket-keyed probe.
+   */
+  def semanticDecontaminate(corpus: DataFrame, holdout: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      threshold: Double = 0.9, bands: Int = 8, planesPerBand: Int = 8,
+      seed: Int = 7): DataFrame = {
+    def sigTable(df: DataFrame) = spread(df)
+      .select(col(idCol).as("id"),
+        graft.sim.Similarity.normalized(col(vecCol)).as("v"))
+      .withColumn("__sigs", graft.sim.Similarity.hyperplaneBandSignatures(
+        col("v"), bands, planesPerBand, seed))
+      .localCheckpoint()
+    val cs = sigTable(corpus)
+    val hs = sigTable(holdout)
+    val cb = cs.select(col("id"), posexplode(col("__sigs")).as(Seq("band", "bucket")))
+    val hb = hs.select(col("id").as("hid"),
+      posexplode(col("__sigs")).as(Seq("band", "bucket")))
+    val cands = cb.join(hb, Seq("band", "bucket"))
+      .select(col("id"), col("hid")).distinct()
+    val contaminated = cands
+      .join(cs.select(col("id"), col("v")), "id")
+      .join(hs.select(col("id").as("hid"), col("v").as("hv")), "hid")
+      .withColumn("__c", graft.sim.Similarity.dot(col("v"), col("hv")))
+      .filter(col("__c") >= threshold)
+      .select(col("id").as("__cid")).distinct()
+    corpus.join(contaminated, col(idCol) === col("__cid"), "left_anti")
+  }
 }
