@@ -35,6 +35,16 @@ def embedding_near_duplicates(df, id_col="vec_id", vec_col="embedding",
         int(planes_per_band), int(seed)))
 
 
+def semantic_decontaminate(corpus, holdout, id_col="vec_id",
+                           vec_col="embedding", threshold=0.9):
+    """Drop corpus rows whose exact cosine to any holdout vector reaches
+    the threshold (semantic sibling of decontaminate: catches paraphrased
+    benchmark leakage). LSH candidates, exact verify; returns survivors."""
+    spark, jvm = ctx(corpus)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.semanticDecontaminate(
+        corpus._jdf, holdout._jdf, id_col, vec_col, float(threshold)))
+
+
 def redact(df, text="text", denylist=("key", "hash", "token")):
     """PII-style scrubbing: digit runs -> <NUM>, denylist tokens -> <PII>."""
     from ._java import to_seq

@@ -224,6 +224,11 @@ object JavaPipelineOps {
     graft.text.Dedup.embeddingNearDuplicates(df, idCol, vecCol, threshold,
       bands, planesPerBand)
 
+  def semanticDecontaminate(corpus: DataFrame, holdout: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame =
+    graft.text.Dedup.semanticDecontaminate(corpus, holdout, idCol, vecCol,
+      threshold)
+
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String, vecCol: String): DataFrame =
     graft.sim.Similarity.bruteForceTopK(corpus, queries, k, idCol, vecCol)
