@@ -111,6 +111,23 @@ def embedding_near_dup(stream, corpus_bk, id_col="vec_id",
                     int(planes_per_band), int(seed)))
 
 
+def semantic_decontaminate(stream, holdout_bk, id_col="vec_id",
+                           vec_col="embedding", ts_col="event_time",
+                           watermark="10 minutes", threshold=0.9, bands=8,
+                           planes_per_band=8, seed=7):
+    """Flag incoming vectors whose exact cosine to any holdout vector
+    reaches the threshold (streaming face of text.semantic_decontaminate;
+    holdout_bk = corpus_embedding_buckets(holdout)). One row per
+    contaminated stream id within the watermark."""
+    spark, jvm = ctx(stream)
+    return lift(
+        spark,
+        jvm.graft.streaming.StreamingDedup.streamingSemanticDecontaminate(
+            stream._jdf, holdout_bk._jdf, id_col, vec_col, ts_col,
+            watermark, float(threshold), int(bands),
+            int(planes_per_band), int(seed)))
+
+
 def holdout_shingles(holdout, text_col="text", k=3):
     """Static distinct k-shingle set of the evaluation holdout."""
     spark, jvm = ctx(holdout)

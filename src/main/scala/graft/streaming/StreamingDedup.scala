@@ -79,6 +79,39 @@ object StreamingDedup {
   }
 
   /**
+   * Streaming semantic decontamination: flag every incoming vector whose
+   * exact cosine to ANY holdout vector reaches `threshold` — the streaming
+   * face of [[graft.text.Dedup.semanticDecontaminate]], built on
+   * [[streamingEmbeddingNearDup]] with the holdout as the static side
+   * (`corpusEmbeddingBuckets(holdout)`). Emits one row per contaminated
+   * stream id (first witness wins within the watermark); a pipeline
+   * anti-joins the stream against this to pass only clean rows. Zero
+   * per-batch state beyond the dedup-within-watermark on stream_id.
+   */
+  def streamingSemanticDecontaminate(stream: DataFrame, holdoutBk: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      tsCol: String = "event_time", watermark: String = "10 minutes",
+      threshold: Double = 0.9, bands: Int = 8, planesPerBand: Int = 8,
+      seed: Int = 7): DataFrame = {
+    // inlined rather than layered on streamingEmbeddingNearDup: the id-only
+    // collapse needs its own dropDuplicatesWithinWatermark key, and a second
+    // withWatermark on the same column is disallowed mid-plan
+    val v = graft.sim.Similarity.normalized(col(vecCol))
+    stream.select(col(idCol).as("contaminated_id"), v.as("stream_vec"), col(tsCol))
+      .withColumn("__sigs", graft.sim.Similarity.hyperplaneBandSignatures(
+        col("stream_vec"), bands, planesPerBand, seed))
+      .select(col("contaminated_id"), col("stream_vec"), col(tsCol),
+        posexplode(col("__sigs")).as(Seq("band", "bucket")))
+      .join(holdoutBk, Seq("band", "bucket"))
+      .withColumn("__c",
+        graft.sim.Similarity.dot(col("stream_vec"), col("corpus_vec")))
+      .filter(col("__c") >= threshold)
+      .select(col("contaminated_id"), col(tsCol))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("contaminated_id")
+  }
+
+  /**
    * Pre-compute the reference corpus's minhash band buckets — the static
    * side of [[streamingNearDupAgainstCorpus]]. At scale this is written
    * once (ideally bucketed by (band, bucket)) and reused by every stream.

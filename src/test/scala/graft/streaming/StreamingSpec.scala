@@ -243,6 +243,45 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally query.stop()
   }
 
+  test("streaming semantic decontamination flags what the batch operator drops") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val holdout = Seq(
+      (900L, Seq(1.0, 0.0, 0.0, 0.0)),
+      (901L, Seq(0.0, 1.0, 0.0, 0.0))).toDF("vec_id", "embedding")
+    // stream: 1 is a near-copy of holdout 900, 2 is orthogonal, 3 is a
+    // near-copy of 901 — batch decontamination drops 1 and 3
+    val streamRows = Seq(
+      (1L, t(1), Seq(0.99, 0.05, 0.0, 0.0)),
+      (2L, t(1), Seq(0.0, 0.0, 1.0, 0.0)),
+      (3L, t(2), Seq(0.02, 1.0, 0.0, 0.0)))
+    val batchDf = streamRows.map(r => (r._1, r._3)).toDF("vec_id", "embedding")
+    val survivors = graft.text.Dedup.semanticDecontaminate(
+        batchDf, holdout, threshold = 0.9)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    survivors shouldBe Set(2L)
+    val buckets = StreamingDedup.corpusEmbeddingBuckets(holdout)
+    val input = MemoryStream[(Long, Timestamp, Seq[Double])]
+    val out = StreamingDedup.streamingSemanticDecontaminate(
+      input.toDF().toDF("vec_id", "event_time", "embedding"), buckets,
+      threshold = 0.9)
+    val query = out.writeStream.format("memory").queryName("semdecon_out")
+      .outputMode("append").start()
+    try {
+      input.addData(streamRows: _*)
+      query.processAllAvailable()
+      // resend inside the watermark must not re-flag
+      input.addData((1L, t(3), Seq(0.99, 0.05, 0.0, 0.0)))
+      query.processAllAvailable()
+      val flagged = s.sql("SELECT contaminated_id FROM semdecon_out")
+        .collect().map(_.getLong(0))
+      flagged.toSet shouldBe Set(1L, 3L) // exactly the batch-dropped ids
+      flagged.length shouldBe 2         // dedup within watermark held
+    } finally query.stop()
+  }
+
   test("chunkDocs runs unchanged on a stream (narrow ops are streaming-native)") {
     val s = spark
     import s.implicits._
