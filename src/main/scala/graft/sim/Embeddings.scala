@@ -70,11 +70,15 @@ object Embeddings {
       .withColumn("__d", (col("v") - col("c")) * (col("v") - col("c")))
       .groupBy(col(groupCol), col(idCol), col("g"))
       .agg(sum(col("__d")).as("d2"))
-    val own = d2.filter(col(groupCol) === col("g"))
-      .select(col(groupCol), col(idCol), sqrt(col("d2")).as("__a"))
-    val other = d2.filter(col(groupCol) =!= col("g"))
-      .groupBy(col(groupCol), col(idCol)).agg(sqrt(min(col("d2"))).as("__b"))
-    own.join(other, Seq(groupCol, idCol))
+    // a and b from ONE pass over d2 via conditional mins (the own-centroid
+    // distance is the single g == group row) — splitting d2 into own/other
+    // frames and joining them back would recompute the point × centroid
+    // subtree once per consumer (measured: 7 corpus scans -> 2)
+    d2.groupBy(col(groupCol), col(idCol))
+      .agg(
+        sqrt(min(when(col(groupCol) === col("g"), col("d2")))).as("__a"),
+        sqrt(min(when(col(groupCol) =!= col("g"), col("d2")))).as("__b"))
+      .filter(col("__b").isNotNull)
       .withColumn("__s",
         try_divide(col("__b") - col("__a"), greatest(col("__a"), col("__b"))))
       .groupBy(col(groupCol))
