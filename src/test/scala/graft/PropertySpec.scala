@@ -114,4 +114,42 @@ object PropertySpec extends Properties("graft") {
       val idx = IrregularDateTimeIndex(instants)
       DateTimeIndex.parse(idx.tag) == idx
     }
+
+  // G = MᵀM + εI is SPD for any M; the pivoted solve must invert it exactly
+  private val solveSystem: Gen[(Array[Array[Double]], Array[Array[Double]])] =
+    for {
+      m <- Gen.choose(1, 6)
+      n <- Gen.choose(1, 3)
+      rows <- Gen.choose(m, m + 4)
+      mat <- Gen.listOfN(rows * m, Gen.choose(-10.0, 10.0)).map(_.toArray)
+      xs <- Gen.listOfN(m * n, Gen.choose(-5.0, 5.0)).map(_.toArray)
+    } yield {
+      val g = Array.ofDim[Double](m, m)
+      for (i <- 0 until m; j <- 0 until m) {
+        var s = if (i == j) 1e-3 else 0.0
+        for (r <- 0 until rows) s += mat(r * m + i) * mat(r * m + j)
+        g(i)(j) = s
+      }
+      val x = Array.tabulate(m, n)((i, j) => xs(i * n + j))
+      (g, x)
+    }
+
+  property("VectorAR solve inverts planted SPD systems") =
+    forAll(solveSystem) { case (g, xTrue) =>
+      val m = g.length; val n = xTrue(0).length
+      val b = Array.ofDim[Double](m, n)
+      for (i <- 0 until m; j <- 0 until n; k <- 0 until m)
+        b(i)(j) += g(i)(k) * xTrue(k)(j)
+      graft.models.VectorAR.solve(g.map(_.clone), b) match {
+        case Some(x) =>
+          (0 until m).forall(i => (0 until n).forall { j =>
+            // relative tolerance scaled by the system's magnitude: the
+            // epsilon ridge keeps G invertible but near-singular draws
+            // legitimately amplify error
+            math.abs(x(i)(j) - xTrue(i)(j)) <=
+              1e-4 * math.max(1.0, xTrue.flatten.map(math.abs).max)
+          })
+        case None => false
+      }
+    }
 }
