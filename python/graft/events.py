@@ -65,3 +65,12 @@ def top_paths(df, gap_us, n=3, k=20, key="user_id", ts="ts_us",
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.events.EventOps.topPaths(
         df._jdf, int(gap_us), int(n), int(k), key, ts, event_type, event_id))
+
+
+def decay_score(df, half_life_us, key="user_id", ts="ts_us", value="value"):
+    """Exponential-decay recency score per key: sum(value * 2^(-age/half_life)),
+    age from the global latest event (feature-store activity score)."""
+    from ._java import ctx, lift
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.decayScore(
+        df._jdf, int(half_life_us), key, ts, value))

@@ -1225,6 +1225,11 @@ object SparkEntry {
       // 20 most common first-3-event session paths (4h session gap)
       graft.events.EventOps.topPaths(Tables.events(s, dir),
         gapUs = 14400000000L, n = 3, k = 20)),
+    "ev10_decay_score" -> ((s, dir) =>
+      // recency-weighted activity score, 7-day half-life from the global
+      // latest event (one broadcast scalar + one keyed aggregation)
+      graft.events.EventOps.decayScore(Tables.events(s, dir),
+        halfLifeUs = 604800000000L)),
     "dd11_chunk_dedup" -> ((s, dir) =>
       // C4-style corpus chunk dedup: 20-token chunks, keep first occurrence
       graft.text.Dedup.dedupChunks(Tables.documents(s, dir), 20)
@@ -2570,6 +2575,14 @@ object SparkEntry {
            round(dd.avg_dau, 6) AS avg_dau,
            round(dd.avg_dau / w.wau, 6) AS stickiness
          FROM w JOIN dd USING (week)""",
+    "ev10_decay_score" ->
+      """WITH m AS (SELECT max(epoch_us(ts)) AS mx FROM events)
+         SELECT user_id, count(*) AS n_events,
+           round(sum(value), 6) AS raw_sum,
+           round(sum(value * pow(2.0,
+             -((mx - epoch_us(ts))::DOUBLE) / 604800000000.0)), 6)
+             AS decay_score
+         FROM events, m WHERE value IS NOT NULL GROUP BY user_id""",
     "ev09_top_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us
            FROM events),

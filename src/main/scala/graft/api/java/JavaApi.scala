@@ -492,6 +492,10 @@ object JavaPipelineOps {
       ts: String, eventType: String, eventId: String): DataFrame =
     graft.events.EventOps.topPaths(df, gapUs, n, k, key, ts, eventType, eventId)
 
+  def decayScore(df: DataFrame, halfLifeUs: Long, key: String, ts: String,
+      value: String): DataFrame =
+    graft.events.EventOps.decayScore(df, halfLifeUs, key, ts, value)
+
   def dedupChunks(df: DataFrame, chunkTokens: Int, textCol: String,
       idCol: String): DataFrame =
     graft.text.Dedup.dedupChunks(df, chunkTokens, textCol, idCol)

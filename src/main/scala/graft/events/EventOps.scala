@@ -218,4 +218,27 @@ object EventOps {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(k)
   }
+
+  /**
+   * Exponential-decay recency score per key — the feature-store "activity
+   * score": Σ value·2^(−age/halfLife), age measured back from the GLOBAL
+   * latest event so scores are comparable across keys. The corpus max is
+   * a one-row aggregate broadcast into the scan (no driver collect, no
+   * window); then one keyed aggregation. An event exactly `halfLife` old
+   * contributes half its value; the unweighted sum is emitted alongside
+   * so the decay's effect is auditable.
+   */
+  def decayScore(df: DataFrame, halfLifeUs: Long, key: String = "user_id",
+      ts: String = "ts_us", value: String = "value"): DataFrame = {
+    require(halfLifeUs > 0, "halfLifeUs > 0")
+    val mx = df.agg(max(col(ts)).as("__mx"))
+    df.filter(col(value).isNotNull)
+      .crossJoin(broadcast(mx))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col(value)), 6).as("raw_sum"),
+        round(sum(col(value) * pow(lit(2.0),
+          -(col("__mx") - col(ts)).cast("double") / halfLifeUs.toDouble)), 6)
+          .as("decay_score"))
+  }
 }

@@ -191,6 +191,28 @@ class Round12Spec extends AnyFunSuite with Matchers with SparkTestSession {
     Embeddings.silhouette(one).count() shouldBe 0L
   }
 
+  test("decayScore halves a value per half-life and anchors at the global max") {
+    import spark.implicits._
+    import graft.events.EventOps
+    // user a: events at t=0 (2 half-lives old) and t=200 (the global max);
+    // user b: one event 1 half-life old
+    val ev = Seq(
+      ("a", 0L, 4.0), ("a", 200L, 1.0), ("b", 100L, 2.0)
+    ).toDF("user_id", "ts_us", "value")
+    val rows = EventOps.decayScore(ev, halfLifeUs = 100L).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    rows("a") shouldBe ((2L, 5.0, 2.0))  // 4/4 + 1
+    rows("b") shouldBe ((1L, 2.0, 1.0))  // 2/2
+    // null values excluded from both sums
+    val withNull = ev.union(Seq(("b", 200L, null.asInstanceOf[java.lang.Double]))
+      .map(t => (t._1, t._2, t._3: java.lang.Double)).toDF("user_id", "ts_us", "value")
+      .select($"user_id", $"ts_us", $"value".cast("double")))
+    val r2 = EventOps.decayScore(withNull, halfLifeUs = 100L).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    r2("b") shouldBe 1L
+  }
+
   test("grangerLagP at p=1 equals the closed-form grangerF") {
     import spark.implicits._
     import graft.models.VectorAR
