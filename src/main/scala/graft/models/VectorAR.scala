@@ -191,10 +191,14 @@ object VectorAR {
             while (i < beta.length) { s -= beta(i)(0) * bt(i)(0); i += 1 }
             s
           }
-          val rssU = rss(bu, b)
-          val rssR = rss(br, Array.tabulate(mR, 1)((i, _) => b(i)(0)))
+          // y'y − β'X'y can cancel to a tiny negative on a near-perfect
+          // fit; clamp at 0 and treat rssU = 0 as "no honest F" (the same
+          // no-fabricated-solve contract as varFit's det <= 0 -> null)
+          val rssU = math.max(rss(bu, b), 0.0)
+          val rssR = math.max(rss(br, Array.tabulate(mR, 1)((i, _) => b(i)(0))), 0.0)
           val df2 = nObs - mU
-          val f = ((rssR - rssU) / p) / (rssU / df2)
+          val f =
+            if (rssU > 0.0) ((rssR - rssU) / p) / (rssU / df2) else Double.NaN
           GrangerLagP(k, nObs.toLong, p.toLong, df2.toLong, f)
         }
         res.filter(r => !r.f_stat.isNaN && !r.f_stat.isInfinite).toSeq

@@ -72,7 +72,7 @@ object SemDedup {
       else feats.sample(withReplacement = false,
         math.min(1.0, cap * 1.2 / n), seed).limit(cap)
     val centers = Similarity.localKMeans(
-      fitInput.collect().map(_.getSeq[Double](0).toArray), k, seed)
+      fitInput.collect().map(_.getSeq[Double](0).toArray), kEff, seed)
     val bc = df.sparkSession.sparkContext.broadcast(centers)
     val assignClusters = udf { (v: Seq[Double]) =>
       val cs = bc.value

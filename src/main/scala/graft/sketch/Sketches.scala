@@ -48,16 +48,20 @@ object Sketches {
     // rollup(l_returnflag) emits the per-flag rows plus the grand-total
     // row (null flag) from a single pass — the separate global aggregate
     // used to re-scan the corpus (r8→r9 creep, adjudicated r9)
+    // grouping() distinguishes the rollup grand-total row from a genuine
+    // NULL l_returnflag group (isNullAt would conflate the two)
     val rows = Tables.lineitem(s, dir)
       .rollup(col("l_returnflag")).agg(
+        grouping(col("l_returnflag")).as("is_total"),
         countDistinct(col("l_orderkey")).as("exact"),
         approx_count_distinct(col("l_orderkey"), 0.05).as("est"))
       .withColumn("ok",
         abs(col("est") - col("exact")) <= col("exact") * 0.15)
       .collect()
-    val globalOk = rows.filter(_.isNullAt(0)).forall(_.getAs[Boolean]("ok")) &&
-      rows.exists(_.isNullAt(0))
-    val groupedOk = rows.filter(!_.isNullAt(0)).forall(_.getAs[Boolean]("ok"))
+    val isTotal = (r: org.apache.spark.sql.Row) => r.getAs[Number]("is_total").intValue == 1
+    val globalOk = rows.filter(isTotal).forall(_.getAs[Boolean]("ok")) &&
+      rows.exists(isTotal)
+    val groupedOk = rows.filterNot(isTotal).forall(_.getAs[Boolean]("ok"))
     checks(s, Seq(
       ("qs01", "hll_global_within_3rsd", globalOk),
       ("qs01", "hll_grouped_within_3rsd", groupedOk)))

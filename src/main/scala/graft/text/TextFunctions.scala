@@ -730,6 +730,13 @@ object TextFunctions {
     // Struct sort order (−z asc, token asc) = (z desc, token asc), the same
     // total order as the old rank window; (stratum, token) is unique after
     // the count aggregation, so the top-K set is partitioning-independent.
+    // Known bound: phase 1 buffers each (stratum, partition) group's full
+    // candidate set in one collect_list aggregation buffer before the
+    // slice, and that buffer cannot spill — memory is bounded by the
+    // PARTITION's share of the vocabulary (maxPartitionBytes-sized), not
+    // by K. Acceptable vs a stratum-wide sort; shrink partitions (or
+    // pre-filter low-|z| tokens) if vocabulary-per-partition ever grows
+    // past executor memory.
     val cand = struct((-col("log_odds_z")).as("nz"), col("token"),
       col("y_wi"), col("log_odds_z").as("z"))
     scored
@@ -932,6 +939,13 @@ object TextFunctions {
    * size. Ties beyond identical text are broken by id, so the selected
    * set is partitioning-independent (spec-asserted). Returns (strata, id,
    * sample_key); semi-join on id to recover full rows.
+   *
+   * Known bound: phase 1's collect_list buffer holds one (stratum,
+   * partition) group's full candidate set before the slice and cannot
+   * spill — memory is bounded by the partition size
+   * (maxPartitionBytes-sized), not by cap. Same trade as
+   * [[logOddsKeywords]]; shrink input partitions if rows-per-partition
+   * ever outgrow executor memory.
    */
   def stratumCapSample(df: DataFrame, cap: Int, strata: String = "source",
       idCol: String = "doc_id", text: String = "text"): DataFrame = {

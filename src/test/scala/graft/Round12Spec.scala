@@ -235,7 +235,10 @@ class Round12Spec extends AnyFunSuite with Matchers with SparkTestSession {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evt").toString
     // timestamp[us] flavor (the current driver schema)
-    Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), 7L, "click", 1.0, "{}"))
+    // Timestamp.from(Instant): timezone-independent — valueOf would parse
+    // the wall-clock string in the JVM default zone and break off-UTC
+    Seq((1L, java.sql.Timestamp.from(java.time.Instant.parse("2024-01-01T00:00:01Z")),
+        7L, "click", 1.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     val us = Tables.events(spark, dir).select("ts_us").head().getLong(0)
