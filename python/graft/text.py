@@ -331,3 +331,24 @@ def snapshot_diff(old_df, new_df, id_col="doc_id", text="text",
     spark, jvm = ctx(old_df)
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.snapshotDiff(
         old_df._jdf, new_df._jdf, id_col, text, strata))
+
+
+def dsir_log_weights(raw, target, hex_chars=3, alpha=1.0, id_col="doc_id",
+                     text="text"):
+    """DSIR importance weights (Xie et al. 2023): per-doc hashed-ngram
+    log-likelihood ratio of the target slice vs the raw corpus. Bucket
+    tables broadcast; one pass per corpus. Columns (id, n_ngrams,
+    log_weight)."""
+    spark, jvm = ctx(raw)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.dsirLogWeights(
+        raw._jdf, target._jdf, int(hex_chars), float(alpha), id_col, text))
+
+
+def dsir_sample(raw, target, k, hex_chars=3, alpha=1.0, seed=42,
+                id_col="doc_id", text="text"):
+    """Gumbel-top-k resampling over the DSIR weights: a deterministic
+    without-replacement sample proportional to softmax(log_weight)."""
+    spark, jvm = ctx(raw)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.dsirSample(
+        raw._jdf, target._jdf, int(k), int(hex_chars), float(alpha),
+        int(seed), id_col, text))

@@ -491,3 +491,26 @@ def varp_forecast(df, p, h, value_cols, key="key", ts="ts_nanos"):
         jl.add(str(c))
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.varpForecast(
         df._jdf, int(p), int(h), jl, key, ts))
+
+
+def varp_order_select(df, pmax, value_cols, key="key", ts="ts_nanos"):
+    """AIC/BIC/HQIC for VAR orders p = 1..pmax per key, all scored on the
+    same effective sample from ONE streamed pass (the pmax Gram matrix
+    nests every smaller order). One row per (key, p)."""
+    spark, jvm = ctx(df)
+    jl = jvm.java.util.ArrayList()
+    for c in value_cols:
+        jl.add(str(c))
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.varpOrderSelect(
+        df._jdf, int(pmax), jl, key, ts))
+
+
+def varp_best_order(df, pmax, value_cols, key="key", ts="ts_nanos"):
+    """Argmin order per key for each criterion (ties to the smaller p):
+    columns (key, best_aic, best_bic, best_hqic)."""
+    spark, jvm = ctx(df)
+    jl = jvm.java.util.ArrayList()
+    for c in value_cols:
+        jl.add(str(c))
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.varpBestOrder(
+        df._jdf, int(pmax), jl, key, ts))

@@ -135,7 +135,11 @@ public final class JavaApiExample {
         JavaPipelineOps.stratumCapSample(docs, 3, "source", "doc_id", "text");
     Dataset<Row> keepers =
         JavaPipelineOps.semanticKeepers(vecs, 2, 0.9, "vec_id", "embedding", 2);
+    Dataset<Row> order =
+        JavaPipelineOps.varpOrderSelect(biv, 3, cols, "key", "ts_nanos");
+    Dataset<Row> bestOrder =
+        JavaPipelineOps.varpBestOrder(biv, 3, cols, "key", "ts_nanos");
     return new long[] {fit.count(), fc.count(), granger.count(),
-        capped.count(), keepers.count()};
+        capped.count(), keepers.count(), order.count(), bestOrder.count()};
   }
 }

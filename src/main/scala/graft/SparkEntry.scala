@@ -635,6 +635,7 @@ object SparkEntry {
     "mr13_var_recover" -> ((s, _) => graft.models.Recovery.varRecover(s)),
     "mr14_varp_recover" -> ((s, _) => graft.models.Recovery.varpRecover(s)),
     "mr15_granger_recover" -> ((s, _) => graft.models.Recovery.grangerRecover(s)),
+    "mr16_order_recover" -> ((s, _) => graft.models.Recovery.orderRecover(s)),
 
     // ---------------- round-8: in-query recall certification of the
     // approximate sm/dd surface (the mr* pattern for ANN/near-dup — exact
@@ -702,6 +703,28 @@ object SparkEntry {
       graft.text.TextFunctions.stratumCapSample(Tables.documents(s, dir),
         cap = 20)
         .select(col("source"), col("doc_id"), col("sample_key"))),
+    "smp07_dsir_weights" -> ((s, dir) => {
+      // DSIR importance weights (Xie et al. 2023): hashed-ngram likelihood
+      // ratio of the src0-src2 "target" slice vs the whole corpus. Bucket
+      // tables broadcast (<= 4096 rows); one corpus pass per side; per-doc
+      // scoring pre-aggregates (doc, bucket) before the broadcast join
+      val docs = Tables.documents(s, dir)
+      graft.text.Dsir.dsirLogWeights(docs,
+          docs.filter(col("source").isin("src0", "src1", "src2")))
+        .select(col("doc_id"), col("n_ngrams"),
+          round(col("log_weight"), 6).as("log_weight"))
+    }),
+    "smp08_dsir_sample" -> ((s, dir) => {
+      // Gumbel-top-k resampling over the DSIR weights: without-replacement
+      // sample proportional to softmax(log_weight), deterministic via
+      // md5-derived Gumbel noise (engine-reproducible, never RAND());
+      // orderBy+limit = TakeOrdered, no full sort at scale
+      val docs = Tables.documents(s, dir)
+      graft.text.Dsir.dsirSample(docs,
+          docs.filter(col("source").isin("src0", "src1", "src2")), k = 50)
+        .select(col("doc_id"), round(col("log_weight"), 6).as("log_weight"),
+          round(col("gumbel_key"), 6).as("gumbel_key"))
+    }),
     "em06_pca_certified" -> ((s, dir) =>
       // PCA via the distributed Gramian (O(d^2) driver cost, constant in
       // corpus size) certified by its linear-algebra identities
@@ -798,6 +821,19 @@ object SparkEntry {
         .select(col("key").cast("long").as("user_id"),
           col("step").cast("long").as("step"), col("ts").as("day_us"),
           col("eq"), round(col("value"), 6).as("value"))),
+    "m35_varp_order" -> ((s, dir) =>
+      // information-criterion order selection over the m32 trivariate
+      // system, p = 1..3 scored on one streamed pass (pmax Gram nests all
+      // smaller orders as leading sub-blocks); DuckDB cannot express the
+      // per-order solves -> rows-only here; mr16 certifies the planted
+      // order is selected on simulated VAR(2) systems
+      graft.models.VectorAR.varpOrderSelect(dailyTriple(s, dir), 3,
+        Seq("v", "cnt", "mkt"), key = "user_id", ts = "day_us")
+        .select(col("key").cast("long").as("user_id"),
+          col("p").cast("long").as("p"), col("n_obs"),
+          round(col("log_det_sigma"), 6).as("log_det_sigma"),
+          round(col("aic"), 6).as("aic"), round(col("bic"), 6).as("bic"),
+          round(col("hqic"), 6).as("hqic"))),
     "m34_granger_varp" -> ((s, dir) =>
       // lag-2 Granger F (market -> user series) via restricted/unrestricted
       // OLS in the VectorAR kernel; the p=1 slice of this operator is
@@ -1324,6 +1360,161 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
+    // sp01 — natural cubic spline as SQL: the tridiagonal (Thomas) solve is
+    // two sequential recurrences, emitted as recursive CTEs (fwd: mu/z
+    // sweep over interior knots; bwd: back-substitution for the second
+    // derivatives), then Horner evaluation per gap. Expression shapes
+    // mirror the engine kernel's arithmetic ORDER exactly (alpha form,
+    // (y1-y0)/h - h*(c1+2c)/3, ((d*dx + c)*dx + b)*dx + y) so doubles are
+    // bit-identical, not merely close — validated 4466/4466 exact at
+    // sf0.01. Keys with < 3 knots pass their observations through
+    // untouched, matching the kernel's early return.
+    "sp01_spline_series" ->
+      """WITH RECURSIVE
+         base AS (
+           SELECT CAST(user_id AS VARCHAR) AS key,
+                  date_trunc('day', ts) AS day, avg(value) AS v
+           FROM events GROUP BY 1, 2
+         ),
+         bounds AS (
+           SELECT date_trunc('day', min(ts)) AS mn, date_trunc('day', max(ts)) AS mx
+           FROM events
+         ),
+         days AS (
+           SELECT d.d AS day,
+                  CAST(row_number() OVER (ORDER BY d.d) - 1 AS DOUBLE) AS pos
+           FROM bounds b, unnest(generate_series(b.mn, b.mx, INTERVAL 1 DAY)) AS d(d)
+         ),
+         grid AS (
+           SELECT k.key, d.day, d.pos, b.v
+           FROM (SELECT DISTINCT key FROM base) k
+           CROSS JOIN days d
+           LEFT JOIN base b ON b.key = k.key AND b.day = d.day
+         ),
+         knots AS (
+           SELECT key, day, pos, v,
+                  row_number() OVER (PARTITION BY key ORDER BY pos) - 1 AS ki,
+                  count(*) OVER (PARTITION BY key) AS n
+           FROM grid WHERE v IS NOT NULL
+         ),
+         trip AS (
+           SELECT key, ki, n, pos, v,
+                  lag(pos)  OVER w AS pos_m1, lead(pos) OVER w AS pos_p1,
+                  lag(v)    OVER w AS v_m1,   lead(v)   OVER w AS v_p1
+           FROM knots WINDOW w AS (PARTITION BY key ORDER BY ki)
+         ),
+         fwd AS (
+           SELECT key, 0 AS ki, CAST(0 AS DOUBLE) AS mu, CAST(0 AS DOUBLE) AS z
+           FROM knots WHERE ki = 0 AND n >= 3
+           UNION ALL
+           SELECT t.key, t.ki,
+                  (t.pos_p1 - t.pos) /
+                    (2 * (t.pos_p1 - t.pos_m1) - (t.pos - t.pos_m1) * f.mu) AS mu,
+                  (3 * (t.v_p1 * (t.pos - t.pos_m1)
+                        - t.v * (t.pos_p1 - t.pos_m1)
+                        + t.v_m1 * (t.pos_p1 - t.pos))
+                     / ((t.pos - t.pos_m1) * (t.pos_p1 - t.pos))
+                   - (t.pos - t.pos_m1) * f.z)
+                    / (2 * (t.pos_p1 - t.pos_m1) - (t.pos - t.pos_m1) * f.mu) AS z
+           FROM fwd f JOIN trip t ON t.key = f.key AND t.ki = f.ki + 1
+           WHERE t.ki <= t.n - 2
+         ),
+         bwd AS (
+           SELECT key, n - 1 AS ki, CAST(0 AS DOUBLE) AS c
+           FROM (SELECT DISTINCT key, n FROM knots WHERE n >= 3)
+           UNION ALL
+           SELECT b.key, b.ki - 1, f.z - f.mu * b.c
+           FROM bwd b JOIN fwd f ON f.key = b.key AND f.ki = b.ki - 1
+           WHERE b.ki - 1 >= 0
+         ),
+         coef AS (
+           SELECT t.key, t.pos AS x0, t.pos_p1 AS x1, t.v AS y0,
+                  (t.v_p1 - t.v) / (t.pos_p1 - t.pos)
+                    - (t.pos_p1 - t.pos) * (c1.c + 2 * c0.c) / 3 AS b,
+                  c0.c AS c,
+                  (c1.c - c0.c) / (3 * (t.pos_p1 - t.pos)) AS d
+           FROM trip t
+           JOIN bwd c0 ON c0.key = t.key AND c0.ki = t.ki
+           JOIN bwd c1 ON c1.key = t.key AND c1.ki = t.ki + 1
+           WHERE t.ki <= t.n - 2
+         ),
+         interp AS (
+           SELECT g.key, g.day,
+                  ((c.d * (g.pos - c.x0) + c.c) * (g.pos - c.x0) + c.b)
+                    * (g.pos - c.x0) + c.y0 AS v
+           FROM grid g
+           JOIN coef c ON c.key = g.key AND g.pos > c.x0 AND g.pos < c.x1
+           WHERE g.v IS NULL
+         )
+         SELECT key, epoch_us(day) AS day_us, round(v, 6) AS value FROM knots
+         UNION ALL
+         SELECT key, epoch_us(day) AS day_us, round(v, 6) AS value FROM interp""",
+    // DSIR replayed whole in SQL: same md5-prefix buckets, same add-1
+    // smoothing, same ratio shape (broadcast in Spark, plain joins here);
+    // the Gumbel uniform's hex-to-int runs as exact integer arithmetic over
+    // the md5 chars (every partial sum < 2^52 -> exactly representable, so
+    // summation order cannot change the value)
+    "smp07_dsir_weights" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+           FROM documents),
+         ng AS (
+           SELECT doc_id, source, unnest(tk || list_transform(
+             range(greatest(len(tk) - 1, 0)), i -> tk[i+1] || ' ' || tk[i+2])) AS g
+           FROM toks),
+         b AS (SELECT doc_id, source, substr(md5(g), 1, 3) AS bucket FROM ng),
+         rcnt AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+         tcnt AS (SELECT bucket, count(*) AS ct FROM b
+                  WHERE source IN ('src0','src1','src2') GROUP BY bucket),
+         tot AS (SELECT (SELECT sum(c) FROM rcnt) AS rt,
+                        (SELECT sum(ct) FROM tcnt) AS tt),
+         ratio AS (
+           SELECT r.bucket,
+             ln((coalesce(t.ct, 0) + 1.0) / (tot.tt + 4096.0)) -
+             ln((r.c + 1.0) / (tot.rt + 4096.0)) AS logratio
+           FROM rcnt r LEFT JOIN tcnt t USING (bucket), tot),
+         db AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+         sc AS (SELECT doc_id, sum(n) AS n_ngrams, sum(n * logratio) AS lw
+                FROM db JOIN ratio USING (bucket) GROUP BY doc_id)
+         SELECT d.doc_id, CAST(coalesce(sc.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+           round(coalesce(sc.lw, 0), 6) AS log_weight
+         FROM documents d LEFT JOIN sc USING (doc_id)""",
+    "smp08_dsir_sample" ->
+      """WITH toks AS (
+           SELECT doc_id, source,
+             list_filter(string_split(text, ' '), t -> t <> '') AS tk
+           FROM documents),
+         ng AS (
+           SELECT doc_id, source, unnest(tk || list_transform(
+             range(greatest(len(tk) - 1, 0)), i -> tk[i+1] || ' ' || tk[i+2])) AS g
+           FROM toks),
+         b AS (SELECT doc_id, source, substr(md5(g), 1, 3) AS bucket FROM ng),
+         rcnt AS (SELECT bucket, count(*) AS c FROM b GROUP BY bucket),
+         tcnt AS (SELECT bucket, count(*) AS ct FROM b
+                  WHERE source IN ('src0','src1','src2') GROUP BY bucket),
+         tot AS (SELECT (SELECT sum(c) FROM rcnt) AS rt,
+                        (SELECT sum(ct) FROM tcnt) AS tt),
+         ratio AS (
+           SELECT r.bucket,
+             ln((coalesce(t.ct, 0) + 1.0) / (tot.tt + 4096.0)) -
+             ln((r.c + 1.0) / (tot.rt + 4096.0)) AS logratio
+           FROM rcnt r LEFT JOIN tcnt t USING (bucket), tot),
+         db AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+         sc AS (SELECT doc_id, sum(n * logratio) AS lw
+                FROM db JOIN ratio USING (bucket) GROUP BY doc_id),
+         w AS (SELECT d.doc_id, coalesce(sc.lw, 0) AS lw
+               FROM documents d LEFT JOIN sc USING (doc_id)),
+         gk AS (
+           SELECT doc_id, lw,
+             lw - ln(-ln((list_sum(list_transform(range(13),
+               i -> (strpos('0123456789abcdef',
+                 substr(md5(doc_id || ':42'), i + 1, 1)) - 1) * 16.0^(12 - i)))
+               + 0.5) / 16.0^13)) AS gumbel_key
+           FROM w)
+         SELECT doc_id, round(lw, 6) AS log_weight,
+           round(gumbel_key, 6) AS gumbel_key
+         FROM gk ORDER BY gk.gumbel_key DESC, doc_id LIMIT 50""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          round(sum(l_quantity),2) AS sum_qty,
@@ -2756,6 +2947,7 @@ object SparkEntry {
     "mr13_var_recover" -> graft.models.Recovery.oracleFor("var"),
     "mr14_varp_recover" -> graft.models.Recovery.oracleFor("varp"),
     "mr15_granger_recover" -> graft.models.Recovery.oracleFor("granger"),
+    "mr16_order_recover" -> graft.models.Recovery.oracleFor("order"),
     "rc01_lsh_recall" -> graft.sim.Recall.oracleFor("lsh"),
     "rc02_ivf_recall" -> graft.sim.Recall.oracleFor("ivf"),
     "rc03_pq_recall" -> graft.sim.Recall.oracleFor("pq"),

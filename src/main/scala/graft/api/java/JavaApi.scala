@@ -588,7 +588,27 @@ object JavaPipelineOps {
       y: String, x: String): DataFrame =
     graft.models.VectorAR.grangerLagP(df, p, key, ts, y, x)
 
+  def varpOrderSelect(df: DataFrame, pmax: Int,
+      valueCols: java.util.List[String], key: String, ts: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.models.VectorAR.varpOrderSelect(df, pmax, valueCols.asScala.toSeq, key, ts)
+  }
+
+  def varpBestOrder(df: DataFrame, pmax: Int,
+      valueCols: java.util.List[String], key: String, ts: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.models.VectorAR.varpBestOrder(df, pmax, valueCols.asScala.toSeq, key, ts)
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       text: String, strata: String): DataFrame =
     graft.text.TextFunctions.snapshotDiff(oldDf, newDf, idCol, text, strata)
+
+  def dsirLogWeights(raw: DataFrame, target: DataFrame, hexChars: Int,
+      alpha: Double, idCol: String, text: String): DataFrame =
+    graft.text.Dsir.dsirLogWeights(raw, target, hexChars, alpha, idCol, text)
+
+  def dsirSample(raw: DataFrame, target: DataFrame, k: Int, hexChars: Int,
+      alpha: Double, seed: Long, idCol: String, text: String): DataFrame =
+    graft.text.Dsir.dsirSample(raw, target, k, hexChars, alpha, seed, idCol, text)
 }

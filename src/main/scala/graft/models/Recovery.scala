@@ -370,7 +370,10 @@ object Recovery {
     "var" -> Seq("a11", "a12", "a21", "a22", "c1", "c2"),
     "varp" -> Seq("a1_close", "a2_close", "c_close", "forecast_matches_fit"),
     "granger" -> Seq("x_causes_y_detected", "reverse_direction_kept",
-      "lag1_matches_closed_form"))
+      "lag1_matches_closed_form"),
+    "order" -> Seq("all_orders_scored", "bic_selects_true_order",
+      "hqic_selects_true_order", "true_order_beats_underfit",
+      "best_aic_at_least_true", "sigma_matches_noise"))
 
   /** mr13 — bivariate VAR(1) recovery, certifying the DISTRIBUTED
     * [[graft.ts.TimeSeriesOps.varFit]] (not a local twin): simulate
@@ -461,6 +464,68 @@ object Recovery {
       }.max
       Seq((k, "a1_close", err(a1, 1) < 0.08), (k, "a2_close", err(a2, 2) < 0.08),
         (k, "c_close", cErr < 0.5), (k, "forecast_matches_fit", fcErr < 1e-9))
+    }
+    rows.toDF("key", "check_name", "ok")
+  }
+
+  /** mr16 — VAR order selection recovery through the DISTRIBUTED
+    * [[graft.models.VectorAR.varpOrderSelect]]/`varpBestOrder`: simulate
+    * the SAME planted trivariate VAR(2) as mr14, score p = 1..4, and
+    * require (a) every candidate order emits a score (no silent skips),
+    * (b) BIC and HQIC select exactly the planted order 2 (both are
+    * consistent criteria; AIC is not and is deliberately NOT pinned),
+    * (c) the true order strictly beats underfitting on every criterion
+    * (aic/bic/hqic at p=2 < at p=1), and (d) the innovation covariance
+    * at the selected order matches the planted noise: ln det Σ̂ within
+    * 0.5 of ln det(0.1²·I₃) = 3·ln 0.01 ≈ −13.816. */
+  def orderRecover(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val n = 3
+    val a1 = Array(Array(0.4, 0.1, 0.0), Array(0.0, 0.3, 0.1),
+      Array(0.1, 0.0, 0.2))
+    val a2 = Array(Array(0.2, 0.0, 0.05), Array(0.05, 0.2, 0.0),
+      Array(0.0, 0.05, 0.3))
+    val cv = Array(1.0, 2.0, 0.5)
+    val sims = seeds3.flatMap { case (k, seed) =>
+      val r = new MersenneTwister(seed)
+      var y1 = Array(2.0, 5.0, 1.0)
+      var y2 = Array(2.0, 5.0, 1.0)
+      (0 until 4000).map { t =>
+        val nxt = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var v = cv(i)
+          var j = 0
+          while (j < n) { v += a1(i)(j) * y1(j) + a2(i)(j) * y2(j); j += 1 }
+          nxt(i) = v + r.nextGaussian() * 0.1
+          i += 1
+        }
+        y2 = y1; y1 = nxt
+        (k, t.toLong, nxt(0), nxt(1), nxt(2))
+      }
+    }
+    val df = sims.toDF("key", "ts_nanos", "x", "y", "z")
+    val names = Seq("x", "y", "z")
+    val ics = VectorAR.varpOrderSelect(df, 4, names).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toMap
+    val best = VectorAR.varpBestOrder(df, 4, names).collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    val ldTruth = 3.0 * math.log(0.01)
+    val rows = seeds3.flatMap { case (k, _) =>
+      val all = (1 to 4).forall(p => ics.contains((k, p)))
+      val (bA, bB, bH) = best(k)
+      def aic(p: Int) = ics((k, p))._2
+      def bic(p: Int) = ics((k, p))._3
+      def hq(p: Int) = ics((k, p))._4
+      Seq(
+        (k, "all_orders_scored", all),
+        (k, "bic_selects_true_order", bB == 2),
+        (k, "hqic_selects_true_order", bH == 2),
+        (k, "true_order_beats_underfit",
+          aic(2) < aic(1) && bic(2) < bic(1) && hq(2) < hq(1)),
+        (k, "best_aic_at_least_true", bA >= 2),
+        (k, "sigma_matches_noise", math.abs(ics((k, bB))._1 - ldTruth) < 0.5))
     }
     rows.toDF("key", "check_name", "ok")
   }

@@ -320,4 +320,167 @@ object VectorAR {
     }
     Some(out)
   }
+
+  /** Per-(key, p) information criteria for VAR order selection. */
+  case class VarpOrderIC(key: String, p: Int, n_obs: Long,
+      log_det_sigma: Double, aic: Double, bic: Double, hqic: Double)
+
+  /**
+   * Information-criterion order selection for VAR(p), p = 1..pmax — the
+   * statsmodels `VAR.select_order` surface. All candidate orders are
+   * scored on the SAME effective sample (t = pmax..T−1, the standard
+   * comparability requirement), and all of them come from ONE streamed
+   * pass per key: the Gram/cross-moment matrices for pmax nest every
+   * smaller order as their leading sub-blocks (the design row is
+   * [1, y_{t−1}, …, y_{t−pmax}], so order p is columns 0..n·p — the same
+   * sub-block trick as [[grangerLagP]]'s restricted system). Per order:
+   *   Σ̂(p) = (Y'Y − B̂'X'Y) / n_obs,
+   *   AIC  = ln det Σ̂ + 2k/n_obs,            k = n(np + 1) fitted params
+   *   BIC  = ln det Σ̂ + k·ln(n_obs)/n_obs,
+   *   HQIC = ln det Σ̂ + 2k·ln(ln n_obs)/n_obs     (Lütkepohl ch. 4,
+   * intercept included in k — the statsmodels convention). Orders whose
+   * sub-system is singular, or whose Σ̂ determinant is ≤ 0 (perfect fit /
+   * numerically degenerate), emit no row — never a fabricated score.
+   */
+  def varpOrderSelect(df: DataFrame, pmax: Int, valueCols: Seq[String],
+      key: String = "key", ts: String = "ts_nanos"): DataFrame = {
+    require(pmax >= 1, "pmax >= 1")
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    val spark = df.sparkSession
+    import spark.implicits._
+    gathered(df, pmax, valueCols, key, ts).flatMapGroups { (k, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      icsLocal(rows.map(_._3.toArray), pmax).map { c => c.copy(key = k) }
+    }.toDF()
+  }
+
+  /**
+   * Argmin of [[varpOrderSelect]] per key and criterion — ties break to
+   * the SMALLER order (min over (score, p) structs, deterministic).
+   */
+  def varpBestOrder(df: DataFrame, pmax: Int, valueCols: Seq[String],
+      key: String = "key", ts: String = "ts_nanos"): DataFrame =
+    varpOrderSelect(df, pmax, valueCols, key, ts)
+      .groupBy(col("key"))
+      .agg(min(struct(col("aic"), col("p"))).getField("p").as("best_aic"),
+        min(struct(col("bic"), col("p"))).getField("p").as("best_bic"),
+        min(struct(col("hqic"), col("p"))).getField("p").as("best_hqic"))
+
+  /** One streamed pass: Gram/moments at pmax, then every order's IC from
+    * leading sub-blocks. Key is filled by the caller. */
+  private[graft] def icsLocal(y: Array[Array[Double]], pmax: Int)
+      : Seq[VarpOrderIC] = {
+    val tTot = y.length
+    val n = if (tTot > 0) y(0).length else 0
+    val m = 1 + n * pmax
+    val nobs = tTot - pmax
+    if (n == 0 || nobs < 2) return Seq.empty
+    val g = Array.ofDim[Double](m, m)
+    val b = Array.ofDim[Double](m, n)
+    val yy = Array.ofDim[Double](n, n)
+    val x = new Array[Double](m)
+    var t = pmax
+    while (t < tTot) {
+      x(0) = 1.0
+      var idx = 1
+      var l = 1
+      while (l <= pmax) {
+        val yl = y(t - l)
+        var i = 0
+        while (i < n) { x(idx) = yl(i); idx += 1; i += 1 }
+        l += 1
+      }
+      val yt = y(t)
+      var r = 0
+      while (r < m) {
+        val xr = x(r)
+        var c2 = r
+        while (c2 < m) { g(r)(c2) += xr * x(c2); c2 += 1 }
+        var j = 0
+        while (j < n) { b(r)(j) += xr * yt(j); j += 1 }
+        r += 1
+      }
+      var a = 0
+      while (a < n) {
+        var j = a
+        while (j < n) { yy(a)(j) += yt(a) * yt(j); j += 1 }
+        a += 1
+      }
+      t += 1
+    }
+    var r = 1
+    while (r < m) {
+      var c2 = 0
+      while (c2 < r) { g(r)(c2) = g(c2)(r); c2 += 1 }
+      r += 1
+    }
+    var a = 1
+    while (a < n) {
+      var j = 0
+      while (j < a) { yy(a)(j) = yy(j)(a); j += 1 }
+      a += 1
+    }
+    (1 to pmax).flatMap { p =>
+      val mp = 1 + n * p
+      if (nobs < mp) None
+      else {
+        val gp = Array.tabulate(mp, mp)((i, j) => g(i)(j))
+        val cp = Array.tabulate(mp, n)((i, j) => b(i)(j))
+        solve(gp, cp.map(_.clone)) match {
+          case Some(beta) =>
+            // Σ̂ = (Y'Y − β'X'Y)/nobs; clamp tiny negative cancellation on
+            // the diagonal at 0 (same honesty contract as grangerLagP)
+            val sig = Array.tabulate(n, n) { (aa, bb) =>
+              var s = yy(aa)(bb)
+              var i = 0
+              while (i < mp) { s -= beta(i)(aa) * cp(i)(bb); i += 1 }
+              s / nobs
+            }
+            val dt = detLocal(sig)
+            if (dt <= 0.0 || dt.isNaN) None
+            else {
+              val ld = math.log(dt)
+              val kPar = n.toDouble * (n * p + 1)
+              val no = nobs.toDouble
+              Some(VarpOrderIC("", p, nobs.toLong, ld,
+                ld + 2.0 * kPar / no,
+                ld + kPar * math.log(no) / no,
+                ld + 2.0 * kPar * math.log(math.log(no)) / no))
+            }
+          case None => None
+        }
+      }
+    }
+  }
+
+  /** Determinant of a small dense matrix by partially-pivoted elimination
+    * (mutates a copy; deterministic order). */
+  private[graft] def detLocal(a0: Array[Array[Double]]): Double = {
+    val a = a0.map(_.clone)
+    val n = a.length
+    var det = 1.0
+    var col = 0
+    while (col < n) {
+      var piv = col
+      var best = math.abs(a(col)(col))
+      var r = col + 1
+      while (r < n) {
+        val v = math.abs(a(r)(col)); if (v > best) { best = v; piv = r }; r += 1
+      }
+      if (best == 0.0) return 0.0
+      if (piv != col) { val t = a(piv); a(piv) = a(col); a(col) = t; det = -det }
+      det *= a(col)(col)
+      r = col + 1
+      while (r < n) {
+        val f = a(r)(col) / a(col)(col)
+        if (f != 0.0) {
+          var c2 = col
+          while (c2 < n) { a(r)(c2) -= f * a(col)(c2); c2 += 1 }
+        }
+        r += 1
+      }
+      col += 1
+    }
+    det
+  }
 }

@@ -55,17 +55,23 @@ object SemDedup {
       seed: Long = 42L, quantizerMaxRows: Int = 100000,
       nprobe: Int = 1): DataFrame = {
     val toD = (c: Column) => transform(c, x => x.cast("double"))
+    // persisted across its four consumers (count, dim probe, quantizer
+    // sample, assignment): without it each one re-runs the source scan +
+    // normalize — one corpus pass instead of four
     val base = df.select(col(idCol).as("id"),
-      Similarity.normalized(toD(col(vecCol))).as("v"))
+      Similarity.normalized(toD(col(vecCol))).as("v")).persist()
     // bounded uniform sample -> driver-local deterministic Lloyd, exactly
     // the IVF coarse-quantizer design (clusters live on the unit sphere:
     // SemDeDup clusters the NORMALIZED embeddings)
     val feats = base.select("v")
-    val n = feats.count()
+    // n and dim from ONE job (count + head used to cost two driver round
+    // trips; this operator's cost at bounded SFs is job count, not bytes)
+    val stats = feats.agg(count(lit(1)), first(size(col("v")))).head()
+    val n = stats.getLong(0)
     require(n > 0, "SemDeDup needs a non-empty corpus")
     val kEff = if (k > 0) k else suggestedK(n)
     require(nprobe >= 1 && nprobe <= kEff, "1 <= nprobe <= k")
-    val dim = feats.head.getSeq[Double](0).length
+    val dim = stats.getInt(1)
     val cap = Similarity.boundedSampleRows(quantizerMaxRows, dim)
     val fitInput =
       if (n <= cap) feats
@@ -92,6 +98,7 @@ object SemDedup {
     val assigned = base
       .withColumn("cluster", explode(assignClusters(col("v"))))
       .localCheckpoint()
+    base.unpersist(false)
     val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
     val joined = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))
@@ -125,10 +132,20 @@ object SemDedup {
   def semanticKeepers(df: DataFrame, k: Int = 16, threshold: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L, quantizerMaxRows: Int = 100000,
-      nprobe: Int = 2): DataFrame = {
-    val dups = semanticDuplicates(df, k, threshold, idCol, vecCol, seed,
-        quantizerMaxRows, nprobe)
-      .select(col("id_b").as("__drop")).distinct()
+      nprobe: Int = 2): DataFrame =
+    keepersOfPairs(df,
+      semanticDuplicates(df, k, threshold, idCol, vecCol, seed,
+        quantizerMaxRows, nprobe), idCol)
+
+  /** The election step of [[semanticKeepers]] over an already-computed
+    * [[semanticDuplicates]] pair table — THE production code path (the
+    * keeper operator is exactly this composition), exposed so a caller
+    * holding a persisted pair table (the rc07 certification, a pipeline
+    * that reports pairs AND keeps survivors) doesn't re-run the
+    * normalize + quantize + join pipeline a second time. */
+  def keepersOfPairs(df: DataFrame, pairs: DataFrame,
+      idCol: String = "vec_id"): DataFrame = {
+    val dups = pairs.select(col("id_b").as("__drop")).distinct()
     df.join(dups, col(idCol) === col("__drop"), "left_anti")
   }
 }

@@ -48,4 +48,96 @@ class Round13Spec extends AnyFunSuite with Matchers with SparkTestSession {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     kept shouldBe (0 until 250).map(i => 2L * i).toSet
   }
+
+  test("icsLocal ICs agree with explicitly-computed residual covariance") {
+    import graft.models.VectorAR
+    // random stable bivariate VAR(1) data; score p = 1..3 via the streamed
+    // sub-block kernel and re-derive each IC from an explicit fit +
+    // residual pass over the SAME effective sample (t = pmax..T-1)
+    val rnd = new scala.util.Random(11)
+    val tTot = 400
+    val y = Array.ofDim[Double](tTot, 2)
+    y(0) = Array(1.0, -1.0)
+    for (t <- 1 until tTot) {
+      y(t)(0) = 0.5 + 0.4 * y(t - 1)(0) + 0.2 * y(t - 1)(1) + rnd.nextGaussian() * 0.3
+      y(t)(1) = -0.2 + 0.1 * y(t - 1)(0) + 0.5 * y(t - 1)(1) + rnd.nextGaussian() * 0.3
+    }
+    val pmax = 3
+    val ics = VectorAR.icsLocal(y, pmax)
+    ics.map(_.p) shouldBe Seq(1, 2, 3)
+    val nobs = tTot - pmax
+    for (ic <- ics) {
+      val p = ic.p
+      // explicit OLS on the same sample: design rows t = pmax..T-1
+      val m = 1 + 2 * p
+      val rows = (pmax until tTot).map { t =>
+        (Array(1.0) ++ (1 to p).flatMap(l => y(t - l)), y(t))
+      }
+      val g = Array.ofDim[Double](m, m)
+      val b = Array.ofDim[Double](m, 2)
+      for ((x, yt) <- rows; r <- 0 until m) {
+        for (c <- 0 until m) g(r)(c) += x(r) * x(c)
+        for (j <- 0 until 2) b(r)(j) += x(r) * yt(j)
+      }
+      val beta = VectorAR.solve(g.map(_.clone), b.map(_.clone)).get
+      val resid = rows.map { case (x, yt) =>
+        Array.tabulate(2)(j => yt(j) - (0 until m).map(r => beta(r)(j) * x(r)).sum)
+      }
+      val sig = Array.tabulate(2, 2)((a, c) =>
+        resid.map(e => e(a) * e(c)).sum / nobs)
+      val ld = math.log(sig(0)(0) * sig(1)(1) - sig(0)(1) * sig(1)(0))
+      ic.log_det_sigma shouldBe ld +- 1e-8
+      val k = 2.0 * (2 * p + 1)
+      ic.aic shouldBe (ld + 2 * k / nobs) +- 1e-8
+      ic.bic shouldBe (ld + k * math.log(nobs.toDouble) / nobs) +- 1e-8
+      ic.hqic shouldBe (ld + 2 * k * math.log(math.log(nobs.toDouble)) / nobs) +- 1e-8
+    }
+  }
+
+  test("dsirLogWeights upweights target-like documents") {
+    import spark.implicits._
+    import graft.text.Dsir
+    val raw = Seq(
+      (0L, "apple pie apple tart apple"),   // target-like
+      (1L, "zebra quagga zebra okapi"),     // target-unlike
+      (2L, "apple zebra"),                  // mixed
+      (3L, "")                              // empty -> weight 0
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, "apple pie apple strudel apple apple"))
+      .toDF("doc_id", "text")
+    val w = Dsir.dsirLogWeights(raw, target).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    w(3) shouldBe ((0L, 0.0)) // empty product
+    w(0)._2 should be > w(2)._2
+    w(2)._2 should be > w(1)._2
+    // unigrams + bigrams: 5 tokens -> 9 ngrams
+    w(0)._1 shouldBe 9L
+  }
+
+  test("dsirSample is a deterministic without-replacement top-k") {
+    import spark.implicits._
+    import graft.text.Dsir
+    val raw = (0 until 40).map(i =>
+      (i.toLong, if (i % 2 == 0) "apple apple pie" else "zebra okapi quagga"))
+      .toDF("doc_id", "text")
+    val target = Seq((100L, "apple pie apple")).toDF("doc_id", "text")
+    val s1 = Dsir.dsirSample(raw, target, k = 10).collect()
+    val s2 = Dsir.dsirSample(raw, target, k = 10).collect()
+    s1.map(_.getLong(0)).toSeq shouldBe s2.map(_.getLong(0)).toSeq
+    s1.length shouldBe 10
+    // keys are sorted descending and ids unique
+    val keys = s1.map(_.getDouble(2))
+    keys.sorted.reverse.toSeq shouldBe keys.toSeq
+    s1.map(_.getLong(0)).distinct.length shouldBe 10
+    // the heavily-upweighted apple docs dominate the sample
+    val apples = s1.count(_.getLong(0) % 2 == 0)
+    apples should be >= 8
+  }
+
+  test("varpBestOrder selects the planted order 2 by BIC on simulated VAR(2)") {
+    val best = graft.models.Recovery.orderRecover(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    best.values.forall(identity) shouldBe true
+    best.size shouldBe 18 // 3 seeds x 6 checks
+  }
 }

@@ -83,6 +83,8 @@ class JavaApiSpec extends AnyFunSuite with Matchers with SparkTestSession {
     counts(2) shouldBe 2L  // one Granger F row per key
     counts(3) shouldBe 6L  // 2 sources x cap 3
     counts(4) shouldBe 2L  // multi-probe keeper election drops id 1
+    counts(5) shouldBe 6L  // order selection: 2 keys x p in 1..3
+    counts(6) shouldBe 2L  // one best-order row per key
   }
 
   test("Java round-4 facade drives clustering/repetition/sampling/embeddings") {
