@@ -514,3 +514,28 @@ def varp_best_order(df, pmax, value_cols, key="key", ts="ts_nanos"):
         jl.add(str(c))
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.varpBestOrder(
         df._jdf, int(pmax), jl, key, ts))
+
+
+def varp_irf(df, p, h, value_cols, key="key", ts="ts_nanos"):
+    """Impulse responses of the per-key VAR(p) fit, horizons 0..h: plain
+    MA coefficients plus Cholesky-orthogonalized responses (identification
+    by variable order). Columns (key, step, impulse, response, irf,
+    irf_orth)."""
+    spark, jvm = ctx(df)
+    jl = jvm.java.util.ArrayList()
+    for c in value_cols:
+        jl.add(str(c))
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.varpIrf(
+        df._jdf, int(p), int(h), jl, key, ts))
+
+
+def varp_fevd(df, p, h, value_cols, key="key", ts="ts_nanos"):
+    """Forecast-error variance decomposition at horizon h: per (key,
+    variable) the share of forecast error variance attributable to each
+    orthogonalized shock (shares sum to 1)."""
+    spark, jvm = ctx(df)
+    jl = jvm.java.util.ArrayList()
+    for c in value_cols:
+        jl.add(str(c))
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.varpFevd(
+        df._jdf, int(p), int(h), jl, key, ts))

@@ -636,6 +636,7 @@ object SparkEntry {
     "mr14_varp_recover" -> ((s, _) => graft.models.Recovery.varpRecover(s)),
     "mr15_granger_recover" -> ((s, _) => graft.models.Recovery.grangerRecover(s)),
     "mr16_order_recover" -> ((s, _) => graft.models.Recovery.orderRecover(s)),
+    "mr17_irf_recover" -> ((s, _) => graft.models.Recovery.irfRecover(s)),
 
     // ---------------- round-8: in-query recall certification of the
     // approximate sm/dd surface (the mr* pattern for ANN/near-dup — exact
@@ -834,6 +835,25 @@ object SparkEntry {
           round(col("log_det_sigma"), 6).as("log_det_sigma"),
           round(col("aic"), 6).as("aic"), round(col("bic"), 6).as("bic"),
           round(col("hqic"), 6).as("hqic"))),
+    "m36_varp_irf" -> ((s, dir) =>
+      // impulse responses (plain + Cholesky-orthogonalized) of the m32
+      // trivariate VAR(2), horizons 0..4; Φ recursion + Θ = Φ·chol(Σ̂) in
+      // the same streamed-Gram kernel; mr17 certifies theorems + planted
+      // recovery, so rows-only here
+      graft.models.VectorAR.varpIrf(dailyTriple(s, dir), 2, 4,
+        Seq("v", "cnt", "mkt"), key = "user_id", ts = "day_us")
+        .select(col("key").cast("long").as("user_id"),
+          col("step").cast("long").as("step"), col("impulse"), col("response"),
+          round(col("irf"), 6).as("irf"),
+          round(col("irf_orth"), 6).as("irf_orth"))),
+    "m37_varp_fevd" -> ((s, dir) =>
+      // 5-step forecast-error variance decomposition of the same system;
+      // shares sum to 1 per (user, variable) — asserted by mr17
+      graft.models.VectorAR.varpFevd(dailyTriple(s, dir), 2, 5,
+        Seq("v", "cnt", "mkt"), key = "user_id", ts = "day_us")
+        .select(col("key").cast("long").as("user_id"), col("variable"),
+          col("shock"), col("h").cast("long").as("h"),
+          round(col("fevd"), 6).as("fevd"))),
     "m34_granger_varp" -> ((s, dir) =>
       // lag-2 Granger F (market -> user series) via restricted/unrestricted
       // OLS in the VectorAR kernel; the p=1 slice of this operator is
@@ -2948,6 +2968,7 @@ object SparkEntry {
     "mr14_varp_recover" -> graft.models.Recovery.oracleFor("varp"),
     "mr15_granger_recover" -> graft.models.Recovery.oracleFor("granger"),
     "mr16_order_recover" -> graft.models.Recovery.oracleFor("order"),
+    "mr17_irf_recover" -> graft.models.Recovery.oracleFor("irf"),
     "rc01_lsh_recall" -> graft.sim.Recall.oracleFor("lsh"),
     "rc02_ivf_recall" -> graft.sim.Recall.oracleFor("ivf"),
     "rc03_pq_recall" -> graft.sim.Recall.oracleFor("pq"),

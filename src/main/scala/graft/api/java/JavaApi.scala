@@ -600,6 +600,18 @@ object JavaPipelineOps {
     graft.models.VectorAR.varpBestOrder(df, pmax, valueCols.asScala.toSeq, key, ts)
   }
 
+  def varpIrf(df: DataFrame, p: Int, h: Int,
+      valueCols: java.util.List[String], key: String, ts: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.models.VectorAR.varpIrf(df, p, h, valueCols.asScala.toSeq, key, ts)
+  }
+
+  def varpFevd(df: DataFrame, p: Int, h: Int,
+      valueCols: java.util.List[String], key: String, ts: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.models.VectorAR.varpFevd(df, p, h, valueCols.asScala.toSeq, key, ts)
+  }
+
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
       text: String, strata: String): DataFrame =
     graft.text.TextFunctions.snapshotDiff(oldDf, newDf, idCol, text, strata)

@@ -373,7 +373,11 @@ object Recovery {
       "lag1_matches_closed_form"),
     "order" -> Seq("all_orders_scored", "bic_selects_true_order",
       "hqic_selects_true_order", "true_order_beats_underfit",
-      "best_aic_at_least_true", "sigma_matches_noise"))
+      "best_aic_at_least_true", "sigma_matches_noise"),
+    "irf" -> Seq("phi0_is_identity", "orth_step0_lower_triangular",
+      "phi1_matches_planted", "phi2_matches_planted",
+      "fevd_shares_sum_to_one", "fevd_shares_nonnegative",
+      "irf_consistent_with_fit"))
 
   /** mr13 — bivariate VAR(1) recovery, certifying the DISTRIBUTED
     * [[graft.ts.TimeSeriesOps.varFit]] (not a local twin): simulate
@@ -526,6 +530,89 @@ object Recovery {
           aic(2) < aic(1) && bic(2) < bic(1) && hq(2) < hq(1)),
         (k, "best_aic_at_least_true", bA >= 2),
         (k, "sigma_matches_noise", math.abs(ics((k, bB))._1 - ldTruth) < 0.5))
+    }
+    rows.toDF("key", "check_name", "ok")
+  }
+
+  /** mr17 — impulse-response / FEVD recovery through the DISTRIBUTED
+    * [[graft.models.VectorAR.varpIrf]]/`varpFevd` on the mr14 planted
+    * trivariate VAR(2). Theorems (exact): Φ_0 = I; Θ_0 lower-triangular;
+    * FEVD shares non-negative and summing to 1 per variable. Statistical
+    * (tolerance vs the planted system): Φ_1 ≈ A₁ and Φ_2 ≈ A₁² + A₂.
+    * Consistency (1e-9): the plain IRF must equal the Φ recursion replayed
+    * from the operator's own varpFit coefficients — two independent code
+    * paths over the same fit. */
+  def irfRecover(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val n = 3
+    val a1 = Array(Array(0.4, 0.1, 0.0), Array(0.0, 0.3, 0.1),
+      Array(0.1, 0.0, 0.2))
+    val a2 = Array(Array(0.2, 0.0, 0.05), Array(0.05, 0.2, 0.0),
+      Array(0.0, 0.05, 0.3))
+    val cv = Array(1.0, 2.0, 0.5)
+    val sims = seeds3.flatMap { case (k, seed) =>
+      val r = new MersenneTwister(seed)
+      var y1 = Array(2.0, 5.0, 1.0)
+      var y2 = Array(2.0, 5.0, 1.0)
+      (0 until 4000).map { t =>
+        val nxt = new Array[Double](n)
+        var i = 0
+        while (i < n) {
+          var v = cv(i)
+          var j = 0
+          while (j < n) { v += a1(i)(j) * y1(j) + a2(i)(j) * y2(j); j += 1 }
+          nxt(i) = v + r.nextGaussian() * 0.1
+          i += 1
+        }
+        y2 = y1; y1 = nxt
+        (k, t.toLong, nxt(0), nxt(1), nxt(2))
+      }
+    }
+    val df = sims.toDF("key", "ts_nanos", "x", "y", "z")
+    val names = Seq("x", "y", "z")
+    val irf = VectorAR.varpIrf(df, 2, 3, names).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3)) ->
+        ((r.getDouble(4), r.getDouble(5)))).toMap
+    val fevd = VectorAR.varpFevd(df, 2, 5, names).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        r.getDouble(4)).toMap
+    val fit = VectorAR.varpFit(df, 2, names).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)) ->
+        r.getDouble(4)).toMap
+    // planted Φ_2 = A₁² + A₂
+    val phi2T = Array.tabulate(n, n) { (i, j) =>
+      (0 until n).map(q => a1(i)(q) * a1(q)(j)).sum + a2(i)(j)
+    }
+    val idx = names.zipWithIndex.toMap
+    val rows = seeds3.flatMap { case (k, _) =>
+      val id0 = names.forall(r => names.forall(c =>
+        irf((k, 0, c, r))._1 == (if (r == c) 1.0 else 0.0)))
+      val lower = (for (ri <- 0 until n; ci <- 0 until n; if ci > ri) yield
+        irf((k, 0, names(ci), names(ri)))._2 == 0.0).forall(identity)
+      val phi1Err = (for (ri <- 0 until n; ci <- 0 until n) yield
+        math.abs(irf((k, 1, names(ci), names(ri)))._1 - a1(ri)(ci))).max
+      val phi2Err = (for (ri <- 0 until n; ci <- 0 until n) yield
+        math.abs(irf((k, 2, names(ci), names(ri)))._1 - phi2T(ri)(ci))).max
+      val sums = names.map(v => names.map(sh => fevd((k, v, sh))).sum)
+      val sumOk = sums.forall(s0 => math.abs(s0 - 1.0) < 1e-9)
+      val nonNeg = names.forall(v => names.forall(sh => fevd((k, v, sh)) >= 0.0))
+      // replay Φ from the operator's own fitted coefficients
+      def aHat(l: Int) = Array.tabulate(n, n)((r, c) =>
+        fit((k, names(r), names(c), l)))
+      val (h1, h2) = (aHat(1), aHat(2))
+      val phi2R = Array.tabulate(n, n) { (i, j) =>
+        (0 until n).map(q => h1(i)(q) * h1(q)(j)).sum + h2(i)(j)
+      }
+      val replayErr = (for (ri <- 0 until n; ci <- 0 until n) yield
+        math.abs(irf((k, 2, names(ci), names(ri)))._1 - phi2R(ri)(ci))).max
+      Seq(
+        (k, "phi0_is_identity", id0),
+        (k, "orth_step0_lower_triangular", lower),
+        (k, "phi1_matches_planted", phi1Err < 0.08),
+        (k, "phi2_matches_planted", phi2Err < 0.1),
+        (k, "fevd_shares_sum_to_one", sumOk),
+        (k, "fevd_shares_nonnegative", nonNeg),
+        (k, "irf_consistent_with_fit", replayErr < 1e-9))
     }
     rows.toDF("key", "check_name", "ok")
   }

@@ -453,6 +453,221 @@ object VectorAR {
     }
   }
 
+  /** Per-(key, step, impulse, response) impulse-response point: `irf` is
+    * the plain MA(∞) coefficient (unit shock in `impulse`'s equation),
+    * `irf_orth` the orthogonalized (Cholesky-identified) response. */
+  case class VarpIrf(key: String, step: Int, impulse: String,
+      response: String, irf: Double, irf_orth: Double)
+
+  /**
+   * Impulse responses of a per-key VAR(p) fit, horizons 0..h — the
+   * statsmodels `VARResults.irf` surface. The MA(∞) coefficients follow
+   * the standard recursion Φ_0 = I, Φ_s = Σ_{j≤min(s,p)} Φ_{s−j}·A_j
+   * (Lütkepohl ch. 2); the orthogonalized responses Θ_s = Φ_s·P use the
+   * lower Cholesky factor of the innovation covariance Σ̂ (identification
+   * by variable order, the statsmodels default). Same kernel shape as
+   * [[varpFit]]: one groupByKey shuffle, a streamed Gram + residual-moment
+   * pass, local solves; keys with a singular system or a non-PD Σ̂ emit no
+   * rows.
+   */
+  def varpIrf(df: DataFrame, p: Int, h: Int, valueCols: Seq[String],
+      key: String = "key", ts: String = "ts_nanos"): DataFrame = {
+    require(h >= 0, "h >= 0")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = valueCols.toArray
+    val n = names.length
+    gathered(df, p, valueCols, key, ts).flatMapGroups { (k, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      fitWithSigma(rows.map(_._3.toArray), p) match {
+        case Some((beta, sigma, _)) =>
+          cholLower(sigma) match {
+            case Some(pl) =>
+              val phis = maCoefficients(beta, n, p, h)
+              for (s <- 0 to h; i <- 0 until n; j <- 0 until n) yield {
+                // Θ_s = Φ_s · P
+                var th = 0.0
+                var q = 0
+                while (q < n) { th += phis(s)(i)(q) * pl(q)(j); q += 1 }
+                VarpIrf(k, s, names(j), names(i), phis(s)(i)(j), th)
+              }
+            case None => Seq.empty[VarpIrf]
+          }
+        case None => Seq.empty[VarpIrf]
+      }
+    }.toDF()
+  }
+
+  /** Per-(key, variable, shock) forecast-error-variance share at horizon h. */
+  case class VarpFevd(key: String, variable: String, shock: String,
+      h: Int, fevd: Double)
+
+  /**
+   * Forecast error variance decomposition at horizon `h` (statsmodels
+   * `VARResults.fevd`): the share of variable i's h-step forecast error
+   * variance attributable to orthogonalized shocks in variable j,
+   *   ω_ij(h) = Σ_{s<h} Θ_s(i,j)² / Σ_q Σ_{s<h} Θ_s(i,q)².
+   * Shares sum to 1 over shocks for every (key, variable) — a THEOREM of
+   * the construction, asserted by the mr17 certification.
+   */
+  def varpFevd(df: DataFrame, p: Int, h: Int, valueCols: Seq[String],
+      key: String = "key", ts: String = "ts_nanos"): DataFrame = {
+    require(h >= 1, "h >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = valueCols.toArray
+    val n = names.length
+    gathered(df, p, valueCols, key, ts).flatMapGroups { (k, it) =>
+      val rows = it.toArray.sortBy(_._2)
+      fitWithSigma(rows.map(_._3.toArray), p) match {
+        case Some((beta, sigma, _)) =>
+          cholLower(sigma) match {
+            case Some(pl) =>
+              val phis = maCoefficients(beta, n, p, h - 1)
+              val acc = Array.ofDim[Double](n, n)
+              for (s <- 0 until h; i <- 0 until n; j <- 0 until n) {
+                var th = 0.0
+                var q = 0
+                while (q < n) { th += phis(s)(i)(q) * pl(q)(j); q += 1 }
+                acc(i)(j) += th * th
+              }
+              for (i <- 0 until n; j <- 0 until n) yield {
+                val tot = acc(i).sum
+                VarpFevd(k, names(i), names(j), h,
+                  if (tot > 0) acc(i)(j) / tot else Double.NaN)
+              }
+            case None => Seq.empty[VarpFevd]
+          }
+        case None => Seq.empty[VarpFevd]
+      }
+    }.toDF()
+  }
+
+  /** MA(∞) matrices Φ_0..Φ_h from the stacked OLS coefficients: A_l(j,i) =
+    * beta(1+(l−1)n+i)(j) (row = response equation, col = impulse). */
+  private[graft] def maCoefficients(beta: Array[Array[Double]], n: Int,
+      p: Int, h: Int): Array[Array[Array[Double]]] = {
+    def a(l: Int): Array[Array[Double]] =
+      Array.tabulate(n, n)((j, i) => beta(1 + (l - 1) * n + i)(j))
+    val as = (1 to p).map(a).toArray
+    val phis = new Array[Array[Array[Double]]](h + 1)
+    phis(0) = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var s = 1
+    while (s <= h) {
+      val out = Array.ofDim[Double](n, n)
+      var j = 1
+      while (j <= math.min(s, p)) {
+        val ph = phis(s - j); val aj = as(j - 1)
+        var r = 0
+        while (r < n) {
+          var c = 0
+          while (c < n) {
+            var q = 0
+            var v = 0.0
+            while (q < n) { v += ph(r)(q) * aj(q)(c); q += 1 }
+            out(r)(c) += v
+            c += 1
+          }
+          r += 1
+        }
+        j += 1
+      }
+      phis(s) = out
+      s += 1
+    }
+    phis
+  }
+
+  /** OLS fit + innovation covariance from one streamed pass over the
+    * sample t = p..T−1 (the [[icsLocal]] moments at a single order). */
+  private[graft] def fitWithSigma(y: Array[Array[Double]], p: Int)
+      : Option[(Array[Array[Double]], Array[Array[Double]], Long)] = {
+    val tTot = y.length
+    val n = if (tTot > 0) y(0).length else 0
+    val m = 1 + n * p
+    val nobs = tTot - p
+    if (n == 0 || nobs < m) return None
+    val g = Array.ofDim[Double](m, m)
+    val b = Array.ofDim[Double](m, n)
+    val yy = Array.ofDim[Double](n, n)
+    val x = new Array[Double](m)
+    var t = p
+    while (t < tTot) {
+      x(0) = 1.0
+      var idx = 1
+      var l = 1
+      while (l <= p) {
+        val yl = y(t - l)
+        var i = 0
+        while (i < n) { x(idx) = yl(i); idx += 1; i += 1 }
+        l += 1
+      }
+      val yt = y(t)
+      var r = 0
+      while (r < m) {
+        val xr = x(r)
+        var c2 = r
+        while (c2 < m) { g(r)(c2) += xr * x(c2); c2 += 1 }
+        var j = 0
+        while (j < n) { b(r)(j) += xr * yt(j); j += 1 }
+        r += 1
+      }
+      var a = 0
+      while (a < n) {
+        var j = a
+        while (j < n) { yy(a)(j) += yt(a) * yt(j); j += 1 }
+        a += 1
+      }
+      t += 1
+    }
+    var r = 1
+    while (r < m) {
+      var c2 = 0
+      while (c2 < r) { g(r)(c2) = g(c2)(r); c2 += 1 }
+      r += 1
+    }
+    var a = 1
+    while (a < n) {
+      var j = 0
+      while (j < a) { yy(a)(j) = yy(j)(a); j += 1 }
+      a += 1
+    }
+    val c0 = b.map(_.clone)
+    solve(g, b).map { beta =>
+      val sigma = Array.tabulate(n, n) { (aa, bb) =>
+        var s = yy(aa)(bb)
+        var i = 0
+        while (i < m) { s -= beta(i)(aa) * c0(i)(bb); i += 1 }
+        s / nobs
+      }
+      (beta, sigma, nobs.toLong)
+    }
+  }
+
+  /** Lower Cholesky factor of a symmetric PD matrix; None when a pivot is
+    * non-positive (non-PD — degenerate innovations). */
+  private[graft] def cholLower(s: Array[Array[Double]])
+      : Option[Array[Array[Double]]] = {
+    val n = s.length
+    val l = Array.ofDim[Double](n, n)
+    var i = 0
+    while (i < n) {
+      var j = 0
+      while (j <= i) {
+        var sum = s(i)(j)
+        var k = 0
+        while (k < j) { sum -= l(i)(k) * l(j)(k); k += 1 }
+        if (i == j) {
+          if (sum <= 0.0) return None
+          l(i)(j) = math.sqrt(sum)
+        } else l(i)(j) = sum / l(j)(j)
+        j += 1
+      }
+      i += 1
+    }
+    Some(l)
+  }
+
   /** Determinant of a small dense matrix by partially-pivoted elimination
     * (mutates a copy; deterministic order). */
   private[graft] def detLocal(a0: Array[Array[Double]]): Double = {

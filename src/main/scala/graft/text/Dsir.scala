@@ -127,4 +127,67 @@ object Dsir {
       .limit(k)
       .select(col(idCol), col("log_weight"), col("gumbel_key"))
   }
+
+  /**
+   * The fitted DSIR ratio table collected to a driver map — the STATIC
+   * side of [[streamingDsirScore]] (≤ 16^hexChars entries, bounded by
+   * construction: this is the one `collect()` the design budget allows,
+   * the same bounded-codebook contract as the ANN quantizers). Fit once
+   * offline, broadcast to every micro-batch.
+   */
+  def dsirRatioMap(raw: DataFrame, target: DataFrame, hexChars: Int = 3,
+      alpha: Double = 1.0, idCol: String = "doc_id",
+      text: String = "text"): Map[String, Double] = {
+    require(hexChars >= 1 && hexChars <= 8, "1 <= hexChars <= 8")
+    val d = math.pow(16.0, hexChars)
+    val tCounts = bucketCounts(target, idCol, text, hexChars)
+    val rCounts = bucketCounts(raw, idCol, text, hexChars)
+    val tTot = tCounts.agg(sum(col("c"))).head().getLong(0).toDouble
+    val rTot = rCounts.agg(sum(col("c"))).head().getLong(0).toDouble
+    rCounts
+      .join(tCounts.withColumnRenamed("c", "ct"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(alpha)) / lit(tTot + alpha * d)) -
+          log((col("c") + lit(alpha)) / lit(rTot + alpha * d))).as("logratio"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  /**
+   * Stateless per-document DSIR scoring against a pre-fitted
+   * [[dsirRatioMap]] — usable on a STREAM (no aggregation, no watermark
+   * needed, zero state per micro-batch: ingest-time quality scoring) or a
+   * batch frame. Buckets absent from the map (n-grams the fitting raw
+   * corpus never saw) contribute 0 — the neutral prior, exactly the
+   * smoothed ratio's limit as both counts vanish. Columns + (n_ngrams,
+   * log_weight). Batch parity with [[dsirLogWeights]] is spec-asserted.
+   */
+  def streamingDsirScore(df: DataFrame, ratio: Map[String, Double],
+      hexChars: Int = 3, text: String = "text"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(ratio)
+    val score = udf { (t: String) =>
+      val toks = if (t == null) Array.empty[String]
+        else t.split(" ", -1).filter(_.nonEmpty)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var lw = 0.0
+      var nN = 0L
+      def add(g: String): Unit = {
+        val hex = md.digest(g.getBytes("UTF-8"))
+          .take((hexChars + 1) / 2).map("%02x".format(_)).mkString
+          .substring(0, hexChars)
+        lw += bc.value.getOrElse(hex, 0.0)
+        nN += 1
+      }
+      var i = 0
+      while (i < toks.length) {
+        add(toks(i))
+        if (i + 1 < toks.length) add(toks(i) + " " + toks(i + 1))
+        i += 1
+      }
+      (nN, lw)
+    }
+    df.withColumn("__s", score(col(text)))
+      .withColumn("n_ngrams", col("__s._1"))
+      .withColumn("log_weight", col("__s._2"))
+      .drop("__s")
+  }
 }

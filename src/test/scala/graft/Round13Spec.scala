@@ -140,4 +140,48 @@ class Round13Spec extends AnyFunSuite with Matchers with SparkTestSession {
     best.values.forall(identity) shouldBe true
     best.size shouldBe 18 // 3 seeds x 6 checks
   }
+
+  test("varpIrf on a VAR(1) equals powers of the fitted A, orth step 0 is Cholesky") {
+    import spark.implicits._
+    import graft.models.VectorAR
+    val rnd = new scala.util.Random(5)
+    val rows = {
+      var x = 1.0; var y = -1.0
+      (0 until 600).map { t =>
+        val nx = 0.3 + 0.5 * x + 0.2 * y + rnd.nextGaussian() * 0.2
+        val ny = -0.1 + 0.1 * x + 0.4 * y + rnd.nextGaussian() * 0.2
+        x = nx; y = ny
+        ("k", t.toLong, x, y)
+      }
+    }
+    val df = rows.toDF("key", "ts_nanos", "x", "y")
+    val names = Seq("x", "y")
+    val fit = VectorAR.varpFit(df, 1, names).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    val a = Array.tabulate(2, 2)((i, j) => fit((names(i), names(j), 1)))
+    val irf = VectorAR.varpIrf(df, 1, 3, names).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3)) ->
+        ((r.getDouble(4), r.getDouble(5)))).toMap
+    // Φ_s = A^s for VAR(1)
+    def matPow(m: Array[Array[Double]], s: Int): Array[Array[Double]] =
+      (1 until s).foldLeft(m)((acc, _) => Array.tabulate(2, 2)((i, j) =>
+        (0 until 2).map(q => acc(i)(q) * m(q)(j)).sum))
+    for (s <- 1 to 3; i <- 0 until 2; j <- 0 until 2)
+      irf((s, names(j), names(i)))._1 shouldBe matPow(a, s)(i)(j) +- 1e-9
+    // step 0: identity (plain) and lower-triangular Cholesky (orth)
+    irf((0, "x", "x"))._1 shouldBe 1.0
+    irf((0, "y", "x"))._1 shouldBe 0.0
+    irf((0, "y", "x"))._2 shouldBe 0.0 // upper element of lower-tri P
+    irf((0, "x", "x"))._2 should be > 0.0
+    // FEVD shares: nonnegative, sum to 1 per variable
+    val fevd = VectorAR.varpFevd(df, 1, 4, names).collect()
+      .map(r => (r.getString(1), r.getString(2)) -> r.getDouble(4)).toMap
+    for (v <- names) {
+      val shares = names.map(sh => fevd((v, sh)))
+      all(shares) should be >= 0.0
+      shares.sum shouldBe 1.0 +- 1e-9
+    }
+    // own-shock share dominates at short horizons for this near-diagonal A
+    fevd(("x", "x")) should be > 0.5
+  }
 }

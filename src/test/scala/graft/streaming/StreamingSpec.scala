@@ -302,6 +302,37 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally query.stop()
   }
 
+  test("streaming DSIR scoring matches the batch operator per document") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val raw = Seq((0L, "apple pie apple tart"), (1L, "zebra okapi quagga"),
+      (2L, "apple zebra mixed bag"), (3L, "lone"))
+      .toDF("doc_id", "text")
+    val target = Seq((9L, "apple pie apple strudel")).toDF("doc_id", "text")
+    val ratio = graft.text.Dsir.dsirRatioMap(raw, target)
+    val batch = graft.text.Dsir.dsirLogWeights(raw, target).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val input = MemoryStream[(Long, String)]
+    val out = graft.text.Dsir.streamingDsirScore(
+      input.toDF().toDF("doc_id", "text"), ratio)
+    val query = out.writeStream.format("memory").queryName("dsir_out")
+      .outputMode("append").start()
+    try {
+      input.addData((0L, "apple pie apple tart"), (1L, "zebra okapi quagga"))
+      query.processAllAvailable()
+      input.addData((2L, "apple zebra mixed bag"), (3L, "lone"))
+      query.processAllAvailable()
+      val got = s.sql("SELECT doc_id, n_ngrams, log_weight FROM dsir_out")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      got.keySet shouldBe batch.keySet
+      for ((id, (n, lw)) <- batch) {
+        got(id)._1 shouldBe n
+        got(id)._2 shouldBe lw +- 1e-9
+      }
+    } finally query.stop()
+  }
+
   test("streaming space-saving heavy hitters hold the Metwally bounds") {
     val s = spark
     import s.implicits._
