@@ -232,6 +232,15 @@ def roll_median(df, n, align="right", key="key", ts="ts_nanos", value="value"):
         df._jdf, int(n), roll_align(jvm, align), key, ts, value))
 
 
+def roll_quantile(df, n, q, align="right", key="key", ts="ts_nanos",
+                  value="value"):
+    """Exact rolling nearest-rank quantile (the ceil(q*n)-th smallest of
+    each full window) — rolling p95/p99 latency-style monitors."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.ts.TimeSeriesOps.rollQuantile(
+        df._jdf, int(n), float(q), roll_align(jvm, align), key, ts, value))
+
+
 def seasonal_decompose(df, period, key="key", ts="ts_nanos", value="value"):
     """Additive decomposition: adds trend / seasonal / resid columns."""
     spark, jvm = ctx(df)
@@ -539,3 +548,16 @@ def varp_fevd(df, p, h, value_cols, key="key", ts="ts_nanos"):
         jl.add(str(c))
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.varpFevd(
         df._jdf, int(p), int(h), jl, key, ts))
+
+
+def varp_forecast_intervals(df, p, h, value_cols, level=0.95, key="key",
+                            ts="ts_nanos"):
+    """h-step VAR(p) forecast with normal-theory prediction bands:
+    columns (key, step, ts, eq, value, se, lo, hi); point values identical
+    to varp_forecast."""
+    spark, jvm = ctx(df)
+    jl = jvm.java.util.ArrayList()
+    for c in value_cols:
+        jl.add(str(c))
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.varpForecastIntervals(
+        df._jdf, int(p), int(h), jl, float(level), key, ts))

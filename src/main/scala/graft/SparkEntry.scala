@@ -835,6 +835,17 @@ object SparkEntry {
           round(col("log_det_sigma"), 6).as("log_det_sigma"),
           round(col("aic"), 6).as("aic"), round(col("bic"), 6).as("bic"),
           round(col("hqic"), 6).as("hqic"))),
+    "m38_varp_intervals" -> ((s, dir) =>
+      // 5-step VAR(2) forecast with 95% normal-theory prediction bands
+      // (MSE(h) = sum of phi Sigma phi' from the same streamed fit);
+      // point values identical to m33 by construction — asserted in mr17
+      graft.models.VectorAR.varpForecastIntervals(dailyTriple(s, dir), 2, 5,
+        Seq("v", "cnt", "mkt"), key = "user_id", ts = "day_us")
+        .select(col("key").cast("long").as("user_id"),
+          col("step").cast("long").as("step"), col("ts").as("day_us"),
+          col("eq"), round(col("value"), 6).as("value"),
+          round(col("se"), 6).as("se"), round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"))),
     "m36_varp_irf" -> ((s, dir) =>
       // impulse responses (plain + Cholesky-orthogonalized) of the m32
       // trivariate VAR(2), horizons 0..4; Φ recursion + Θ = Φ·chol(Σ̂) in
@@ -997,6 +1008,12 @@ object SparkEntry {
       TS.rollMedian(obs(s, dir), 7, RollAlign.Right,
         key = "user_id", ts = "ts_us", value = "value")
         .select(col("user_id"), col("ts_us"), col("value").as("roll_med"))),
+    "ts49_rollquantile" -> ((s, dir) =>
+      // trailing-10 rolling p90 (nearest-rank: the 9th smallest, a real
+      // element — unrounded, engine-exact; the standard latency monitor)
+      TS.rollQuantile(obs(s, dir), 10, 0.9, RollAlign.Right,
+        key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("ts_us"), col("value").as("roll_p90"))),
     "ts33_cusum" -> ((s, dir) =>
       // standardized-CUSUM mean-shift changepoint per user series
       TS.cusumChangepoint(obs(s, dir), key = "user_id", ts = "ts_us", value = "value")
@@ -2186,6 +2203,15 @@ object SparkEntry {
          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
            ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
          ) t WHERE c = 7""",
+    // nearest-rank: the ceil(0.9*10) = 9th smallest element of the full
+    // window — element selection, no interpolation, engine-exact
+    "ts49_rollquantile" ->
+      """SELECT user_id, ts_us, list_sort(l)[9] AS roll_p90 FROM (
+         SELECT user_id, epoch_us(ts) AS ts_us,
+           list(value) OVER w AS l, count(value) OVER w AS c
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+         ) t WHERE c = 10""",
     "ts33_cusum" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
          st AS (SELECT user_id, ts_us, value,

@@ -350,6 +350,11 @@ object JavaPipelineOps {
     graft.ts.TimeSeriesOps.rollMedian(df, n, JavaTimeSeriesOps.alignOf(alignment),
       key, ts, value)
 
+  def rollQuantile(df: DataFrame, n: Int, q: Double, alignment: String,
+      key: String, ts: String, value: String): DataFrame =
+    graft.ts.TimeSeriesOps.rollQuantile(df, n, q,
+      JavaTimeSeriesOps.alignOf(alignment), key, ts, value)
+
   def seasonalDecompose(df: DataFrame, period: Int,
       key: String, ts: String, value: String): DataFrame =
     graft.ts.TimeSeriesOps.seasonalDecompose(df, period, key, ts, value)
@@ -610,6 +615,14 @@ object JavaPipelineOps {
       valueCols: java.util.List[String], key: String, ts: String): DataFrame = {
     import scala.jdk.CollectionConverters._
     graft.models.VectorAR.varpFevd(df, p, h, valueCols.asScala.toSeq, key, ts)
+  }
+
+  def varpForecastIntervals(df: DataFrame, p: Int, h: Int,
+      valueCols: java.util.List[String], level: Double, key: String,
+      ts: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.models.VectorAR.varpForecastIntervals(df, p, h,
+      valueCols.asScala.toSeq, level, key, ts)
   }
 
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, idCol: String,

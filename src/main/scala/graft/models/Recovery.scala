@@ -377,7 +377,9 @@ object Recovery {
     "irf" -> Seq("phi0_is_identity", "orth_step0_lower_triangular",
       "phi1_matches_planted", "phi2_matches_planted",
       "fevd_shares_sum_to_one", "fevd_shares_nonnegative",
-      "irf_consistent_with_fit"))
+      "irf_consistent_with_fit", "interval_point_matches_forecast",
+      "interval_se_nondecreasing", "interval_se1_matches_noise",
+      "interval_brackets_point"))
 
   /** mr13 — bivariate VAR(1) recovery, certifying the DISTRIBUTED
     * [[graft.ts.TimeSeriesOps.varFit]] (not a local twin): simulate
@@ -579,6 +581,12 @@ object Recovery {
     val fit = VectorAR.varpFit(df, 2, names).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)) ->
         r.getDouble(4)).toMap
+    val fc = VectorAR.varpForecast(df, 2, 4, names).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(3)) -> r.getDouble(4))
+      .toMap
+    val iv = VectorAR.varpForecastIntervals(df, 2, 4, names).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(3)) ->
+        ((r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
     // planted Φ_2 = A₁² + A₂
     val phi2T = Array.tabulate(n, n) { (i, j) =>
       (0 until n).map(q => a1(i)(q) * a1(q)(j)).sum + a2(i)(j)
@@ -605,6 +613,17 @@ object Recovery {
       }
       val replayErr = (for (ri <- 0 until n; ci <- 0 until n) yield
         math.abs(irf((k, 2, names(ci), names(ri)))._1 - phi2R(ri)(ci))).max
+      // intervals: point identical to varpForecast (same recursion, two
+      // operators), se nondecreasing in h (MSE is a sum of PSD terms),
+      // step-1 se = sqrt(sigma_ii) ~ the planted 0.1 noise, band brackets
+      val ptOk = (for (s2 <- 1 to 4; e <- names) yield
+        math.abs(iv((k, s2, e))._1 - fc((k, s2, e)))).max < 1e-12
+      val seMono = names.forall(e => (1 to 3).forall(s2 =>
+        iv((k, s2 + 1, e))._2 >= iv((k, s2, e))._2))
+      val se1Ok = names.forall(e => math.abs(iv((k, 1, e))._2 - 0.1) < 0.01)
+      val bracketOk = (1 to 4).forall(s2 => names.forall { e =>
+        val (v, _, lo, hi) = iv((k, s2, e)); lo < v && v < hi
+      })
       Seq(
         (k, "phi0_is_identity", id0),
         (k, "orth_step0_lower_triangular", lower),
@@ -612,7 +631,11 @@ object Recovery {
         (k, "phi2_matches_planted", phi2Err < 0.1),
         (k, "fevd_shares_sum_to_one", sumOk),
         (k, "fevd_shares_nonnegative", nonNeg),
-        (k, "irf_consistent_with_fit", replayErr < 1e-9))
+        (k, "irf_consistent_with_fit", replayErr < 1e-9),
+        (k, "interval_point_matches_forecast", ptOk),
+        (k, "interval_se_nondecreasing", seMono),
+        (k, "interval_se1_matches_noise", se1Ok),
+        (k, "interval_brackets_point", bracketOk))
     }
     rows.toDF("key", "check_name", "ok")
   }

@@ -186,6 +186,29 @@ object TimeSeriesOps {
     rollAgg(df, n, align, percentile(_, lit(0.5)), key, ts, value)
 
   /**
+   * Sliding exact nearest-rank quantile of width n: the ceil(q·n)-th
+   * smallest value of each full window (the quantile_disc convention —
+   * an ELEMENT of the window, no interpolation arithmetic, so the result
+   * is engine-exact and tie-robust where a continuous quantile is not).
+   * Rolling p95/p99 is the standard latency/threshold monitor over event
+   * series. Full windows only, same contract as the other roll ops.
+   */
+  def rollQuantile(df: DataFrame, n: Int, q: Double,
+      align: RollAlign.Value = RollAlign.Right, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    require(q > 0 && q <= 1, "0 < q <= 1")
+    val idx = math.ceil(q * n).toInt
+    // the OVER must attach to the aggregate itself (collect_list); the
+    // sort + element pick are post-window scalar ops
+    val frame = rollFrame(wKey(key, ts), n, align)
+    df.withColumn("__l", collect_list(col(value)).over(frame))
+      .withColumn("__cnt", count(col(value)).over(frame))
+      .filter(col("__cnt") === n) // full windows only
+      .withColumn(value, element_at(sort_array(col("__l")), idx))
+      .drop("__l", "__cnt")
+  }
+
+  /**
    * Classical additive seasonal decomposition (decompose-style):
    * trend = centered moving average of ODD width `period` (full windows
    * only, null at the edges); seasonal = per-phase mean of the detrended

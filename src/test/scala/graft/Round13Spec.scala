@@ -184,4 +184,58 @@ class Round13Spec extends AnyFunSuite with Matchers with SparkTestSession {
     // own-shock share dominates at short horizons for this near-diagonal A
     fevd(("x", "x")) should be > 0.5
   }
+
+  test("rollQuantile is the nearest-rank element of each full window") {
+    import spark.implicits._
+    val df = (1 to 8).map(t => ("k", t.toLong, t.toDouble)).toDF("key", "ts_nanos", "value")
+    // width 4, q=0.75 -> ceil(3) = 3rd smallest of the trailing 4
+    val out = graft.ts.TimeSeriesOps.rollQuantile(df, 4, 0.75)
+      .orderBy("ts_nanos").collect().map(r => r.getLong(1) -> r.getDouble(2))
+    out shouldBe Array(4L -> 3.0, 5L -> 4.0, 6L -> 5.0, 7L -> 6.0, 8L -> 7.0)
+    // q=1 is the window max
+    val mx = graft.ts.TimeSeriesOps.rollQuantile(df, 4, 1.0)
+      .orderBy("ts_nanos").collect().map(_.getDouble(2))
+    mx shouldBe Array(4.0, 5.0, 6.0, 7.0, 8.0)
+  }
+
+  test("normalQuantile matches known standard-normal quantiles") {
+    import graft.models.VectorAR.normalQuantile
+    normalQuantile(0.5) shouldBe 0.0 +- 1e-9
+    normalQuantile(0.975) shouldBe 1.959963984540054 +- 1e-8
+    normalQuantile(0.95) shouldBe 1.6448536269514722 +- 1e-8
+    normalQuantile(0.025) shouldBe -1.959963984540054 +- 1e-8
+    normalQuantile(0.999) shouldBe 3.090232306167813 +- 1e-7
+    normalQuantile(0.001) shouldBe -3.090232306167813 +- 1e-7
+  }
+
+  test("varpForecastIntervals: points match varpForecast, bands widen with h") {
+    import spark.implicits._
+    import graft.models.VectorAR
+    val rnd = new scala.util.Random(9)
+    val rows = {
+      var x = 0.0; var y = 0.0
+      (0 until 400).map { t =>
+        val nx = 0.2 + 0.5 * x + 0.1 * y + rnd.nextGaussian() * 0.3
+        val ny = -0.1 + 0.2 * x + 0.4 * y + rnd.nextGaussian() * 0.3
+        x = nx; y = ny
+        ("k", t.toLong, x, y)
+      }
+    }
+    val df = rows.toDF("key", "ts_nanos", "x", "y")
+    val names = Seq("x", "y")
+    val fc = VectorAR.varpForecast(df, 1, 3, names).collect()
+      .map(r => (r.getInt(1), r.getString(3)) -> r.getDouble(4)).toMap
+    val iv = VectorAR.varpForecastIntervals(df, 1, 3, names).collect()
+      .map(r => (r.getInt(1), r.getString(3)) ->
+        ((r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))).toMap
+    for (s <- 1 to 3; e <- names) {
+      iv((s, e))._1 shouldBe fc((s, e)) +- 1e-12
+      val (v, se, lo, hi) = iv((s, e))
+      se should be > 0.0
+      lo shouldBe (v - 1.959963984540054 * se) +- 1e-9
+      hi shouldBe (v + 1.959963984540054 * se) +- 1e-9
+    }
+    for (e <- names; s <- 1 to 2)
+      iv((s + 1, e))._2 should be >= iv((s, e))._2
+  }
 }

@@ -167,6 +167,32 @@ def main() -> int:
     gr = graft.timeseries.granger_lag_p(
         daily3, 1, key="user_id", ts="day_us", y="v", x="cnt")
     assert gr.count() > 0 and "f_stat" in gr.columns
+    # round-13 multivariate surface: order selection, IRF/FEVD, intervals
+    ords = graft.timeseries.varp_order_select(
+        daily3, 2, ["v", "cnt"], key="user_id", ts="day_us")
+    assert ords.count() > 0 and "bic" in ords.columns
+    best = graft.timeseries.varp_best_order(
+        daily3, 2, ["v", "cnt"], key="user_id", ts="day_us")
+    assert set(best.columns) == {"key", "best_aic", "best_bic", "best_hqic"}
+    irf = graft.timeseries.varp_irf(
+        daily3, 1, 2, ["v", "cnt"], key="user_id", ts="day_us")
+    assert irf.count() > 0 and "irf_orth" in irf.columns
+    fev = graft.timeseries.varp_fevd(
+        daily3, 1, 3, ["v", "cnt"], key="user_id", ts="day_us")
+    assert fev.count() > 0 and "fevd" in fev.columns
+    ivs = graft.timeseries.varp_forecast_intervals(
+        daily3, 1, 2, ["v", "cnt"], key="user_id", ts="day_us")
+    assert ivs.count() > 0 and {"se", "lo", "hi"} <= set(ivs.columns)
+    rq = graft.timeseries.roll_quantile(
+        events.select("user_id", "ts_us", "value"), 5, 0.9,
+        key="user_id", ts="ts_us", value="value")
+    assert rq.count() > 0
+    # DSIR weights + deterministic resample through the wrappers
+    tgt = docs.filter(F.col("source").isin("src0", "src1"))
+    dw = graft.text.dsir_log_weights(docs, tgt)
+    assert dw.count() == docs.count() and "log_weight" in dw.columns
+    ds = graft.text.dsir_sample(docs, tgt, 10)
+    assert ds.count() == 10
     capd = graft.text.stratum_cap_sample(docs, 5)
     per = capd.groupBy("source").count().agg(F.max("count")).head()[0]
     assert per <= 5, per
