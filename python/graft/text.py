@@ -352,3 +352,12 @@ def dsir_sample(raw, target, k, hex_chars=3, alpha=1.0, seed=42,
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.dsirSample(
         raw._jdf, target._jdf, int(k), int(hex_chars), float(alpha),
         int(seed), id_col, text))
+
+
+def ccnet_buckets(df, lo=1.0/3, hi=2.0/3, strata="source", id_col="doc_id",
+                  text="text"):
+    """CCNet head/middle/tail perplexity tiers per stratum (bigram-LM
+    perplexity, exact per-stratum quantile thresholds)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.ccnetBuckets(
+        df._jdf, float(lo), float(hi), strata, id_col, text))

@@ -637,6 +637,7 @@ object SparkEntry {
     "mr15_granger_recover" -> ((s, _) => graft.models.Recovery.grangerRecover(s)),
     "mr16_order_recover" -> ((s, _) => graft.models.Recovery.orderRecover(s)),
     "mr17_irf_recover" -> ((s, _) => graft.models.Recovery.irfRecover(s)),
+    "mr18_logit_recover" -> ((s, _) => graft.models.Recovery.logitRecover(s)),
 
     // ---------------- round-8: in-query recall certification of the
     // approximate sm/dd surface (the mr* pattern for ANN/near-dup — exact
@@ -704,6 +705,29 @@ object SparkEntry {
       graft.text.TextFunctions.stratumCapSample(Tables.documents(s, dir),
         cap = 20)
         .select(col("source"), col("doc_id"), col("sample_key"))),
+    "qc01_quality_logit" -> ((s, dir) => {
+      // model-based quality classifier (C4-style curated-vs-crawl
+      // discriminator): Newton/IRLS logistic regression on the cheap
+      // quality signals, one corpus pass per iteration, (k+1)^2 partials
+      // combined on the driver in partition order (bit-deterministic);
+      // the fit is not SQL-expressible -> rows-only; mr18 certifies
+      // coefficient recovery + MLE calibration on planted data
+      val feats = Seq("mean_token_len", "punct_ratio", "digit_ratio",
+        "stopword_ratio")
+      val base = graft.text.TextFunctions.qualitySignals(Tables.documents(s, dir))
+        .withColumn("label",
+          when(col("source").isin("src0", "src1", "src2"), 1.0).otherwise(0.0))
+        .filter(feats.map(c => col(c).isNotNull).reduce(_ && _))
+      val fit = graft.models.Logistic.logisticFit(base, "label", feats)
+      graft.models.Logistic.logisticScore(base, fit, feats)
+        .select(col("doc_id"), col("label").cast("long").as("label"),
+          round(col("score"), 6).as("score"))
+    }),
+    "smp09_ccnet_buckets" -> ((s, dir) =>
+      // CCNet head/middle/tail perplexity tiers per source: per-doc bigram
+      // LM perplexity, per-stratum exact quantile thresholds broadcast
+      // back, one comparison map — no stratum-wide sort
+      graft.text.TextFunctions.ccnetBuckets(Tables.documents(s, dir))),
     "smp07_dsir_weights" -> ((s, dir) => {
       // DSIR importance weights (Xie et al. 2023): hashed-ngram likelihood
       // ratio of the src0-src2 "target" slice vs the whole corpus. Bucket
@@ -1491,6 +1515,32 @@ object SparkEntry {
     // the Gumbel uniform's hex-to-int runs as exact integer arithmetic over
     // the md5 chars (every partial sum < 2^52 -> exactly representable, so
     // summation order cannot change the value)
+    "smp09_ccnet_buckets" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+           FROM documents),
+         bg AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+           FROM t, UNNEST(range(1, len(toks))) AS u(i)),
+         c AS (SELECT doc_id, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         v AS (SELECT bigram, sum(cnt) AS cb FROM c GROUP BY bigram),
+         pv AS (SELECT string_split(bigram, ' ')[1] AS w1, sum(cb) AS cu
+           FROM v GROUP BY 1),
+         d AS (SELECT doc_id,
+             round(exp(round(-sum(cnt * ln(cb::DOUBLE / cu)) / sum(cnt), 6)), 6)
+               AS perplexity
+           FROM c JOIN v USING (bigram)
+             JOIN pv ON string_split(bigram, ' ')[1] = pv.w1
+           GROUP BY doc_id),
+         sc AS (SELECT s.source, d.doc_id, d.perplexity
+           FROM d JOIN documents s USING (doc_id)),
+         th AS (SELECT source,
+             quantile_cont(perplexity, 1.0/3) AS lo,
+             quantile_cont(perplexity, 2.0/3) AS hi
+           FROM sc GROUP BY source)
+         SELECT sc.source, sc.doc_id, sc.perplexity,
+           CASE WHEN sc.perplexity <= th.lo THEN 'head'
+                WHEN sc.perplexity <= th.hi THEN 'middle'
+                ELSE 'tail' END AS bucket
+         FROM sc JOIN th USING (source)""",
     "smp07_dsir_weights" ->
       """WITH toks AS (
            SELECT doc_id, source,
@@ -2995,6 +3045,7 @@ object SparkEntry {
     "mr15_granger_recover" -> graft.models.Recovery.oracleFor("granger"),
     "mr16_order_recover" -> graft.models.Recovery.oracleFor("order"),
     "mr17_irf_recover" -> graft.models.Recovery.oracleFor("irf"),
+    "mr18_logit_recover" -> graft.models.Recovery.oracleFor("logit"),
     "rc01_lsh_recall" -> graft.sim.Recall.oracleFor("lsh"),
     "rc02_ivf_recall" -> graft.sim.Recall.oracleFor("ivf"),
     "rc03_pq_recall" -> graft.sim.Recall.oracleFor("pq"),

@@ -636,4 +636,23 @@ object JavaPipelineOps {
   def dsirSample(raw: DataFrame, target: DataFrame, k: Int, hexChars: Int,
       alpha: Double, seed: Long, idCol: String, text: String): DataFrame =
     graft.text.Dsir.dsirSample(raw, target, k, hexChars, alpha, seed, idCol, text)
+
+  def ccnetBuckets(df: DataFrame, lo: Double, hi: Double, strata: String,
+      idCol: String, text: String): DataFrame =
+    graft.text.TextFunctions.ccnetBuckets(df, lo, hi, strata, idCol, text)
+
+  def logisticFit(df: DataFrame, labelCol: String,
+      featureCols: java.util.List[String], maxIter: Int,
+      tol: Double): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.models.Logistic.logisticFit(df, labelCol, featureCols.asScala.toSeq,
+      maxIter, tol)
+  }
+
+  def logisticScore(df: DataFrame, coefs: DataFrame,
+      featureCols: java.util.List[String], scoreCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.models.Logistic.logisticScore(df, coefs, featureCols.asScala.toSeq,
+      scoreCol)
+  }
 }

@@ -2,6 +2,7 @@ package graft.models
 
 import org.apache.commons.math3.random.MersenneTwister
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{avg, col, when}
 
 import graft.stats.StatTests
 
@@ -374,6 +375,8 @@ object Recovery {
     "order" -> Seq("all_orders_scored", "bic_selects_true_order",
       "hqic_selects_true_order", "true_order_beats_underfit",
       "best_aic_at_least_true", "sigma_matches_noise"),
+    "logit" -> Seq("coefs_recovered", "converged", "score_calibrated",
+      "separates"),
     "irf" -> Seq("phi0_is_identity", "orth_step0_lower_triangular",
       "phi1_matches_planted", "phi2_matches_planted",
       "fevd_shares_sum_to_one", "fevd_shares_nonnegative",
@@ -638,6 +641,48 @@ object Recovery {
         (k, "interval_brackets_point", bracketOk))
     }
     rows.toDF("key", "check_name", "ok")
+  }
+
+  /** mr18 — logistic-regression recovery through the DISTRIBUTED
+    * [[graft.models.Logistic.logisticFit]]: simulate y ~
+    * Bernoulli(sigmoid(β·x)) on seeded Gaussian features, fit through the
+    * real operator, recover every coefficient within tolerance (n = 4000
+    * ⇒ se ≈ 0.05; bound 0.25 is ~5σ). `score_calibrated` is a THEOREM of
+    * the intercept-bearing MLE at convergence: the score equation forces
+    * Σ(y − p̂) = 0, so mean(score) = mean(y) to the solver tolerance.
+    * `separates` checks the fitted scores actually rank positives above
+    * negatives. */
+  def logitRecover(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val bTrue = Array(-0.5, 1.2, -0.8) // intercept, x1, x2
+    val rows = seeds3.flatMap { case (k, seed) =>
+      val r = new MersenneTwister(seed)
+      (0 until 4000).map { i =>
+        val x1 = r.nextGaussian(); val x2 = r.nextGaussian()
+        val p = 1.0 / (1.0 + math.exp(-(bTrue(0) + bTrue(1) * x1 + bTrue(2) * x2)))
+        val y = if (r.nextDouble() < p) 1.0 else 0.0
+        (k, i.toLong, x1, x2, y)
+      }
+    }
+    val df = rows.toDF("key", "i", "x1", "x2", "y")
+    val out = seeds3.flatMap { case (k, _) =>
+      val sub = df.filter(col("key") === k)
+      val fit = Logistic.logisticFit(sub, "y", Seq("x1", "x2"))
+      val coefs = fit.collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getBoolean(3)))).toMap
+      val errs = Seq("intercept" -> bTrue(0), "x1" -> bTrue(1), "x2" -> bTrue(2))
+        .map { case (t, v) => math.abs(coefs(t)._1 - v) }
+      val scored = Logistic.logisticScore(sub, fit, Seq("x1", "x2"))
+      val stats = scored.agg(avg(col("score")), avg(col("y")),
+        avg(when(col("y") === 1.0, col("score"))),
+        avg(when(col("y") === 0.0, col("score")))).head()
+      Seq(
+        (k, "coefs_recovered", errs.max < 0.25),
+        (k, "converged", coefs("intercept")._2),
+        (k, "score_calibrated", math.abs(stats.getDouble(0) - stats.getDouble(1)) < 1e-6),
+        (k, "separates", stats.getDouble(2) > stats.getDouble(3) + 0.1))
+    }
+    out.toDF("key", "check_name", "ok")
   }
 
   /** mr15 — lag-p Granger recovery through the DISTRIBUTED

@@ -76,10 +76,13 @@ object Dsir {
       text: String = "text"): DataFrame = {
     require(hexChars >= 1 && hexChars <= 8, "1 <= hexChars <= 8")
     val d = math.pow(16.0, hexChars)
-    // the two bucket tables are <= 16^hexChars rows: collect the TARGET
-    // side's totals via one small agg each, broadcast both joins
-    val tCounts = bucketCounts(target, idCol, text, hexChars)
-    val rCounts = bucketCounts(raw, idCol, text, hexChars)
+    // the two bucket tables are <= 16^hexChars rows; materialize them ONCE
+    // (localCheckpoint) — each feeds a total-count action AND the ratio
+    // join, and without it every consumer re-runs the corpus explode
+    // (measured 3 raw-corpus passes -> 2: the count pass and the per-doc
+    // scoring pass, which genuinely needs the doc detail)
+    val tCounts = bucketCounts(target, idCol, text, hexChars).localCheckpoint()
+    val rCounts = bucketCounts(raw, idCol, text, hexChars).localCheckpoint()
     val tTot = tCounts.agg(sum(col("c"))).head().getLong(0).toDouble
     val rTot = rCounts.agg(sum(col("c"))).head().getLong(0).toDouble
     // every n-gram scored comes from the raw corpus, so raw count >= 1 on
@@ -140,8 +143,8 @@ object Dsir {
       text: String = "text"): Map[String, Double] = {
     require(hexChars >= 1 && hexChars <= 8, "1 <= hexChars <= 8")
     val d = math.pow(16.0, hexChars)
-    val tCounts = bucketCounts(target, idCol, text, hexChars)
-    val rCounts = bucketCounts(raw, idCol, text, hexChars)
+    val tCounts = bucketCounts(target, idCol, text, hexChars).localCheckpoint()
+    val rCounts = bucketCounts(raw, idCol, text, hexChars).localCheckpoint()
     val tTot = tCounts.agg(sum(col("c"))).head().getLong(0).toDouble
     val rTot = rCounts.agg(sum(col("c"))).head().getLong(0).toDouble
     rCounts

@@ -334,6 +334,39 @@ object TextFunctions {
         col("perplexity"), col("keep"))
 
   /**
+   * CCNet-style perplexity bucketing: within every stratum, split
+   * documents into `head` / `middle` / `tail` at the `lo` and `hi`
+   * perplexity quantiles (CCNet keeps the low-perplexity head as the
+   * high-quality slice and optionally discards the tail — Wenzek et al.,
+   * "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+   * Data"). Perplexity is the corpus-fit bigram LM's ([[bigramLogProb]]),
+   * thresholds are exact interpolated quantiles over the ROUNDED
+   * perplexities (engine-stable: both sides of the comparison are
+   * 6-decimal values and the quantile of identical inputs is identical).
+   *
+   * Shape: the per-doc scoring pipeline, one per-stratum quantile
+   * aggregate (stratum-cardinality rows, broadcast back), one comparison
+   * map. No stratum-wide sort or window.
+   */
+  def ccnetBuckets(df: DataFrame, lo: Double = 1.0 / 3, hi: Double = 2.0 / 3,
+      strata: String = "source", idCol: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    require(0 < lo && lo < hi && hi < 1, "0 < lo < hi < 1")
+    val scored = bigramLogProb(df, idCol, text)
+      .withColumn("perplexity", round(exp(col("avg_neg_logprob")), 6))
+      .join(df.select(col(idCol), col(strata)), Seq(idCol))
+    val th = scored.groupBy(col(strata)).agg(
+      percentile(col("perplexity"), lit(lo)).as("__lo"),
+      percentile(col("perplexity"), lit(hi)).as("__hi"))
+    scored.join(broadcast(th), Seq(strata))
+      .withColumn("bucket",
+        when(col("perplexity") <= col("__lo"), lit("head"))
+          .when(col("perplexity") <= col("__hi"), lit("middle"))
+          .otherwise(lit("tail")))
+      .select(col(strata), col(idCol), col("perplexity"), col("bucket"))
+  }
+
+  /**
    * Per-document top-k TF-IDF terms (tfidf = tf · ln(N / df), ranked on the
    * 6-decimal-rounded score with the token string as tie-break): the
    * keyword-extraction primitive. Ranking on the ROUNDED score is what makes

@@ -185,6 +185,33 @@ class Round13Spec extends AnyFunSuite with Matchers with SparkTestSession {
     fevd(("x", "x")) should be > 0.5
   }
 
+  test("logisticFit recovers planted coefficients, calibrates, and separates") {
+    val checks = graft.models.Recovery.logitRecover(spark).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
+    checks.size shouldBe 12 // 3 seeds x 4 checks
+    all(checks.values) shouldBe true
+  }
+
+  test("ccnetBuckets tiers are within-stratum thirds ordered by perplexity") {
+    import spark.implicits._
+    // 9 docs in one source with strictly increasing repetitiveness (lower
+    // bigram diversity -> different perplexity); buckets must be 3/3/3 and
+    // every head perplexity <= every middle <= every tail
+    val docs = (0 until 9).map { i =>
+      val words = (0 to i).map(j => s"w$j")
+      (i.toLong, Iterator.continually(words).flatten.take(30).mkString(" "), "s")
+    }.toDF("doc_id", "text", "source")
+    val out = graft.text.TextFunctions.ccnetBuckets(docs).collect()
+      .map(r => (r.getString(3), r.getDouble(2)))
+    out.length shouldBe 9
+    val byBucket = out.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    byBucket("head").length shouldBe 3
+    byBucket("middle").length shouldBe 3
+    byBucket("tail").length shouldBe 3
+    byBucket("head").max should be <= byBucket("middle").min
+    byBucket("middle").max should be <= byBucket("tail").min
+  }
+
   test("rollQuantile is the nearest-rank element of each full window") {
     import spark.implicits._
     val df = (1 to 8).map(t => ("k", t.toLong, t.toDouble)).toDF("key", "ts_nanos", "value")
