@@ -79,3 +79,12 @@ def mjpeg_decode_table(docs):
     spark, jvm = ctx(docs)
     return lift(spark, jvm.graft.multimodal.Multimodal
                 .mjpegDecodeTable(docs._jdf))
+
+
+def audio_spectral_tilt(assets, window=16):
+    """Integer-exact DC/Nyquist/total energy per tumbling PCM frame of
+    really-decoded WAV payloads (crude spectral-tilt discriminator)."""
+    from ._java import ctx, lift
+    spark, jvm = ctx(assets)
+    return lift(spark, jvm.graft.multimodal.Multimodal.audioSpectralTilt(
+        assets._jdf, int(window)))

@@ -361,3 +361,12 @@ def ccnet_buckets(df, lo=1.0/3, hi=2.0/3, strata="source", id_col="doc_id",
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.ccnetBuckets(
         df._jdf, float(lo), float(hi), strata, id_col, text))
+
+
+def contamination_score(train, holdout, k=3, text_col="text",
+                        id_col="doc_id"):
+    """Scored contamination report: per train doc its distinct k-shingle
+    count, holdout hits, and overlap fraction (0-overlap docs included)."""
+    spark, jvm = ctx(train)
+    return lift(spark, jvm.graft.text.Dedup.contaminationScore(
+        train._jdf, holdout._jdf, int(k), text_col, id_col))

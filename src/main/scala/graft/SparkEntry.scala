@@ -486,6 +486,15 @@ object SparkEntry {
         docs.filter(col("doc_id") % 50 =!= 0),
         docs.filter(col("doc_id") % 50 === 0), k = 3)
     }),
+    "dd14_contamination_score" -> ((s, dir) => {
+      // scored contamination report: per train doc, distinct 3-shingles,
+      // holdout hits, overlap fraction (dd08's boolean as a triage score;
+      // 0-overlap docs included — one left-join corpus pass)
+      val docs = Tables.documents(s, dir)
+      graft.text.Dedup.contaminationScore(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), k = 3)
+    }),
     "dd07_dup_stats" -> ((s, dir) =>
       // corpus-level dedup metrics per source: integer-sum ratios are
       // bit-exact vs the oracle, so compared unrounded
@@ -533,6 +542,13 @@ object SparkEntry {
         graft.multimodal.Multimodal.wavAssetsFromDocuments(Tables.documents(s, dir)))
         .select(col("asset_id"), col("decoded_samples"), col("sample_rate"),
           col("channels"), col("sample_sum"))),
+    "mm09_spectral_tilt" -> ((s, dir) =>
+      // integer-exact DC / Nyquist / total energy per 16-sample frame of
+      // REALLY-decoded PCM (the +-1-coefficient DFT bins — no trig parity
+      // risk); the oracle replays the closed-form sample formula
+      graft.multimodal.Multimodal.audioSpectralTilt(
+        graft.multimodal.Multimodal.wavAssetsFromDocuments(Tables.documents(s, dir)),
+        window = 16)),
     "mm05_avi_decode" -> ((s, dir) =>
       // REAL RIFF/AVI container decode certification (mm03's pattern for
       // video): deterministic uncompressed BI_RGB DIB frames in a
@@ -705,6 +721,16 @@ object SparkEntry {
       graft.text.TextFunctions.stratumCapSample(Tables.documents(s, dir),
         cap = 20)
         .select(col("source"), col("doc_id"), col("sample_key"))),
+    "qc02_classifier_metrics" -> ((s, dir) => {
+      // classifier evaluation primitive: bucketed-AUC (tie-adjusted, over
+      // a <= 1000-row histogram — never a corpus sort), Brier, accuracy;
+      // here scoring the closed-form quality heuristic against the
+      // curated-slice label, fully replayed by the DuckDB oracle
+      val scored = graft.text.TextFunctions.qualityScore(Tables.documents(s, dir))
+        .withColumn("label",
+          when(col("source").isin("src0", "src1", "src2"), 1.0).otherwise(0.0))
+      graft.models.Logistic.binaryMetrics(scored, "label", "quality_score")
+    }),
     "qc01_quality_logit" -> ((s, dir) => {
       // model-based quality classifier (C4-style curated-vs-crawl
       // discriminator): Newton/IRLS logistic regression on the cheap
@@ -1515,6 +1541,33 @@ object SparkEntry {
     // the Gumbel uniform's hex-to-int runs as exact integer arithmetic over
     // the md5 chars (every partial sum < 2^52 -> exactly representable, so
     // summation order cannot change the value)
+    "qc02_classifier_metrics" ->
+      """WITH s AS (
+           SELECT
+             CASE WHEN source IN ('src0','src1','src2') THEN 1.0 ELSE 0.0 END AS y,
+             round(greatest(0.0, least(1.0,
+               0.25 * least(len(string_split(text,' ')) / 20.0, 1.0) +
+               0.25 * least((len(list_filter(string_split(text,' '),
+                 x -> x IN ('the','a','an','and','or','of','to','in','is','are','was','that','it','on','for','with','as','this')))::DOUBLE
+                 / len(string_split(text,' '))) * 5.0, 1.0) +
+               0.25 * (1.0 - least(((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE / length(text)) * 4.0, 1.0)) +
+               0.25 * (1.0 - least(((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)) * 4.0, 1.0)))), 6) AS qs
+           FROM documents),
+         b AS (SELECT CAST(least(floor(qs * 1000), 999) AS BIGINT) AS b, y, qs
+               FROM s),
+         agg AS (SELECT count(*) AS n, sum(y) AS np,
+                   avg((qs - y) * (qs - y)) AS brier,
+                   avg(CASE WHEN (qs >= 0.5) = (y = 1.0) THEN 1.0 ELSE 0.0 END)
+                     AS acc
+                 FROM b),
+         h AS (SELECT b, sum(y) AS p, sum(1.0 - y) AS ng FROM b GROUP BY b),
+         c AS (SELECT b, p, ng, coalesce(sum(ng) OVER (ORDER BY b
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cn
+               FROM h),
+         a AS (SELECT sum(p * (cn + ng / 2)) / (sum(p) * sum(ng)) AS auc FROM c)
+         SELECT n::BIGINT AS n, np::BIGINT AS n_pos, round(auc, 6) AS auc,
+           round(brier, 6) AS brier, round(acc, 6) AS accuracy
+         FROM agg, a""",
     "smp09_ccnet_buckets" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
            FROM documents),
@@ -1891,6 +1944,18 @@ object SparkEntry {
          tr AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
          SELECT tr.doc_id, count(DISTINCT tr.sh) AS n_contaminated_shingles
          FROM tr JOIN hold USING (sh) GROUP BY tr.doc_id""",
+    "dd14_contamination_score" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                  range(greatest(len(t)-2,0)),
+                  i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS sh FROM toks),
+         hold AS (SELECT DISTINCT sh, 1 AS hit FROM sh WHERE doc_id % 50 = 0),
+         tr AS (SELECT * FROM sh WHERE doc_id % 50 <> 0)
+         SELECT tr.doc_id, count(*)::BIGINT AS n_shingles,
+           CAST(sum(coalesce(hold.hit, 0)) AS BIGINT) AS n_contaminated,
+           round(sum(coalesce(hold.hit, 0))::DOUBLE / count(*), 6)
+             AS contamination_frac
+         FROM tr LEFT JOIN hold USING (sh) GROUP BY tr.doc_id""",
     "dd07_dup_stats" ->
       """SELECT source, count(*) AS n_docs,
          count(DISTINCT text) AS n_distinct,
@@ -1922,6 +1987,21 @@ object SparkEntry {
          JOIN generate_series(0, 58) AS i(i) ON i.i < d.doc_id % 50 + 10
          WHERE d.doc_id % 3 = 1
          GROUP BY d.doc_id""",
+    "mm09_spectral_tilt" ->
+      """WITH s AS (
+           SELECT d.doc_id AS asset_id, i.i AS i, i.i // 16 AS frame_idx,
+             (d.doc_id * 37 + i.i * 17) % 2003 - 1001 AS v
+           FROM documents d
+           JOIN generate_series(0, 58) AS i(i) ON i.i < d.doc_id % 50 + 10
+           WHERE d.doc_id % 3 = 1)
+         SELECT asset_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(sum(v) * sum(v) AS BIGINT) AS dc_energy,
+           CAST(sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END) *
+                sum(CASE WHEN i % 2 = 0 THEN v ELSE -v END) AS BIGINT)
+             AS nyquist_energy,
+           CAST(sum(v * v) AS BIGINT) AS frame_energy,
+           CAST(count(*) AS INT) AS n_samples
+         FROM s GROUP BY asset_id, frame_idx""",
     "mm05_avi_decode" ->
       """SELECT d.doc_id AS asset_id,
            ((d.doc_id % 6) + 2)::INT AS video_frames,

@@ -260,6 +260,10 @@ object JavaPipelineOps {
       textCol: String, idCol: String): DataFrame =
     graft.text.Dedup.decontaminate(train, holdout, k, textCol, idCol)
 
+  def contaminationScore(train: DataFrame, holdout: DataFrame, k: Int,
+      textCol: String, idCol: String): DataFrame =
+    graft.text.Dedup.contaminationScore(train, holdout, k, textCol, idCol)
+
   def seriesPercentiles(df: DataFrame, percentiles: ju.List[jl.Double],
       key: String, value: String): DataFrame = {
     import scala.jdk.CollectionConverters._

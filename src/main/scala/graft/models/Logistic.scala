@@ -111,6 +111,48 @@ object Logistic {
     } finally rows.unpersist(false)
   }
 
+  /**
+   * Binary-classifier evaluation in ONE bounded pass: Brier score,
+   * accuracy at 0.5, and the bucketed AUC — scores quantized to
+   * `buckets` levels (floor(score·buckets), clamped), ranks computed
+   * over the BUCKET histogram with the standard tie adjustment
+   * (ties contribute half), so the whole computation is one keyed
+   * aggregate over ≤ buckets+1 rows plus a window over that bounded
+   * histogram — never a global sort of the corpus. At 1000 buckets the
+   * quantization error on AUC is < 1e-3 for any score distribution;
+   * exact-tie semantics make the number engine-reproducible (the DuckDB
+   * oracle replays the same histogram).
+   */
+  def binaryMetrics(df: DataFrame, labelCol: String = "label",
+      scoreCol: String = "score", buckets: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, "buckets >= 2")
+    val y = col(labelCol).cast("double")
+    val s = col(scoreCol).cast("double")
+    val base = df.select(
+      least(floor(s * buckets), lit(buckets - 1)).cast("long").as("__b"),
+      y.as("__y"), s.as("__s"))
+    val agg = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("__y")).as("n_pos"),
+      avg(pow(col("__s") - col("__y"), 2)).as("brier"),
+      avg(when((col("__s") >= 0.5) === (col("__y") === 1.0), 1.0)
+        .otherwise(0.0)).as("accuracy"))
+    val hist = base.groupBy(col("__b")).agg(
+      sum(col("__y")).as("p"), sum(lit(1.0) - col("__y")).as("ng"))
+    val w = Window.orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val auc = hist
+      .withColumn("__cumneg", coalesce(sum(col("ng")).over(w), lit(0.0)))
+      .agg(sum(col("p") * (col("__cumneg") + col("ng") / 2)).as("__u"),
+        sum(col("p")).as("__np"), sum(col("ng")).as("__nn"))
+      .select((col("__u") / (col("__np") * col("__nn"))).as("auc"))
+    agg.crossJoin(auc)
+      .select(col("n"), col("n_pos").cast("long").as("n_pos"),
+        round(col("auc"), 6).as("auc"), round(col("brier"), 6).as("brier"),
+        round(col("accuracy"), 6).as("accuracy"))
+  }
+
   /** Apply a [[logisticFit]] coefficient table: adds `score` =
     * sigmoid(β₀ + β·x). Coefficients are collected (k+1 rows — bounded)
     * and folded into one codegen'd column expression — no join, no UDF. */

@@ -376,7 +376,7 @@ object Recovery {
       "hqic_selects_true_order", "true_order_beats_underfit",
       "best_aic_at_least_true", "sigma_matches_noise"),
     "logit" -> Seq("coefs_recovered", "converged", "score_calibrated",
-      "separates"),
+      "separates", "auc_discriminates"),
     "irf" -> Seq("phi0_is_identity", "orth_step0_lower_triangular",
       "phi1_matches_planted", "phi2_matches_planted",
       "fevd_shares_sum_to_one", "fevd_shares_nonnegative",
@@ -676,11 +676,16 @@ object Recovery {
       val stats = scored.agg(avg(col("score")), avg(col("y")),
         avg(when(col("y") === 1.0, col("score"))),
         avg(when(col("y") === 0.0, col("score")))).head()
+      // a planted sigmoid(-0.5 + 1.2x1 - 0.8x2) signal has Bayes AUC
+      // ~0.83; the fitted scores must discriminate near that level
+      val auc = Logistic.binaryMetrics(scored, "y", "score")
+        .head().getAs[Double]("auc")
       Seq(
         (k, "coefs_recovered", errs.max < 0.25),
         (k, "converged", coefs("intercept")._2),
         (k, "score_calibrated", math.abs(stats.getDouble(0) - stats.getDouble(1)) < 1e-6),
-        (k, "separates", stats.getDouble(2) > stats.getDouble(3) + 0.1))
+        (k, "separates", stats.getDouble(2) > stats.getDouble(3) + 0.1),
+        (k, "auc_discriminates", auc > 0.75))
     }
     out.toDF("key", "check_name", "ok")
   }

@@ -569,6 +569,41 @@ object Multimodal {
       }.toDF("asset_id", "window_idx", "energy", "n_samples")
   }
 
+  /**
+   * Integer-exact spectral tilt per tumbling frame of REALLY-decoded PCM:
+   * `dc_energy` = (Σx)² (the k=0 DFT bin's squared magnitude),
+   * `nyquist_energy` = (Σ(−1)ʲxⱼ)² (the k=w/2 bin — ±1 coefficients, so
+   * both are pure integer arithmetic, no trig parity concerns), and the
+   * total frame energy Σx². High nyquist/dc ratio = sample-rate-scale
+   * oscillation (noise/hiss); high dc/total = sustained offset — the
+   * crude-but-honest silence/noise discriminator over real audio frames.
+   */
+  def audioSpectralTilt(assets: DataFrame, window: Int): DataFrame = {
+    val spark = assets.sparkSession
+    import spark.implicits._
+    assets.select(col("asset_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, payload) =>
+          decodeWavSamples(payload).toSeq.flatMap { samples =>
+            samples.grouped(window).zipWithIndex.map { case (g, w) =>
+              var dc = 0L; var ny = 0L; var tot = 0L
+              var j = 0
+              while (j < g.length) {
+                val v = g(j).toLong
+                dc += v
+                ny += (if (j % 2 == 0) v else -v)
+                tot += v * v
+                j += 1
+              }
+              (id, w, dc * dc, ny * ny, tot, g.length)
+            }
+          }
+        }
+      }.toDF("asset_id", "frame_idx", "dc_energy", "nyquist_energy",
+        "frame_energy", "n_samples")
+  }
+
   private def decodeWavSamples(payload: Array[Byte]): Option[Array[Short]] =
     if (payload == null) None
     else try {

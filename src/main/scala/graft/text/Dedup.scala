@@ -192,6 +192,35 @@ object Dedup {
   }
 
   /**
+   * Scored contamination report — [[decontaminate]]'s boolean turned into
+   * the fraction a reviewer actually triages on: per train document, its
+   * distinct k-shingle count, how many of those appear in the holdout,
+   * and the overlap fraction (the "dirty at ≥ x%" threshold is then a
+   * downstream filter, not baked in). Every train doc with ≥ 1 shingle
+   * emits a row (0-overlap docs included — a report, not a join filter).
+   *
+   * Same scale shape as [[decontaminate]]: distinct holdout shingles
+   * (benchmark-sized) joined against the train shingle table on the
+   * shingle key; the per-doc distinct counts are one keyed agg. The
+   * contaminated count comes from a LEFT join + conditional count so the
+   * corpus is scanned once.
+   */
+  def contaminationScore(train: DataFrame, holdout: DataFrame, k: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val trainSh = spread(train).select(col(idCol),
+      explode(shingles(col(textCol), k)).as("__sh")).distinct()
+    val holdSh = spread(holdout)
+      .select(explode(shingles(col(textCol), k)).as("__sh")).distinct()
+      .withColumn("__hit", lit(1))
+    trainSh.join(holdSh, Seq("__sh"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_contaminated"))
+      .withColumn("contamination_frac",
+        round(col("n_contaminated") / col("n_shingles"), 6))
+  }
+
+  /**
    * Duplicate clusters from a near-dup pair list: connected components over
    * the pairs (see [[graft.graph.ConnectedComponents]]), with the smallest
    * doc id in each cluster elected canonical. This is the step that turns

@@ -188,8 +188,27 @@ class Round13Spec extends AnyFunSuite with Matchers with SparkTestSession {
   test("logisticFit recovers planted coefficients, calibrates, and separates") {
     val checks = graft.models.Recovery.logitRecover(spark).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getBoolean(2)).toMap
-    checks.size shouldBe 12 // 3 seeds x 4 checks
+    checks.size shouldBe 15 // 3 seeds x 5 checks
     all(checks.values) shouldBe true
+  }
+
+  test("binaryMetrics AUC matches the hand-computed rank statistic") {
+    import spark.implicits._
+    import graft.models.Logistic
+    // scores 0.1/0.2 negative, 0.8/0.9 positive, one tie pair at 0.5:
+    // U = pairs where pos > neg + half the tied pairs
+    val df = Seq((0.0, 0.1), (0.0, 0.2), (1.0, 0.8), (1.0, 0.9),
+      (0.0, 0.5), (1.0, 0.5)).toDF("label", "score")
+    val m = Logistic.binaryMetrics(df).head()
+    // positives: .8,.9,.5 | negatives: .1,.2,.5
+    // U = (.8>all3)=3 + (.9>all3)=3 + (.5: >.1,.2 =2, tied with .5 = +0.5) = 8.5
+    m.getAs[Double]("auc") shouldBe (8.5 / 9.0) +- 1e-6 // output rounds to 6dp
+    m.getAs[Long]("n") shouldBe 6L
+    m.getAs[Long]("n_pos") shouldBe 3L
+    // brier = mean((s-y)^2), accuracy at 0.5 (ties predict positive)
+    val brier = Seq(0.1, 0.2, 0.2, 0.1, 0.5, 0.5).map(x => x * x).sum / 6
+    m.getAs[Double]("brier") shouldBe brier +- 1e-6
+    m.getAs[Double]("accuracy") shouldBe (5.0 / 6) +- 1e-6
   }
 
   test("ccnetBuckets tiers are within-stratum thirds ordered by perplexity") {
