@@ -74,3 +74,12 @@ def decay_score(df, half_life_us, key="user_id", ts="ts_us", value="value"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.decayScore(
         df._jdf, int(half_life_us), key, ts, value))
+
+
+def conversion_latency(df, from_type, to_type, key="user_id", ts="ts_us",
+                       event_type="event_type"):
+    """First-A -> first-later-B latency distribution: starters, converters,
+    conversion rate, exact latency percentiles (p25/50/75/90, us)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.conversionLatency(
+        df._jdf, from_type, to_type, key, ts, event_type))

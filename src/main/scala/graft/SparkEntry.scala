@@ -1083,6 +1083,11 @@ object SparkEntry {
     "ev03_retention" -> ((s, dir) =>
       // cohort retention grid: first-active day x day offset -> active users
       graft.events.EventOps.retention(Tables.events(s, dir))),
+    "ev11_conversion_latency" -> ((s, dir) =>
+      // first-view -> first-later-purchase latency distribution: one
+      // global aggregate over the user-cardinality funnel table
+      graft.events.EventOps.conversionLatency(Tables.events(s, dir),
+        "view", "purchase")),
     "m21_theilsen" -> ((s, dir) =>
       // robust Theil-Sen slope/intercept per user series. 1e-9 grid
       // quantization makes the medians integer-exact (engines' interpolation
@@ -2387,6 +2392,25 @@ object SparkEntry {
            1 + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
              + CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END AS reached
          FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""",
+    "ev11_conversion_latency" ->
+      """WITH s1 AS (SELECT user_id, min(epoch_us(ts)) AS t_1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+         s2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_2 FROM events e
+           JOIN s1 USING (user_id)
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t_1
+           GROUP BY e.user_id),
+         f AS (SELECT s1.user_id, t_1, t_2, (t_2 - t_1)::DOUBLE AS lat
+               FROM s1 LEFT JOIN s2 USING (user_id))
+         SELECT count(*) AS n_started,
+           CAST(sum(CASE WHEN t_2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_converted,
+           round(avg(CASE WHEN t_2 IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+             AS conversion_rate,
+           quantile_cont(lat, 0.25) AS lat_p25_us,
+           quantile_cont(lat, 0.5) AS lat_p50_us,
+           quantile_cont(lat, 0.75) AS lat_p75_us,
+           quantile_cont(lat, 0.9) AS lat_p90_us
+         FROM f""",
     "ev03_retention" ->
       """WITH active AS (SELECT DISTINCT user_id,
              epoch_us(date_trunc('day', ts)) AS day_us FROM events),

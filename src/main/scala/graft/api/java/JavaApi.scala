@@ -389,6 +389,10 @@ object JavaPipelineOps {
       scala.jdk.CollectionConverters.ListHasAsScala(steps).asScala.toSeq,
       key, ts, eventType)
 
+  def conversionLatency(df: DataFrame, from: String, to: String,
+      key: String, ts: String, eventType: String): DataFrame =
+    graft.events.EventOps.conversionLatency(df, from, to, key, ts, eventType)
+
   def retention(df: DataFrame, key: String, ts: String): DataFrame =
     graft.events.EventOps.retention(df, key, ts)
 

@@ -83,6 +83,32 @@ object EventOps {
   }
 
   /**
+   * Conversion-latency distribution of a two-step funnel: how long users
+   * take from their first `from` event to their first later `to` event —
+   * the product-analytics companion of [[funnel]]. One row: starters,
+   * converters, conversion rate, and exact interpolated latency
+   * percentiles (p25/p50/p75/p90, µs) over the converting users.
+   * Scale shape: the [[funnel]] joins (keyed equi-joins + keyed mins),
+   * then ONE global aggregate over the per-user funnel table (user-
+   * cardinality rows, far below the event log).
+   */
+  def conversionLatency(df: DataFrame, from: String, to: String,
+      key: String = "user_id", ts: String = "ts_us",
+      eventType: String = "event_type"): DataFrame = {
+    val f = funnel(df, Seq(from, to), key, ts, eventType)
+      .withColumn("__lat", (col("t_2") - col("t_1")).cast("double"))
+    f.agg(
+      count(lit(1)).as("n_started"),
+      sum(when(col("t_2").isNotNull, 1L).otherwise(0L)).as("n_converted"),
+      round(avg(when(col("t_2").isNotNull, 1.0).otherwise(0.0)), 6)
+        .as("conversion_rate"),
+      percentile(col("__lat"), lit(0.25)).as("lat_p25_us"),
+      percentile(col("__lat"), lit(0.5)).as("lat_p50_us"),
+      percentile(col("__lat"), lit(0.75)).as("lat_p75_us"),
+      percentile(col("__lat"), lit(0.9)).as("lat_p90_us"))
+  }
+
+  /**
    * Within-session event-type transitions (the first-order Markov table of
    * the event log): one row per (from_type, to_type) with the transition
    * count and the mean gap between the two events in microseconds. Session

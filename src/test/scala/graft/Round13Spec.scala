@@ -192,6 +192,26 @@ class Round13Spec extends AnyFunSuite with Matchers with SparkTestSession {
     all(checks.values) shouldBe true
   }
 
+  test("DSIR and ccnetBuckets plans: broadcast ratio/threshold joins, no corpus Window") {
+    import spark.implicits._
+    import graft.text.{Dsir, TextFunctions}
+    val raw = (0 until 40).map(i =>
+      (i.toLong, s"tok$i alpha beta gamma delta", if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "text", "source")
+    val target = raw.filter($"source" === "a")
+    val wPlan = Dsir.dsirLogWeights(raw, target)
+      .queryExecution.executedPlan.toString
+    // the per-doc scoring join against the bounded ratio table must
+    // broadcast, and nothing in the pipeline may sort a corpus-wide window
+    wPlan should include("BroadcastHashJoin")
+    wPlan should not include "Window"
+    val bPlan = TextFunctions.ccnetBuckets(raw)
+      .queryExecution.executedPlan.toString
+    // per-stratum thresholds broadcast back onto the scored table
+    bPlan should include("BroadcastHashJoin")
+    bPlan should not include "Window"
+  }
+
   test("binaryMetrics AUC matches the hand-computed rank statistic") {
     import spark.implicits._
     import graft.models.Logistic
