@@ -127,17 +127,19 @@ def mann_kendall_all(df, key="key", ts="ts_nanos", value="value"):
     return lift(spark, _m(jvm).mannKendallAll(df._jdf, key, ts, value).toDF())
 
 
-def logistic_fit(df, label_col, feature_cols, max_iter=25, tol=1e-8):
+def logistic_fit(df, label_col, feature_cols, max_iter=25, tol=1e-8,
+                 l2=0.0):
     """Distributed Newton/IRLS logistic regression over numeric feature
     columns: one corpus pass per iteration, bit-deterministic partial
-    combine. Long output (term, coef, iter, converged)."""
+    combine; optional ridge l2 (intercept unpenalized) for separation
+    robustness. Long output (term, coef, iter, converged)."""
     from ._java import ctx, lift
     spark, jvm = ctx(df)
     jl = jvm.java.util.ArrayList()
     for c in feature_cols:
         jl.add(str(c))
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.logisticFit(
-        df._jdf, label_col, jl, int(max_iter), float(tol)))
+        df._jdf, label_col, jl, int(max_iter), float(tol), float(l2)))
 
 
 def logistic_score(df, coefs, feature_cols, score_col="score"):

@@ -142,4 +142,33 @@ public final class JavaApiExample {
     return new long[] {fit.count(), fc.count(), granger.count(),
         capped.count(), keepers.count(), order.count(), bestOrder.count()};
   }
+
+  /** Round-13 surface: IRF/FEVD/intervals, DSIR, logistic, metrics. */
+  public static long[] runRound13(Dataset<Row> docs, Dataset<Row> biv,
+      Dataset<Row> labeled) {
+    java.util.List<String> cols = java.util.Arrays.asList("y", "x");
+    Dataset<Row> irf =
+        JavaPipelineOps.varpIrf(biv, 1, 2, cols, "key", "ts_nanos");
+    Dataset<Row> fevd =
+        JavaPipelineOps.varpFevd(biv, 1, 3, cols, "key", "ts_nanos");
+    Dataset<Row> ivs = JavaPipelineOps.varpForecastIntervals(
+        biv, 1, 2, cols, 0.95, "key", "ts_nanos");
+    Dataset<Row> target = docs.filter("doc_id % 2 = 0");
+    Dataset<Row> weights =
+        JavaPipelineOps.dsirLogWeights(docs, target, 3, 1.0, "doc_id", "text");
+    Dataset<Row> sample =
+        JavaPipelineOps.dsirSample(docs, target, 5, 3, 1.0, 42L, "doc_id", "text");
+    java.util.List<String> feats = java.util.Arrays.asList("x1");
+    Dataset<Row> logit =
+        JavaPipelineOps.logisticFit(labeled, "y", feats, 25, 1e-8, 0.0);
+    Dataset<Row> scored =
+        JavaPipelineOps.logisticScore(labeled, logit, feats, "score");
+    Dataset<Row> metrics = graft.models.Logistic.binaryMetrics(
+        scored, "y", "score", 1000);
+    Dataset<Row> tiers = JavaPipelineOps.ccnetBuckets(
+        docs, 1.0 / 3, 2.0 / 3, "source", "doc_id", "text");
+    return new long[] {irf.count(), fevd.count(), ivs.count(),
+        weights.count(), sample.count(), logit.count(), metrics.count(),
+        tiers.count()};
+  }
 }

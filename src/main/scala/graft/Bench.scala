@@ -62,17 +62,25 @@ object Bench {
       // over a dozen unrelated queries)
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
-    // Cleanup runs at id-prefix BLOCK boundaries, not per query: same-block
-    // neighbors legitimately share cached sub-plans (rc03 reuses rc01's
-    // persisted normalized-embedding frame — a production session would
-    // too), but letting blocks leak into each other grew the block manager
-    // monotonically across 195 queries (per-query dropCaches A/B: honest
-    // but ~11 s slower suite-wide from re-reading what a warm session
-    // would have kept; block-boundary keeps the reuse AND the bound).
+    // Cleanup policy (SPARK_GRAFT_CLEANUP = query | block | none),
+    // settled by a controlled back-to-back A/B (three full suites, same
+    // host state, r13): none 125.6 s, QUERY 124.4 s, block 133.2 s.
+    // Per-query blocking cleanup is fastest-or-equal AND the honest
+    // number — every query sees the same clean block manager an isolated
+    // re-run does (the r12 suite-position-drift adjudication: leftover
+    // cached blocks from earlier queries cost more in GC pressure than
+    // their plan-cache reuse returns; block-boundary is strictly worse,
+    // paying the pressure within big blocks without per-query hygiene).
+    val cleanup = sys.env.getOrElse("SPARK_GRAFT_CLEANUP", "query")
     var lastBlock = ""
     val results = selected.zipWithIndex.map { case ((name, fn), pos) =>
       val block = name.takeWhile(!_.isDigit)
-      if (block != lastBlock) { lastBlock = block; dropCaches(spark); System.gc() }
+      if (cleanup == "query") dropCaches(spark)
+      if (block != lastBlock) {
+        lastBlock = block
+        if (cleanup == "block") dropCaches(spark)
+        System.gc()
+      }
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
         val err: Option[String] =

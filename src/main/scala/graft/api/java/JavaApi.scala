@@ -651,10 +651,10 @@ object JavaPipelineOps {
 
   def logisticFit(df: DataFrame, labelCol: String,
       featureCols: java.util.List[String], maxIter: Int,
-      tol: Double): DataFrame = {
+      tol: Double, l2: Double): DataFrame = {
     import scala.jdk.CollectionConverters._
     graft.models.Logistic.logisticFit(df, labelCol, featureCols.asScala.toSeq,
-      maxIter, tol)
+      maxIter, tol, l2)
   }
 
   def logisticScore(df: DataFrame, coefs: DataFrame,

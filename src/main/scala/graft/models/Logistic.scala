@@ -35,8 +35,9 @@ object Logistic {
    */
   def logisticFit(df: DataFrame, labelCol: String,
       featureCols: Seq[String], maxIter: Int = 25,
-      tol: Double = 1e-8): DataFrame = {
+      tol: Double = 1e-8, l2: Double = 0.0): DataFrame = {
     require(featureCols.nonEmpty, "featureCols must be non-empty")
+    require(l2 >= 0.0, "l2 >= 0")
     val spark = df.sparkSession
     import spark.implicits._
     val k = featureCols.length + 1
@@ -85,8 +86,12 @@ object Logistic {
           i = 0
           while (i < k) { sSum(i) += s(i); i += 1 }
         }
-        val gm = Array.tabulate(k, k)((i, j) => gSum(i * k + j))
-        val sm = Array.tabulate(k, 1)((i, _) => sSum(i))
+        // optional ridge (intercept unpenalized): keeps the Newton system
+        // PD under complete separation, where the unpenalized MLE diverges
+        val gm = Array.tabulate(k, k)((i, j) =>
+          gSum(i * k + j) + (if (i == j && i > 0) l2 else 0.0))
+        val sm = Array.tabulate(k, 1)((i, _) =>
+          sSum(i) - (if (i > 0) l2 * beta(i) else 0.0))
         VectorAR.solve(gm, sm) match {
           case Some(delta) =>
             var mx = 0.0

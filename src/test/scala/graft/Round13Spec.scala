@@ -212,6 +212,28 @@ class Round13Spec extends AnyFunSuite with Matchers with SparkTestSession {
     bPlan should not include "Window"
   }
 
+  test("logisticFit l2 ridge converges under complete separation") {
+    import spark.implicits._
+    import graft.models.Logistic
+    // perfectly separable at x = 0: the unpenalized MLE diverges (no
+    // convergence); the ridge fit must converge to a finite slope with
+    // the right sign and still classify perfectly
+    val df = (1 to 40).map { i =>
+      val x = if (i <= 20) -1.0 - 0.05 * i else 1.0 + 0.05 * (i - 20)
+      (x, if (x > 0) 1.0 else 0.0)
+    }.toDF("x", "y")
+    val fit = Logistic.logisticFit(df, "y", Seq("x"), l2 = 1.0)
+    val rows = fit.collect().map(r => r.getString(0) ->
+      ((r.getDouble(1), r.getBoolean(3)))).toMap
+    rows("x")._2 shouldBe true // converged
+    rows("x")._1 should be > 0.0
+    rows("x")._1.isInfinite shouldBe false
+    val scored = Logistic.logisticScore(df, fit, Seq("x"))
+    val acc = Logistic.binaryMetrics(scored, "y", "score")
+      .head().getAs[Double]("accuracy")
+    acc shouldBe 1.0 +- 1e-9
+  }
+
   test("binaryMetrics AUC matches the hand-computed rank statistic") {
     import spark.implicits._
     import graft.models.Logistic

@@ -87,6 +87,32 @@ class JavaApiSpec extends AnyFunSuite with Matchers with SparkTestSession {
     counts(6) shouldBe 2L  // one best-order row per key
   }
 
+  test("Java round-13 facade drives IRF/FEVD/intervals/DSIR/logistic/tiers") {
+    val s = spark
+    import s.implicits._
+    val docs = (0 until 12).map(i =>
+      (i.toLong, s"alpha beta token$i gamma delta epsilon zeta", "web"))
+      .toDF("doc_id", "text", "source")
+    val biv = (for (k <- Seq("a", "b"); t <- 0 until 40) yield
+      (k, t.toLong, math.sin(0.4 * t) + 0.1 * (t % 5),
+        math.cos(0.9 * t) * 0.7 + 0.05 * (t % 3)))
+      .toDF("key", "ts_nanos", "y", "x")
+    val rnd = new scala.util.Random(3)
+    val labeled = (0 until 200).map { _ =>
+      val x = rnd.nextGaussian()
+      (x, if (rnd.nextDouble() < 1.0 / (1.0 + math.exp(-x))) 1.0 else 0.0)
+    }.toDF("x1", "y")
+    val counts = graft.api.java.JavaApiExample.runRound13(docs, biv, labeled)
+    counts(0) shouldBe 24L // IRF: 2 keys x 3 steps x 2x2
+    counts(1) shouldBe 8L  // FEVD: 2 keys x 2x2
+    counts(2) shouldBe 8L  // intervals: 2 keys x 2 steps x 2 eqs
+    counts(3) shouldBe 12L // one weight row per doc
+    counts(4) shouldBe 5L  // Gumbel top-5
+    counts(5) shouldBe 2L  // intercept + x1
+    counts(6) shouldBe 1L  // one metrics row
+    counts(7) shouldBe 12L // one tier row per doc
+  }
+
   test("Java round-4 facade drives clustering/repetition/sampling/embeddings") {
     val s = spark
     import s.implicits._
