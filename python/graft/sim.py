@@ -116,3 +116,11 @@ def semdedup_suggested_k(df_or_spark, n):
     """Corpus-scaled SemDeDup cluster count: max(16, ceil(sqrt(n)))."""
     spark, jvm = ctx(df_or_spark)
     return int(jvm.graft.api.java.JavaPipelineOps.semdedupSuggestedK(int(n)))
+
+
+def k_center_sample(df, k, id_col="vec_id", vec_col="embedding"):
+    """Greedy k-center (farthest-first) diversity sample: (rank, id,
+    radius) with non-increasing radii — the coreset selection primitive."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.kCenterSample(
+        df._jdf, int(k), id_col, vec_col))

@@ -749,6 +749,15 @@ object SparkEntry {
         .select(col("doc_id"), col("label").cast("long").as("label"),
           round(col("score"), 6).as("score"))
     }),
+    "smp10_kcenter_sample" -> ((s, dir) =>
+      // greedy k-center diversity sample over the embedding corpus: k-1
+      // broadcast-center passes, argmax via one aggregate each — the
+      // coreset selection primitive; rc09 certifies the greedy on planted
+      // clusters, so rows-only here
+      graft.sim.Embeddings.kCenterSample(Tables.embeddings(s, dir), 12)
+        .select(col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("radius"), 6).as("radius"))),
+    "rc09_kcenter_certified" -> ((s, dir) => graft.sim.Recall.kcenter(s, dir)),
     "smp09_ccnet_buckets" -> ((s, dir) =>
       // CCNet head/middle/tail perplexity tiers per source: per-doc bigram
       // LM perplexity, per-stratum exact quantile thresholds broadcast
@@ -1546,6 +1555,7 @@ object SparkEntry {
     // the Gumbel uniform's hex-to-int runs as exact integer arithmetic over
     // the md5 chars (every partial sum < 2^52 -> exactly representable, so
     // summation order cannot change the value)
+    "rc09_kcenter_certified" -> graft.sim.Recall.oracleFor("kcenter"),
     "qc02_classifier_metrics" ->
       """WITH s AS (
            SELECT

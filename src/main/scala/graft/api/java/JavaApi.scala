@@ -649,6 +649,10 @@ object JavaPipelineOps {
       idCol: String, text: String): DataFrame =
     graft.text.TextFunctions.ccnetBuckets(df, lo, hi, strata, idCol, text)
 
+  def kCenterSample(df: DataFrame, k: Int, idCol: String,
+      vecCol: String): DataFrame =
+    graft.sim.Embeddings.kCenterSample(df, k, idCol, vecCol)
+
   def logisticFit(df: DataFrame, labelCol: String,
       featureCols: java.util.List[String], maxIter: Int,
       tol: Double, l2: Double): DataFrame = {

@@ -11,6 +11,62 @@ import org.apache.spark.sql.functions._
 object Embeddings {
 
   /**
+   * Greedy k-center (farthest-first traversal, Gonzalez 1985) diversity
+   * sample — the coreset / active-learning selection primitive: pick the
+   * minimum-id vector, then repeatedly the vector FARTHEST from every
+   * center chosen so far. The k centers 2-approximate the optimal
+   * k-center cover, and `radius` (the selected point's distance to the
+   * previous centers) is non-increasing by construction — certified with
+   * planted clusters in rc09.
+   *
+   * Deterministic: min-id start; distance ties break to the smaller id.
+   * Scale shape: k − 1 passes, each computing every row's min distance to
+   * the BROADCAST center list (≤ k·dim doubles) and taking the argmax via
+   * one aggregate — O(k²·n) arithmetic total with k bounded, no growing
+   * lineage, nothing but the k centers ever on the driver.
+   */
+  def kCenterSample(df: DataFrame, k: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "k >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("v"))
+      .as[(Long, Seq[Double])].map(t => (t._1, t._2.toArray))
+    base.persist()
+    try {
+      val first = base.toDF("id", "v").agg(min(col("id"))).head().getLong(0)
+      val firstVec = base.filter(_._1 == first).head()._2
+      // the seed center has no previous centers — its radius is undefined
+      // (NaN), and the non-increasing-radius theorem starts at rank 2
+      val centers = collection.mutable.ArrayBuffer((first, firstVec, Double.NaN))
+      while (centers.length < k) {
+        val bc = spark.sparkContext.broadcast(centers.map(_._2).toArray)
+        // (minDistToCenters, -id) argmax in ONE aggregate: max lexicographic
+        val next = base.map { case (id, v) =>
+          val cs = bc.value
+          var mind = Double.MaxValue
+          var c = 0
+          while (c < cs.length) {
+            var d = 0.0; var i = 0
+            val cv = cs(c)
+            while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
+            if (d < mind) mind = d
+            c += 1
+          }
+          (mind, -id, v)
+        }.reduce { (a, b) =>
+          if (a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)) a else b
+        }
+        centers += ((-next._2, next._3, math.sqrt(next._1)))
+      }
+      centers.zipWithIndex.map { case ((id, _, r), rank) =>
+        (rank + 1, id, r)
+      }.toSeq.toDF("rank", idCol, "radius")
+    } finally base.unpersist(false)
+  }
+
+  /**
    * Per-group centroid in long form: (group, pos, centroid). posexplode then
    * ONE keyed aggregation on (group, pos) — partial aggregation means the
    * shuffle carries nGroups x dim partial sums per partition, not vectors,

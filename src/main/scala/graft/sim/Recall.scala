@@ -398,6 +398,51 @@ object Recall {
   // cells; bound with >2x margin below the observed minimum
   private val RC07_P2_BOUND = 0.4
 
+  /** rc09 — greedy k-center certification on PLANTED clusters (the smp10
+    * operator): three tight clusters at mutually-distant centers; k = 3
+    * must pick one exemplar per cluster (greedy cannot pick two points
+    * of the same tight cluster while another cluster is uncovered),
+    * radii are non-increasing (a THEOREM of farthest-first), the first
+    * pick is the minimum id (the determinism contract), and the realized
+    * coverage radius (max over the corpus of min distance to a center)
+    * is below the planted intra-cluster diameter bound. */
+  def kcenter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    val cs = Seq(Array(4.0, 0.0, 0.0), Array(0.0, 4.0, 0.0), Array(0.0, 0.0, 4.0))
+    val pts = (0 until 120).map { i =>
+      val c = cs(i % 3)
+      (i.toLong, c.map(x => (x + rnd.nextDouble() * 0.2 - 0.1).toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val sel = Embeddings.kCenterSample(df, 3).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    val clustersHit = sel.map(_._2 % 3).distinct.length == 3
+    // rank-1's radius is undefined (NaN — no previous centers); the
+    // farthest-first theorem bounds ranks 2..k
+    val radiiMono = sel.drop(1).sliding(2).filter(_.length == 2)
+      .forall(w => w(1)._3 <= w(0)._3 + 1e-12)
+    val firstMinId = sel.head._2 == 0L
+    // coverage: every point within the intra-cluster diameter of a center
+    val centers = sel.map(t => pts(t._2.toInt)._2.map(_.toDouble))
+    val coverage = math.sqrt(pts.map { case (_, v) =>
+      centers.map(c => c.zip(v.map(_.toDouble)).map { case (a, b) =>
+        (a - b) * (a - b) }.sum).min
+    }.max)
+    // planted cluster diameter <= sqrt(3 * 0.2^2) ~ 0.35
+    val coverageOk = coverage < 0.4
+    checksK(s, Seq(
+      ("smp10", "one_center_per_cluster", clustersHit),
+      ("smp10", "radii_nonincreasing", radiiMono),
+      ("smp10", "first_pick_is_min_id", firstMinId),
+      ("smp10", "coverage_below_cluster_diameter", coverageOk)))
+  }
+
+  private def checksK(s: SparkSession, rows: Seq[(String, String, Boolean)]): DataFrame = {
+    import s.implicits._
+    rows.toDF("key", "check_name", "ok")
+  }
+
   /** Canonical check names per query — oracle VALUES lists come from these. */
   private[graft] val checkNames: Map[String, Seq[(String, String)]] = Map(
     "lsh" -> Seq("sm02" -> "recall_ok", "sm02" -> "ranks_bounded"),
@@ -414,7 +459,10 @@ object Recall {
       "sd01" -> "keeper_probe2_subset", "sd01" -> "keeper_coverage_ok",
       "sd01" -> "precision_exact"),
     "semdecon" -> Seq("dd13" -> "recall_ok", "dd13" -> "precision_exact",
-      "dd13" -> "partition_exact"))
+      "dd13" -> "partition_exact"),
+    "kcenter" -> Seq("smp10" -> "one_center_per_cluster",
+      "smp10" -> "radii_nonincreasing", "smp10" -> "first_pick_is_min_id",
+      "smp10" -> "coverage_below_cluster_diameter"))
 
   /** Constant-SELECT DuckDB oracle: every (key, check) pair expected true. */
   private[graft] def oracleFor(group: String): String = {

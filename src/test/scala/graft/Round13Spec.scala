@@ -212,6 +212,13 @@ class Round13Spec extends AnyFunSuite with Matchers with SparkTestSession {
     bPlan should not include "Window"
   }
 
+  test("kCenterSample picks one exemplar per planted cluster (rc09 checks)") {
+    val checks = graft.sim.Recall.kcenter(spark, "").collect()
+      .map(r => r.getString(1) -> r.getBoolean(2)).toMap
+    checks.size shouldBe 4
+    all(checks.values) shouldBe true
+  }
+
   test("logisticFit l2 ridge converges under complete separation") {
     import spark.implicits._
     import graft.models.Logistic

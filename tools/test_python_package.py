@@ -193,6 +193,23 @@ def main() -> int:
     assert dw.count() == docs.count() and "log_weight" in dw.columns
     ds = graft.text.dsir_sample(docs, tgt, 10)
     assert ds.count() == 10
+    # CCNet tiers, scored contamination, conversion latency, logistic
+    tiers = graft.text.ccnet_buckets(docs)
+    assert set(r["bucket"] for r in tiers.select("bucket").distinct().collect()) \
+        <= {"head", "middle", "tail"}
+    cs = graft.text.contamination_score(
+        docs.filter(F.col("doc_id") % 50 != 0),
+        docs.filter(F.col("doc_id") % 50 == 0))
+    assert "contamination_frac" in cs.columns and cs.count() > 0
+    cl = graft.events.conversion_latency(events, "view", "purchase")
+    assert cl.count() == 1 and "lat_p50_us" in cl.columns
+    lab = docs.withColumn(
+        "y", F.when(F.col("source").isin("src0", "src1"), 1.0).otherwise(0.0)) \
+        .withColumn("x1", F.length("text").cast("double"))
+    lf = graft.models.logistic_fit(lab, "y", ["x1"], l2=0.1)
+    assert lf.count() == 2
+    sc = graft.models.logistic_score(lab, lf, ["x1"])
+    assert "score" in sc.columns and sc.count() == docs.count()
     capd = graft.text.stratum_cap_sample(docs, 5)
     per = capd.groupBy("source").count().agg(F.max("count")).head()[0]
     assert per <= 5, per
