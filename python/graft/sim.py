@@ -124,3 +124,12 @@ def k_center_sample(df, k, id_col="vec_id", vec_col="embedding"):
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.kCenterSample(
         df._jdf, int(k), id_col, vec_col))
+
+
+def hard_negatives(corpus, queries, k, id_col="vec_id", vec_col="embedding",
+                   label_col="label"):
+    """Contrastive hard negatives: per query the k most similar corpus
+    vectors with a DIFFERENT label (broadcast-queries x corpus, exact)."""
+    spark, jvm = ctx(corpus)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.hardNegatives(
+        corpus._jdf, queries._jdf, int(k), id_col, vec_col, label_col))

@@ -438,6 +438,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       graft.sim.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
     }),
+    "sm05_hard_negatives" -> ((s, dir) => {
+      // contrastive hard-negative mining: nearest different-label corpus
+      // vectors per query — broadcast-queries x corpus scan, exact cosine
+      val emb = Tables.embeddings(s, dir)
+      graft.sim.Similarity.hardNegatives(emb, emb.filter(col("vec_id") < 10), k = 5)
+    }),
     "sm02_knn_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.sim.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
@@ -2079,6 +2085,20 @@ object SparkEntry {
              row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            FROM scored)
          SELECT query_id, rank, neighbor_id, round(cos, 6) AS cosine
+         FROM ranked WHERE rank <= 5""",
+    "sm05_hard_negatives" ->
+      """WITH q AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 10),
+         scored AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             c.label AS neighbor_label,
+             list_cosine_similarity(c.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS cos
+           FROM embeddings c, q WHERE c.label <> q.label),
+         ranked AS (
+           SELECT query_id, neighbor_id, neighbor_label, cos,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM scored)
+         SELECT query_id, rank, neighbor_id, neighbor_label,
+           round(cos, 6) AS cosine
          FROM ranked WHERE rank <= 5""",
     "ts22_ewma_smoothed" ->
       """WITH RECURSIVE s AS (

@@ -653,6 +653,10 @@ object JavaPipelineOps {
       vecCol: String): DataFrame =
     graft.sim.Embeddings.kCenterSample(df, k, idCol, vecCol)
 
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String, vecCol: String, labelCol: String): DataFrame =
+    graft.sim.Similarity.hardNegatives(corpus, queries, k, idCol, vecCol, labelCol)
+
   def logisticFit(df: DataFrame, labelCol: String,
       featureCols: java.util.List[String], maxIter: Int,
       tol: Double, l2: Double): DataFrame = {

@@ -60,6 +60,36 @@ object Similarity {
         round(col("cosine"), 6).as("cosine"))
   }
 
+  /**
+   * Hard-negative mining — the contrastive-training batch primitive: for
+   * every query vector, the k MOST similar corpus vectors whose `label`
+   * DIFFERS from the query's (the near-miss impostors a contrastive /
+   * metric-learning loss needs; easy random negatives are uninformative).
+   * Same shape and determinism contract as [[bruteForceTopK]]
+   * (broadcast queries × corpus scan — linear, never corpus²; cosine
+   * exact; ties to the smaller neighbor id).
+   */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val toD = (c: Column) => transform(c, x => x.cast("double"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("neighbor_label"), toD(col(vecCol)).as("nv"))
+      .withColumn("nn", norm(col("nv")))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("query_label"), toD(col(vecCol)).as("qv"))
+      .withColumn("qn", norm(col("qv")))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("neighbor_label") =!= col("query_label"))
+      .withColumn("cosine", try_divide(dot(col("nv"), col("qv")), col("nn") * col("qn")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("neighbor_label"), round(col("cosine"), 6).as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane, dim). */
   private def planeComponent(plane: Int, dim: Int, seed: Int): Double = {
     val h = MurmurHash3.productHash((plane, dim, seed))

@@ -212,6 +212,22 @@ class Round13Spec extends AnyFunSuite with Matchers with SparkTestSession {
     bPlan should not include "Window"
   }
 
+  test("hardNegatives returns only different-label neighbors, nearest first") {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // query, label 0
+      (1L, Array(0.99f, 0.1f), 0),  // same label — must NOT appear
+      (2L, Array(0.95f, 0.2f), 1),  // hardest negative
+      (3L, Array(0.5f, 0.8f), 1),
+      (4L, Array(0.0f, 1.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = graft.sim.Similarity.hardNegatives(
+      vecs, vecs.filter($"vec_id" === 0), k = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getInt(3)))
+    out.map(_._3).toSet shouldBe Set(1) // only label-1 impostors
+    out.sortBy(_._1).map(_._2).toSeq shouldBe Seq(2L, 3L) // nearest first
+  }
+
   test("kCenterSample picks one exemplar per planted cluster (rc09 checks)") {
     val checks = graft.sim.Recall.kcenter(spark, "").collect()
       .map(r => r.getString(1) -> r.getBoolean(2)).toMap
