@@ -210,8 +210,11 @@ object SparkEntry {
         .select(col("user_id"), col("ts_us"), round(col("value"), 4).as("roll_sum"))
     }),
     "ts14_slice" -> ((s, dir) => {
-      // 2024-01-10T00:00Z .. 2024-01-20T00:00Z in micros
-      TS.slice(obs(s, dir), 1704844800000000L, 1705708800000000L, ts = "ts_us")
+      // 2024-01-10T00:00Z .. 2024-01-20T00:00Z in micros. The range predicate
+      // goes on the RAW ts column (Tables.eventsSliceUs) so it lands in the
+      // parquet scan's PushedFilters and prunes row groups; slicing the
+      // derived ts_us would evaluate after a full scan.
+      Tables.eventsSliceUs(s, dir, 1704844800000000L, 1705708800000000L)
         .select("event_id", "user_id", "ts_us", "value")
     }),
     "ts15_instants" -> ((s, dir) => {

@@ -26,13 +26,41 @@ object Tables {
    * `ts_us`. Oracle comparisons use `ts_us` = DuckDB `epoch_us(ts)`; the
    * session timezone is pinned to UTC so the NTZ→epoch cast is deterministic.
    */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame =
+    withTsUs(table(s, d, "events"))
+
+  private def withTsUs(raw: DataFrame): DataFrame = {
     val tsUs = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => expr("ts div 1000")
       case _ => unix_micros(col("ts").cast("timestamp"))
     }
     raw.withColumn("ts_us", tsUs)
+  }
+
+  /**
+   * events restricted to loUs <= ts_us <= hiUs (micros, inclusive), with the
+   * range predicate applied to the RAW `ts` column so it reaches the parquet
+   * scan as a PushedFilter and prunes row groups via min/max stats. Filtering
+   * the derived `ts_us` (a cast/div expression) instead would evaluate
+   * post-scan — at 100 TB that is a full scan vs a pruned one. Each schema
+   * branch compares against a literal of the column's own type (NTZ columns
+   * against a LocalDateTime literal: a cast on the column side would defeat
+   * pushdown).
+   */
+  def eventsSliceUs(s: SparkSession, d: String, loUs: Long, hiUs: Long): DataFrame = {
+    val raw = table(s, d, "events")
+    def ntzLit(us: Long) = lit(java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC))
+    val pred = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>          // nanos-as-long branch
+        col("ts") >= loUs * 1000L && col("ts") <= hiUs * 1000L
+      case org.apache.spark.sql.types.TimestampNTZType =>  // micros NTZ branch
+        col("ts") >= ntzLit(loUs) && col("ts") <= ntzLit(hiUs)
+      case _ =>                                            // TIMESTAMP (UTC session)
+        col("ts") >= timestamp_micros(lit(loUs)) && col("ts") <= timestamp_micros(lit(hiUs))
+    }
+    withTsUs(raw.filter(pred))
   }
 
   /** Session config every entry point needs (nanos parquet + stable shuffles). */
