@@ -134,8 +134,11 @@ object Logistic {
     require(buckets >= 2, "buckets >= 2")
     val y = col(labelCol).cast("double")
     val s = col(scoreCol).cast("double")
+    // clamp both ends: scores outside [0,1) would otherwise produce
+    // negative bucket ids (below) or bucket == buckets (at exactly 1.0)
     val base = df.select(
-      least(floor(s * buckets), lit(buckets - 1)).cast("long").as("__b"),
+      greatest(least(floor(s * buckets), lit(buckets - 1)), lit(0L))
+        .cast("long").as("__b"),
       y.as("__y"), s.as("__s"))
     val agg = base.agg(
       count(lit(1)).as("n"),
@@ -151,7 +154,11 @@ object Logistic {
       .withColumn("__cumneg", coalesce(sum(col("ng")).over(w), lit(0.0)))
       .agg(sum(col("p") * (col("__cumneg") + col("ng") / 2)).as("__u"),
         sum(col("p")).as("__np"), sum(col("ng")).as("__nn"))
-      .select((col("__u") / (col("__np") * col("__nn"))).as("auc"))
+      // single-class input has no pos/neg pairs to rank: AUC is undefined —
+      // return an explicit null instead of a divide-by-zero null-with-
+      // surprise (documented: auc IS NULL iff the input is single-class)
+      .select(when(col("__np") > 0 && col("__nn") > 0,
+        col("__u") / (col("__np") * col("__nn"))).as("auc"))
     agg.crossJoin(auc)
       .select(col("n"), col("n_pos").cast("long").as("n_pos"),
         round(col("auc"), 6).as("auc"), round(col("brier"), 6).as("brier"),

@@ -428,8 +428,10 @@ object VectorAR {
         val cp = Array.tabulate(mp, n)((i, j) => b(i)(j))
         solve(gp, cp.map(_.clone)) match {
           case Some(beta) =>
-            // Σ̂ = (Y'Y − β'X'Y)/nobs; clamp tiny negative cancellation on
-            // the diagonal at 0 (same honesty contract as grangerLagP)
+            // Σ̂ = (Y'Y − β'X'Y)/nobs; no element-wise clamp here — the
+            // det <= 0 guard below is what rejects fits where negative
+            // cancellation degenerates Σ̂ (same honesty contract as
+            // grangerLagP's RSS clamp, enforced at the determinant)
             val sig = Array.tabulate(n, n) { (aa, bb) =>
               var s = yy(aa)(bb)
               var i = 0

@@ -20,6 +20,9 @@ object Embeddings {
    * planted clusters in rc09.
    *
    * Deterministic: min-id start; distance ties break to the smaller id.
+   * Requires a non-empty input; if k exceeds the number of DISTINCT
+   * vectors, stops at the distinct count (never emits radius-0 duplicate
+   * centers).
    * Scale shape: k − 1 passes, each computing every row's min distance to
    * the BROADCAST center list (≤ k·dim doubles) and taking the argmax via
    * one aggregate — O(k²·n) arithmetic total with k bounded, no growing
@@ -35,12 +38,18 @@ object Embeddings {
       .as[(Long, Seq[Double])].map(t => (t._1, t._2.toArray))
     base.persist()
     try {
-      val first = base.toDF("id", "v").agg(min(col("id"))).head().getLong(0)
+      val firstRow = base.toDF("id", "v").agg(min(col("id"))).head()
+      require(!firstRow.isNullAt(0), "kCenterSample: empty input")
+      val first = firstRow.getLong(0)
       val firstVec = base.filter(_._1 == first).head()._2
       // the seed center has no previous centers — its radius is undefined
       // (NaN), and the non-increasing-radius theorem starts at rank 2
       val centers = collection.mutable.ArrayBuffer((first, firstVec, Double.NaN))
-      while (centers.length < k) {
+      var exhausted = false // farthest remaining distance hit 0: every
+      // remaining vector coincides with a center, so further "centers"
+      // would be silent radius-0 duplicates — stop instead (k > distinct
+      // rows returns fewer than k)
+      while (centers.length < k && !exhausted) {
         val bc = spark.sparkContext.broadcast(centers.map(_._2).toArray)
         // (minDistToCenters, -id) argmax in ONE aggregate: max lexicographic
         val next = base.map { case (id, v) =>
@@ -58,7 +67,8 @@ object Embeddings {
         }.reduce { (a, b) =>
           if (a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)) a else b
         }
-        centers += ((-next._2, next._3, math.sqrt(next._1)))
+        if (next._1 == 0.0) exhausted = true
+        else centers += ((-next._2, next._3, math.sqrt(next._1)))
       }
       centers.zipWithIndex.map { case ((id, _, r), rank) =>
         (rank + 1, id, r)

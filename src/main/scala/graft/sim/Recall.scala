@@ -254,12 +254,15 @@ object Recall {
     val approx = SemDedup.semanticDuplicates(emb, k = 4, threshold = 0.2)
     val approx2 = SemDedup.semanticDuplicates(emb, k = 4, threshold = 0.2,
       nprobe = 2)
-    // keeper path — the REAL election operator (semanticKeepers IS
-    // keepersOfPairs ∘ semanticDuplicates) applied to the persisted
-    // probe-2 pair table, which IS the keeper default's pair input and is
-    // itself certified against exact above. Running semanticKeepers whole
-    // here re-ran the normalize + quantize + join pipeline a third time
-    // for identical booleans (r12 adjudication: rc07 was the suite max).
+    // keeper path — the election operator applied to the persisted probe-2
+    // pair table. semanticKeepers IS keepersOfPairs ∘ semanticDuplicates by
+    // construction, so the match_viol check below certifies the ELECTION
+    // RULE (kept iff never a larger side), not the composition itself;
+    // the composition and the nprobe=2 default are pinned by a dedicated
+    // spec (Round14Spec "semanticKeepers defaults"), which is what would
+    // catch a regressed default. Running semanticKeepers whole here re-ran
+    // the normalize + quantize + join pipeline a third time for identical
+    // booleans (r12 adjudication: rc07 was the suite max).
     val keep2 = SemDedup.keepersOfPairs(emb, approx2).select(col("vec_id"))
     cached(exact, approx, approx2, keep2) {
       // rc07 was the suite's most expensive query and its cost was JOB
@@ -307,8 +310,9 @@ object Recall {
       // probe-2 (d2), kept-by-the-real-operator (kp). Yields
       //   matchViol  — keeper set != election over the certified probe-2
       //                pairs (kept iff NOT a probe-2 larger side — an
-      //                EXACT equality; a changed election rule, broken
-      //                default, or assignment drift flips it),
+      //                EXACT equality; a changed election rule flips it;
+      //                the nprobe default itself is spec-pinned, see the
+      //                keeper-path comment above),
       //   subsetViol — a probe-2 keeper the probe-1 election would have
       //                dropped (more probes never KEEP more ids).
       val drop = (pr: DataFrame, nm: String) => pr

@@ -197,7 +197,10 @@ object TimeSeriesOps {
       align: RollAlign.Value = RollAlign.Right, key: String = "key",
       ts: String = "ts_nanos", value: String = "value"): DataFrame = {
     require(q > 0 && q <= 1, "0 < q <= 1")
-    val idx = math.ceil(q * n).toInt
+    // ceil with an epsilon: q*n can land just above an exact integer in
+    // binary (0.07*100 = 7.000000000000001), which plain ceil rounds to the
+    // NEXT rank, off-by-one vs the documented ceil(q·n)-th-smallest contract
+    val idx = math.max(1, math.ceil(q * n - 1e-9).toInt)
     // the OVER must attach to the aggregate itself (collect_list); the
     // sort + element pick are post-window scalar ops
     val frame = rollFrame(wKey(key, ts), n, align)

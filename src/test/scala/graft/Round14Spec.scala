@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.sim.{Embeddings, SemDedup}
+import graft.ts.{RollAlign, TimeSeriesOps => TS}
+
+/** Round-14 regression pins (ADVICE r13): rollQuantile rank rounding,
+  * semanticKeepers defaults, kCenterSample edge behavior, binaryMetrics
+  * guards. */
+class Round14Spec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  test("rollQuantile rank survives binary q*n rounding (q=0.55, n=100)") {
+    import spark.implicits._
+    // 0.55*100 = 55.000000000000007 in binary; plain ceil gave rank 56
+    val df = (1 to 100).map(i => ("k", i.toLong, i.toDouble))
+      .toDF("key", "ts_nanos", "value")
+    val out = TS.rollQuantile(df, 100, 0.55).collect()
+    out.length shouldBe 1
+    out(0).getAs[Double]("value") shouldBe 55.0
+    val out7 = TS.rollQuantile(df, 100, 0.07).collect()
+    out7(0).getAs[Double]("value") shouldBe 7.0 // 0.07*100 = 7.000…001
+    // unaffected control case from ts49
+    val df10 = (1 to 10).map(i => ("k", i.toLong, i.toDouble))
+      .toDF("key", "ts_nanos", "value")
+    TS.rollQuantile(df10, 10, 0.9).collect()(0)
+      .getAs[Double]("value") shouldBe 9.0
+  }
+
+  test("semanticKeepers defaults: nprobe=2 delegation to keepersOfPairs") {
+    import spark.implicits._
+    // two tight clusters + one straddler so nprobe matters structurally
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.999f, 0.01f)),
+      (3L, Array(0.0f, 1.0f)), (4L, Array(0.01f, 0.999f)),
+      (5L, Array(0.72f, 0.69f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val viaDefault = SemDedup.semanticKeepers(df, k = 2, threshold = 0.95)
+      .select("vec_id").as[Long].collect().sorted
+    val viaComposition = SemDedup.keepersOfPairs(df,
+        SemDedup.semanticDuplicates(df, k = 2, threshold = 0.95, nprobe = 2))
+      .select("vec_id").as[Long].collect().sorted
+    viaDefault shouldBe viaComposition
+    // and the default differs from nprobe=1 in GENERAL; here just pin that
+    // the default path produced a valid keeper set (non-empty, subset of ids)
+    viaDefault.length should be > 0
+    viaDefault.toSet.subsetOf(vecs.map(_._1).toSet) shouldBe true
+  }
+
+  test("kCenterSample rejects empty input and stops at distinct count") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Array[Float])].toDF("vec_id", "embedding")
+    val ex = intercept[IllegalArgumentException] {
+      Embeddings.kCenterSample(empty, 3)
+    }
+    ex.getMessage should include("empty input")
+    // 2 distinct vectors duplicated: k=5 must yield 2 centers, no radius-0 dupes
+    val dup = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 0.0f)),
+      (3L, Array(3.0f, 4.0f)), (4L, Array(3.0f, 4.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Embeddings.kCenterSample(dup, 5).collect()
+    out.length shouldBe 2
+    out.map(_.getAs[Long]("vec_id")).sorted shouldBe Array(1L, 3L)
+  }
+
+  test("binaryMetrics: single-class AUC is null; out-of-range scores clamp") {
+    import spark.implicits._
+    val onlyPos = Seq((1.0, 0.9), (1.0, 0.3)).toDF("label", "score")
+    val r1 = graft.models.Logistic.binaryMetrics(onlyPos).collect()(0)
+    r1.isNullAt(r1.fieldIndex("auc")) shouldBe true
+    // a negative and a >1 score land in buckets 0 and buckets-1, not outside
+    val odd = Seq((1.0, -0.2), (0.0, 1.3), (1.0, 0.8), (0.0, 0.1))
+      .toDF("label", "score")
+    val r2 = graft.models.Logistic.binaryMetrics(odd).collect()(0)
+    // perfect separation on the two in-range + clamped pairs except the
+    // negative-score positive: AUC = 2/4 concordant + ... just assert sane
+    val auc = r2.getAs[Double]("auc")
+    auc should (be >= 0.0 and be <= 1.0)
+  }
+}
