@@ -641,6 +641,22 @@ object SparkEntry {
         key = "user_id", ts = "ts_us", value = "value", maxLag = 0).toDF()
         .select(col("key").cast("long").as("user_id"),
           round(col("statistic"), 6).as("df_stat"))),
+    "m39_bg_stat" -> ((s, dir) =>
+      // Breusch-Godfrey n·R² statistic twin of m14 (lags=2 on y ~ 1+t):
+      // the oracle replays the aux regression with Frisch-Waugh-Lovell —
+      // partial [1,t] out of the lagged residuals, then a closed-form 2×2
+      // no-intercept OLS, algebraically identical to the 4-regressor fit
+      graft.models.ModelOps.breuschGodfreyAll(obs(s, dir), lags = 2,
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key").cast("long").as("user_id"),
+          round(col("statistic"), 6).as("bg_stat"))),
+    "m40_bp_stat" -> ((s, dir) =>
+      // Breusch-Pagan n·R² statistic twin of m15: squared trend residuals
+      // regressed back on the trend — bivariate, so R² = regr_r2 exactly
+      graft.models.ModelOps.breuschPaganAll(obs(s, dir),
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key").cast("long").as("user_id"),
+          round(col("statistic"), 6).as("bp_stat"))),
     // ---------------- seeded simulate→fit→recover certification queries
     // (models/Recovery.scala): deterministic tolerance booleans vs literal
     // simulation truths; the oracle side is a constant VALUES SELECT, which
@@ -2196,6 +2212,58 @@ object SparkEntry {
          SELECT user_id,
            round(beta / sqrt(((1 - r2) * syy / (cnt - 2)) / sxx), 6) AS df_stat
          FROM a""",
+    "m39_bg_stat" ->
+      """WITH b AS (
+           SELECT user_id, value,
+             (row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) - 1)::DOUBLE AS t
+           FROM events
+         ), fit AS (
+           SELECT user_id, regr_slope(value, t) AS sl, regr_intercept(value, t) AS ic
+           FROM b GROUP BY user_id
+         ), e AS (
+           SELECT b.user_id, b.t, b.value - fit.ic - fit.sl * b.t AS e
+           FROM b JOIN fit USING (user_id)
+         ), lagd AS (
+           SELECT user_id, t, e,
+             coalesce(lag(e, 1) OVER w, 0.0) AS e1,
+             coalesce(lag(e, 2) OVER w, 0.0) AS e2
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+         ), part AS (
+           SELECT user_id, regr_slope(e1, t) AS sl1, regr_intercept(e1, t) AS ic1,
+                  regr_slope(e2, t) AS sl2, regr_intercept(e2, t) AS ic2
+           FROM lagd GROUP BY user_id
+         ), tilde AS (
+           SELECT l.user_id, l.e,
+             l.e1 - p.ic1 - p.sl1 * l.t AS f1,
+             l.e2 - p.ic2 - p.sl2 * l.t AS f2
+           FROM lagd l JOIN part p USING (user_id)
+         ), s AS (
+           SELECT user_id, count(*) AS n, avg(e) AS me,
+             sum(f1*f1) AS s11, sum(f2*f2) AS s22, sum(f1*f2) AS s12,
+             sum(f1*e) AS c1, sum(f2*e) AS c2,
+             sum(e*e) AS see
+           FROM tilde GROUP BY user_id
+         )
+         SELECT user_id, round(n * (
+             ((c1*s22 - c2*s12)*c1 + (s11*c2 - s12*c1)*c2)
+               / (s11*s22 - s12*s12)
+           ) / (see - n*me*me), 6) AS bg_stat
+         FROM s""",
+    "m40_bp_stat" ->
+      """WITH b AS (
+           SELECT user_id, value,
+             (row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) - 1)::DOUBLE AS t
+           FROM events
+         ), fit AS (
+           SELECT user_id, regr_slope(value, t) AS sl, regr_intercept(value, t) AS ic
+           FROM b GROUP BY user_id
+         ), r AS (
+           SELECT b.user_id, b.t,
+             (b.value - fit.ic - fit.sl * b.t) * (b.value - fit.ic - fit.sl * b.t) AS sq
+           FROM b JOIN fit USING (user_id)
+         )
+         SELECT user_id, round(count(*) * regr_r2(sq, t), 6) AS bp_stat
+         FROM r GROUP BY user_id""",
     "m18_ljungbox_stat" ->
       """WITH b AS (
            SELECT user_id, value, epoch_us(ts) AS ts_us,
