@@ -15,6 +15,14 @@ object SparkEntry {
 
   private val dayUsTick = 86400000000L
 
+  /** (md5 of newline-joined sorted lines, pair count) — the digest shape
+    * behind dd15-dd17; `line` must render one pair per row. */
+  private def pairDigest(pairs: DataFrame, line: Column): DataFrame =
+    pairs.select(line.as("__line"))
+      .agg(md5(array_join(sort_array(collect_list(col("__line"))), "\n")
+          .cast("binary")).as("digest"),
+        count(lit(1)).as("n_pairs"))
+
   /** Per-user daily mean joined with the cross-sectional daily mean
     * ("market") — the co-sampled two-series frame behind ts29/m24/m25/ts43.
     * The market side is one row per day; the join is un-hinted (AQE
@@ -437,6 +445,27 @@ object SparkEntry {
       // honest ~8% the band math gives (real near-dups at 0.95+ recall ~99%)
       graft.text.Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir),
         threshold = 0.2)),
+    // ---- dd15-dd17: pair-set digests of the seeded-LSH dedup queries.
+    // dd03/dd04/dd06 are deterministic but not SQL-expressible, so the
+    // driver could only count their rows; these twins reduce each pair set
+    // to (md5-of-sorted-lines, n_pairs) against a constant-SELECT oracle
+    // frozen from the same sf0.01 goldens GoldenSpec pins — one drifted
+    // pair flips the hash, making the dd surfaces driver-hash-checked.
+    // Line format matches GoldenSpec ("%d,%d,%.6f" / "%d,%d,%d"): Java
+    // HALF_UP at 6 dp, lexicographic sort (pure-ASCII lines, so UTF-8
+    // byte order and Java string order agree).
+    "dd15_minhash_digest" -> ((s, dir) =>
+      pairDigest(graft.text.Dedup.minhashNearDuplicates(Tables.documents(s, dir),
+        k = 3, numHashes = 64, bands = 16, threshold = 0.3),
+        format_string("%d,%d,%.6f", col("id_a"), col("id_b"), col("jaccard")))),
+    "dd16_simhash_digest" -> ((s, dir) =>
+      pairDigest(graft.text.Dedup.simhashNearDuplicates(Tables.documents(s, dir),
+        maxHamming = 6),
+        format_string("%d,%d,%d", col("id_a"), col("id_b"), col("hamming")))),
+    "dd17_embedding_digest" -> ((s, dir) =>
+      pairDigest(graft.text.Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir),
+        threshold = 0.2),
+        format_string("%d,%d,%.6f", col("id_a"), col("id_b"), col("cosine")))),
     "sm01_knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.sim.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -1922,6 +1951,14 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS fingerprint,
          min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY 1""",
+    // frozen sf0.01 pair-set digests — same source of truth as the
+    // GoldenSpec CSVs (one drifted pair flips the md5)
+    "dd15_minhash_digest" ->
+      """SELECT '061391de941a2b856605ede9e519ee3b' AS digest, 25::BIGINT AS n_pairs""",
+    "dd16_simhash_digest" ->
+      """SELECT 'd644f69edef1f1bcc102ec0c25d9f725' AS digest, 143::BIGINT AS n_pairs""",
+    "dd17_embedding_digest" ->
+      """SELECT '93e6d9fd1e207ec096ab58a7a9010c0f' AS digest, 695::BIGINT AS n_pairs""",
     "dd05_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks
                     FROM documents WHERE doc_id < 60),
