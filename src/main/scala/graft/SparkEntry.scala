@@ -921,12 +921,16 @@ object SparkEntry {
       // trivariate VAR(2) per user over (daily avg value, daily event
       // count, market avg): equation-wise OLS in one groupByKey kernel —
       // streamed Gram matrix + local pivoted solve, no matrix library.
-      // DuckDB cannot express the linear solve -> rows-only here; mr14
-      // certifies coefficient recovery hash-exactly on planted systems
+      // The DuckDB oracle replays the 7-regressor solve exactly via
+      // Gram-Schmidt orthogonalization + back-substitution (scalar window
+      // aggregates only); mr14 additionally certifies planted recovery
       graft.models.VectorAR.varpFit(dailyTriple(s, dir), 2,
         Seq("v", "cnt", "mkt"), key = "user_id", ts = "day_us")
+        // 5 dp (not the usual 6): the oracle replays the solve by a
+        // different algebra (centered Gram-Schmidt vs uncentered pivoted
+        // Gauss), which agrees to ~1e-7 relative — 6 dp leaves knife-edges
         .select(col("key").cast("long").as("user_id"), col("eq"), col("term"),
-          col("lag").cast("long").as("lag"), round(col("coef"), 6).as("coef"))),
+          col("lag").cast("long").as("lag"), round(col("coef"), 5).as("coef"))),
     "m33_varp_forecast" -> ((s, dir) =>
       // 5-step iterated VAR(2) point forecast from the m32 fit (forecasts
       // fed back in; future ts extrapolates the median observed step)
@@ -934,7 +938,8 @@ object SparkEntry {
         Seq("v", "cnt", "mkt"), key = "user_id", ts = "day_us")
         .select(col("key").cast("long").as("user_id"),
           col("step").cast("long").as("step"), col("ts").as("day_us"),
-          col("eq"), round(col("value"), 6).as("value"))),
+          // 5 dp like m32: the oracle replays the solve by different algebra
+          col("eq"), round(col("value"), 5).as("value"))),
     "m35_varp_order" -> ((s, dir) =>
       // information-criterion order selection over the m32 trivariate
       // system, p = 1..3 scored on one streamed pass (pmax Gram nests all
@@ -1514,6 +1519,105 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** Shared DuckDB CTE chain for the m32/m33 oracles: lag-aligned VAR(2)
+    * design rows, Gram-Schmidt orthogonal basis u1..u6, and the
+    * back-substituted coefficients b{0..6}_{1..3} per user (t0). */
+  private val varpSolveCtes: String = """daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             avg(value) AS v, count(*)::DOUBLE AS cnt
+           FROM events GROUP BY 1, 2),
+         market AS (SELECT day_us, avg(v) AS mkt FROM daily GROUP BY 1),
+         triple AS (
+           SELECT d.user_id, d.day_us, d.v, d.cnt, market.mkt
+           FROM daily d JOIN market USING (day_us)),
+         lagd AS (
+           SELECT user_id, v AS y1, cnt AS y2, mkt AS y3,
+             lag(v, 1) OVER w AS x1, lag(cnt, 1) OVER w AS x2,
+             lag(mkt, 1) OVER w AS x3, lag(v, 2) OVER w AS x4,
+             lag(cnt, 2) OVER w AS x5, lag(mkt, 2) OVER w AS x6
+           FROM triple WINDOW w AS (PARTITION BY user_id ORDER BY day_us)),
+         d0 AS (SELECT * FROM lagd
+                WHERE x4 IS NOT NULL AND x5 IS NOT NULL AND x6 IS NOT NULL),
+         g1 AS (
+           SELECT user_id, y1, y2, y3,
+             x1 - avg(x1) OVER w AS u1,
+             x2 - avg(x2) OVER w AS c2, x3 - avg(x3) OVER w AS c3,
+             x4 - avg(x4) OVER w AS c4, x5 - avg(x5) OVER w AS c5,
+             x6 - avg(x6) OVER w AS c6,
+             avg(x1) OVER w AS m1, avg(x2) OVER w AS m2, avg(x3) OVER w AS m3,
+             avg(x4) OVER w AS m4, avg(x5) OVER w AS m5, avg(x6) OVER w AS m6
+           FROM d0 WINDOW w AS (PARTITION BY user_id)),
+         g2 AS (SELECT *,
+             c2 - sum(u1*c2) OVER w / sum(u1*u1) OVER w * u1 AS u2
+           FROM g1 WINDOW w AS (PARTITION BY user_id)),
+         g3 AS (SELECT *,
+             c3 - sum(u1*c3) OVER w / sum(u1*u1) OVER w * u1
+                - sum(u2*c3) OVER w / sum(u2*u2) OVER w * u2 AS u3
+           FROM g2 WINDOW w AS (PARTITION BY user_id)),
+         g4 AS (SELECT *,
+             c4 - sum(u1*c4) OVER w / sum(u1*u1) OVER w * u1
+                - sum(u2*c4) OVER w / sum(u2*u2) OVER w * u2
+                - sum(u3*c4) OVER w / sum(u3*u3) OVER w * u3 AS u4
+           FROM g3 WINDOW w AS (PARTITION BY user_id)),
+         g5 AS (SELECT *,
+             c5 - sum(u1*c5) OVER w / sum(u1*u1) OVER w * u1
+                - sum(u2*c5) OVER w / sum(u2*u2) OVER w * u2
+                - sum(u3*c5) OVER w / sum(u3*u3) OVER w * u3
+                - sum(u4*c5) OVER w / sum(u4*u4) OVER w * u4 AS u5
+           FROM g4 WINDOW w AS (PARTITION BY user_id)),
+         g6 AS (SELECT *,
+             c6 - sum(u1*c6) OVER w / sum(u1*u1) OVER w * u1
+                - sum(u2*c6) OVER w / sum(u2*u2) OVER w * u2
+                - sum(u3*c6) OVER w / sum(u3*u3) OVER w * u3
+                - sum(u4*c6) OVER w / sum(u4*u4) OVER w * u4
+                - sum(u5*c6) OVER w / sum(u5*u5) OVER w * u5 AS u6
+           FROM g5 WINDOW w AS (PARTITION BY user_id)),
+         agg AS (
+           SELECT user_id, count(*) AS nobs,
+             any_value(m1) AS m1, any_value(m2) AS m2, any_value(m3) AS m3,
+             any_value(m4) AS m4, any_value(m5) AS m5, any_value(m6) AS m6,
+             avg(y1) AS my1, avg(y2) AS my2, avg(y3) AS my3,
+             sum(u1*u1) AS s1, sum(u2*u2) AS s2, sum(u3*u3) AS s3,
+             sum(u4*u4) AS s4, sum(u5*u5) AS s5, sum(u6*u6) AS s6,
+             sum(u1*c2) AS r12, sum(u1*c3) AS r13, sum(u1*c4) AS r14,
+             sum(u1*c5) AS r15, sum(u1*c6) AS r16,
+             sum(u2*c3) AS r23, sum(u2*c4) AS r24, sum(u2*c5) AS r25,
+             sum(u2*c6) AS r26,
+             sum(u3*c4) AS r34, sum(u3*c5) AS r35, sum(u3*c6) AS r36,
+             sum(u4*c5) AS r45, sum(u4*c6) AS r46, sum(u5*c6) AS r56,
+             sum(u1*y1) AS g11, sum(u1*y2) AS g12, sum(u1*y3) AS g13,
+             sum(u2*y1) AS g21, sum(u2*y2) AS g22, sum(u2*y3) AS g23,
+             sum(u3*y1) AS g31, sum(u3*y2) AS g32, sum(u3*y3) AS g33,
+             sum(u4*y1) AS g41, sum(u4*y2) AS g42, sum(u4*y3) AS g43,
+             sum(u5*y1) AS g51, sum(u5*y2) AS g52, sum(u5*y3) AS g53,
+             sum(u6*y1) AS g61, sum(u6*y2) AS g62, sum(u6*y3) AS g63
+           FROM g6 GROUP BY user_id HAVING count(*) >= 7),
+         t6 AS (SELECT *, g61/s6 AS b6_1, g62/s6 AS b6_2, g63/s6 AS b6_3
+                FROM agg),
+         t5 AS (SELECT *,
+             g51/s5 - r56/s5*b6_1 AS b5_1, g52/s5 - r56/s5*b6_2 AS b5_2,
+             g53/s5 - r56/s5*b6_3 AS b5_3 FROM t6),
+         t4 AS (SELECT *,
+             g41/s4 - r45/s4*b5_1 - r46/s4*b6_1 AS b4_1,
+             g42/s4 - r45/s4*b5_2 - r46/s4*b6_2 AS b4_2,
+             g43/s4 - r45/s4*b5_3 - r46/s4*b6_3 AS b4_3 FROM t5),
+         t3 AS (SELECT *,
+             g31/s3 - r34/s3*b4_1 - r35/s3*b5_1 - r36/s3*b6_1 AS b3_1,
+             g32/s3 - r34/s3*b4_2 - r35/s3*b5_2 - r36/s3*b6_2 AS b3_2,
+             g33/s3 - r34/s3*b4_3 - r35/s3*b5_3 - r36/s3*b6_3 AS b3_3 FROM t4),
+         t2 AS (SELECT *,
+             g21/s2 - r23/s2*b3_1 - r24/s2*b4_1 - r25/s2*b5_1 - r26/s2*b6_1 AS b2_1,
+             g22/s2 - r23/s2*b3_2 - r24/s2*b4_2 - r25/s2*b5_2 - r26/s2*b6_2 AS b2_2,
+             g23/s2 - r23/s2*b3_3 - r24/s2*b4_3 - r25/s2*b5_3 - r26/s2*b6_3 AS b2_3 FROM t3),
+         t1 AS (SELECT *,
+             g11/s1 - r12/s1*b2_1 - r13/s1*b3_1 - r14/s1*b4_1 - r15/s1*b5_1 - r16/s1*b6_1 AS b1_1,
+             g12/s1 - r12/s1*b2_2 - r13/s1*b3_2 - r14/s1*b4_2 - r15/s1*b5_2 - r16/s1*b6_2 AS b1_2,
+             g13/s1 - r12/s1*b2_3 - r13/s1*b3_3 - r14/s1*b4_3 - r15/s1*b5_3 - r16/s1*b6_3 AS b1_3 FROM t2),
+         t0 AS (SELECT *,
+             my1 - b1_1*m1 - b2_1*m2 - b3_1*m3 - b4_1*m4 - b5_1*m5 - b6_1*m6 AS b0_1,
+             my2 - b1_2*m1 - b2_2*m2 - b3_2*m3 - b4_2*m4 - b5_2*m5 - b6_2*m6 AS b0_2,
+             my3 - b1_3*m1 - b2_3*m2 - b3_3*m3 - b4_3*m4 - b5_3*m5 - b6_3*m6 AS b0_3 FROM t1)"""
+
   def oracleSql: Map[String, String] = Map(
     // sp01 — natural cubic spline as SQL: the tridiagonal (Thomas) solve is
     // two sequential recurrences, emitted as recursive CTEs (fwd: mu/z
@@ -3598,6 +3702,122 @@ object SparkEntry {
            round(a21, 6) AS a21, round(a22, 6) AS a22,
            round(my - a21 * mxl - a22 * myl, 6) AS c2
          FROM g""",
+    // VAR(2) equation-wise OLS replayed exactly: Gram-Schmidt the 6 lagged
+    // regressors into an orthogonal basis u1..u6 (sequential window
+    // projections), coefficients in the u-basis (gamma = sum(u*y)/sum(u*u)),
+    // then back-substitute through the unit-triangular change of basis
+    // (beta_s = gamma_s - sum_{t>s} R'_st beta_t, R'_st = sum(u_s c_t)/s_s).
+    // Algebraically identical to the normal-equation solve; every step is a
+    // scalar window/group aggregate DuckDB can run.
+    // VAR(2) equation-wise OLS replayed exactly: Gram-Schmidt the 6 lagged
+    // regressors into an orthogonal basis u1..u6 (sequential window
+    // projections), coefficients in the u-basis (gamma = sum(u*y)/sum(u*u)),
+    // then back-substitute through the unit-triangular change of basis
+    // (beta_s = gamma_s - sum_{t>s} R'_st beta_t, R'_st = sum(u_s c_t)/s_s).
+    // Algebraically identical to the normal-equation solve; every step is a
+    // scalar window/group aggregate DuckDB can run. 5 dp + a -0.0
+    // normalization: the two algebras agree to ~1e-7 relative.
+    "m32_varp_fit" ->
+      (s"""WITH $varpSolveCtes,
+         u AS (
+           SELECT user_id,
+             unnest(['v','v','v','v','v','v','v',
+                     'cnt','cnt','cnt','cnt','cnt','cnt','cnt',
+                     'mkt','mkt','mkt','mkt','mkt','mkt','mkt']) AS eq,
+             unnest(['c','v','cnt','mkt','v','cnt','mkt',
+                     'c','v','cnt','mkt','v','cnt','mkt',
+                     'c','v','cnt','mkt','v','cnt','mkt']) AS term,
+             unnest([0,1,1,1,2,2,2, 0,1,1,1,2,2,2, 0,1,1,1,2,2,2]) AS lag,
+             unnest([b0_1,b1_1,b2_1,b3_1,b4_1,b5_1,b6_1,
+                     b0_2,b1_2,b2_2,b3_2,b4_2,b5_2,b6_2,
+                     b0_3,b1_3,b2_3,b3_3,b4_3,b5_3,b6_3]) AS coef
+           FROM t0)
+         SELECT user_id, eq, term, lag::BIGINT AS lag,
+           round(coef, 5) + 0.0 AS coef FROM u"""),
+    // m33: unroll the 5-step iterated forecast from the same t0
+    // coefficients — each step is scalar algebra on the previous two
+    // (forecast) states; ts extrapolates the upper-median observed step
+    // exactly as varpForecast's medianStep does
+    "m33_varp_forecast" ->
+      (s"""WITH $varpSolveCtes,
+         hist AS (
+           SELECT user_id, day_us, v, cnt, mkt,
+             row_number() OVER (PARTITION BY user_id ORDER BY day_us DESC) AS rn
+           FROM triple),
+         last2 AS (
+           SELECT user_id,
+             max(CASE WHEN rn = 1 THEN day_us END) AS tlast,
+             max(CASE WHEN rn = 1 THEN v END) AS p1_v,
+             max(CASE WHEN rn = 1 THEN cnt END) AS p1_cnt,
+             max(CASE WHEN rn = 1 THEN mkt END) AS p1_mkt,
+             max(CASE WHEN rn = 2 THEN v END) AS p2_v,
+             max(CASE WHEN rn = 2 THEN cnt END) AS p2_cnt,
+             max(CASE WHEN rn = 2 THEN mkt END) AS p2_mkt
+           FROM hist WHERE rn <= 2 GROUP BY user_id),
+         med AS (
+           SELECT user_id,
+             CASE WHEN len(sts) > 0 THEN sts[len(sts) // 2 + 1]
+                  ELSE 1 END AS step_us
+           FROM (
+             SELECT user_id, list(st ORDER BY st) AS sts
+             FROM (SELECT user_id, day_us - lag(day_us) OVER
+                     (PARTITION BY user_id ORDER BY day_us) AS st
+                   FROM triple)
+             WHERE st IS NOT NULL GROUP BY user_id)),
+         f1 AS (
+           SELECT t0.*, l.* EXCLUDE (user_id), m.step_us,
+             b0_1 + b1_1*p1_v + b2_1*p1_cnt + b3_1*p1_mkt
+                  + b4_1*p2_v + b5_1*p2_cnt + b6_1*p2_mkt AS f1_v,
+             b0_2 + b1_2*p1_v + b2_2*p1_cnt + b3_2*p1_mkt
+                  + b4_2*p2_v + b5_2*p2_cnt + b6_2*p2_mkt AS f1_cnt,
+             b0_3 + b1_3*p1_v + b2_3*p1_cnt + b3_3*p1_mkt
+                  + b4_3*p2_v + b5_3*p2_cnt + b6_3*p2_mkt AS f1_mkt
+           FROM t0 JOIN last2 l USING (user_id) JOIN med m USING (user_id)),
+         f2 AS (SELECT *,
+             b0_1 + b1_1*f1_v + b2_1*f1_cnt + b3_1*f1_mkt
+                  + b4_1*p1_v + b5_1*p1_cnt + b6_1*p1_mkt AS f2_v,
+             b0_2 + b1_2*f1_v + b2_2*f1_cnt + b3_2*f1_mkt
+                  + b4_2*p1_v + b5_2*p1_cnt + b6_2*p1_mkt AS f2_cnt,
+             b0_3 + b1_3*f1_v + b2_3*f1_cnt + b3_3*f1_mkt
+                  + b4_3*p1_v + b5_3*p1_cnt + b6_3*p1_mkt AS f2_mkt
+           FROM f1),
+         f3 AS (SELECT *,
+             b0_1 + b1_1*f2_v + b2_1*f2_cnt + b3_1*f2_mkt
+                  + b4_1*f1_v + b5_1*f1_cnt + b6_1*f1_mkt AS f3_v,
+             b0_2 + b1_2*f2_v + b2_2*f2_cnt + b3_2*f2_mkt
+                  + b4_2*f1_v + b5_2*f1_cnt + b6_2*f1_mkt AS f3_cnt,
+             b0_3 + b1_3*f2_v + b2_3*f2_cnt + b3_3*f2_mkt
+                  + b4_3*f1_v + b5_3*f1_cnt + b6_3*f1_mkt AS f3_mkt
+           FROM f2),
+         f4 AS (SELECT *,
+             b0_1 + b1_1*f3_v + b2_1*f3_cnt + b3_1*f3_mkt
+                  + b4_1*f2_v + b5_1*f2_cnt + b6_1*f2_mkt AS f4_v,
+             b0_2 + b1_2*f3_v + b2_2*f3_cnt + b3_2*f3_mkt
+                  + b4_2*f2_v + b5_2*f2_cnt + b6_2*f2_mkt AS f4_cnt,
+             b0_3 + b1_3*f3_v + b2_3*f3_cnt + b3_3*f3_mkt
+                  + b4_3*f2_v + b5_3*f2_cnt + b6_3*f2_mkt AS f4_mkt
+           FROM f3),
+         f5 AS (SELECT *,
+             b0_1 + b1_1*f4_v + b2_1*f4_cnt + b3_1*f4_mkt
+                  + b4_1*f3_v + b5_1*f3_cnt + b6_1*f3_mkt AS f5_v,
+             b0_2 + b1_2*f4_v + b2_2*f4_cnt + b3_2*f4_mkt
+                  + b4_2*f3_v + b5_2*f3_cnt + b6_2*f3_mkt AS f5_cnt,
+             b0_3 + b1_3*f4_v + b2_3*f4_cnt + b3_3*f4_mkt
+                  + b4_3*f3_v + b5_3*f3_cnt + b6_3*f3_mkt AS f5_mkt
+           FROM f4),
+         uf AS (
+           SELECT user_id,
+             unnest([1,1,1, 2,2,2, 3,3,3, 4,4,4, 5,5,5]) AS step,
+             unnest(['v','cnt','mkt','v','cnt','mkt','v','cnt','mkt',
+                     'v','cnt','mkt','v','cnt','mkt']) AS eq,
+             unnest([f1_v,f1_cnt,f1_mkt, f2_v,f2_cnt,f2_mkt,
+                     f3_v,f3_cnt,f3_mkt, f4_v,f4_cnt,f4_mkt,
+                     f5_v,f5_cnt,f5_mkt]) AS value,
+             tlast, step_us
+           FROM f5)
+         SELECT user_id, step::BIGINT AS step,
+           (tlast + step_us * step)::BIGINT AS day_us, eq,
+           round(value, 5) + 0.0 AS value FROM uf"""),
     "ts48_periodogram" ->
       """WITH daily AS (
            SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
