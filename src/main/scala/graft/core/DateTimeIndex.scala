@@ -38,6 +38,9 @@ sealed trait DateTimeIndex extends Serializable {
 
   /** Sub-index covering instants in [start, end] (inclusive, nanos). */
   def sliceNanos(start: Long, end: Long): DateTimeIndex
+  /** Positional sub-index over locations [from, until) — preserves
+    * uniformity (a uniform islice is uniform). */
+  def islice(from: Int, until: Int): DateTimeIndex
   def slice(start: ZonedDateTime, end: ZonedDateTime): DateTimeIndex =
     sliceNanos(TimeUtils.toNanos(start), TimeUtils.toNanos(end))
   /** Same instants viewed in another zone. */
@@ -102,6 +105,11 @@ case class UniformDateTimeIndex(
     UniformDateTimeIndex(dateTimeAtLoc(lo), n, frequency)
   }
 
+  override def islice(from: Int, until: Int): DateTimeIndex = {
+    require(from >= 0 && until <= periods && from <= until, s"bad islice [$from,$until)")
+    UniformDateTimeIndex(frequency.advance(start, from), until - from, frequency)
+  }
+
   override def atZone(z: ZoneId): DateTimeIndex =
     UniformDateTimeIndex(start.withZoneSameInstant(z), periods, frequency)
 
@@ -136,6 +144,10 @@ case class IrregularDateTimeIndex(instants: Array[Long], zone: ZoneId = ZoneOffs
     val lo = math.max(locAtOrAfterNanos(start), 0)
     val hi = math.min(locAtOrBeforeNanos(end), size - 1)
     IrregularDateTimeIndex(instants.slice(lo, hi + 1), zone)
+  }
+  override def islice(from: Int, until: Int): DateTimeIndex = {
+    require(from >= 0 && until <= size && from <= until, s"bad islice [$from,$until)")
+    IrregularDateTimeIndex(instants.slice(from, until), zone)
   }
   override def atZone(z: ZoneId): DateTimeIndex = IrregularDateTimeIndex(instants, z)
   override def toNanosArray: Array[Long] = instants
@@ -205,6 +217,16 @@ case class HybridDateTimeIndex(indices: Array[DateTimeIndex]) extends DateTimeIn
     }.filter(_.size > 0)
     if (kept.length == 1) kept(0) else HybridDateTimeIndex(kept)
   }
+  override def islice(from: Int, until: Int): DateTimeIndex = {
+    require(from >= 0 && until <= size && from <= until, s"bad islice [$from,$until)")
+    val kept = indices.indices.flatMap { i =>
+      val lo = math.max(from, prefix(i).toInt)
+      val hi = math.min(until, prefix(i + 1).toInt)
+      if (lo < hi) Some(indices(i).islice(lo - prefix(i).toInt, hi - prefix(i).toInt))
+      else None
+    }.toArray
+    if (kept.length == 1) kept(0) else HybridDateTimeIndex(kept)
+  }
   override def atZone(z: ZoneId): DateTimeIndex = HybridDateTimeIndex(indices.map(_.atZone(z)))
   override def tag: String = indices.map(_.tag).mkString("hybrid;", ";", "")
   override def equals(o: Any): Boolean = o match {
@@ -229,17 +251,82 @@ object DateTimeIndex {
   def hybrid(indices: Array[DateTimeIndex]): HybridDateTimeIndex = HybridDateTimeIndex(indices)
 
   /**
-   * Union N indices into one (sorted, distinct instants). The reference does a
-   * priority-queue sweep producing a hybrid index
-   * (DateTimeIndexUtils.scala:114-153); semantically it is just sorted-distinct
-   * concatenation, which is what we implement. Uniform inputs whose instants
-   * and spacing are preserved could be re-detected, but irregular output is
-   * always correct.
+   * Union N indices into one sorted-distinct index that PRESERVES uniform
+   * runs (reference semantics: DateTimeIndexUtils.scala:114-153). Disjoint
+   * inputs become a hybrid of the original segments; overlaps are resolved
+   * by a (first, size)-ordered sweep that bulk-drops instants the emitted
+   * run already holds and splits a covering segment at the interleave
+   * point. Memory stays O(segments), never O(total periods): a union of
+   * multi-year daily calendars is a handful of (start, periods, freq)
+   * descriptors, not millions of longs on the driver.
+   *
+   * After the sweep, [[coalesceSegments]] flattens adjacent irregular or
+   * singleton fragments into one irregular segment (the reference's
+   * simplify rule) and additionally merges exactly-contiguous
+   * same-frequency uniform neighbors — an improvement the reference lacks.
    */
   def union(indices: Seq[DateTimeIndex]): DateTimeIndex = {
-    val zone = indices.head.zone
-    val all = indices.flatMap(_.toNanosArray).distinct.sorted.toArray
-    IrregularDateTimeIndex(all, zone)
+    require(indices.nonEmpty, "union of no indices")
+    def flat(ix: DateTimeIndex): Seq[DateTimeIndex] = ix match {
+      case h: HybridDateTimeIndex => h.indices.toSeq.flatMap(flat)
+      case other if other.size > 0 => Seq(other)
+      case _ => Seq.empty
+    }
+    val ord = Ordering.by((ix: DateTimeIndex) => (ix.nanosAtLoc(0), ix.size.toLong))
+    val pending = collection.mutable.PriorityQueue.empty[DateTimeIndex](ord.reverse)
+    indices.flatMap(flat).foreach(pending.enqueue(_))
+    require(pending.nonEmpty, "union of empty indices")
+    val done = collection.mutable.ArrayBuffer[DateTimeIndex](pending.dequeue())
+    while (pending.nonEmpty) {
+      val tail = done.remove(done.length - 1) // latest emitted; tail.first <= next.first
+      val next = pending.dequeue()
+      var drop = 0 // leading instants of next that tail already holds
+      while (drop < next.size && tail.contains(next.nanosAtLoc(drop))) drop += 1
+      if (drop > 0) {
+        // next shrank, so its sort position may have changed — requeue
+        done += tail
+        if (drop < next.size) pending.enqueue(next.islice(drop, next.size))
+      } else {
+        val cut = tail.locAtOrAfterNanos(next.nanosAtLoc(0))
+        if (cut < tail.size) {
+          // next starts strictly inside tail's span: emit the part of tail
+          // below next, keep the rest for later interleaving
+          done += tail.islice(0, cut)
+          done += next
+          pending.enqueue(tail.islice(cut, tail.size))
+        } else {
+          done += tail
+          done += next
+        }
+      }
+    }
+    val merged = coalesceSegments(done.toSeq)
+    if (merged.length == 1) merged.head else HybridDateTimeIndex(merged.toArray)
+  }
+
+  /** Coalesce a sorted, disjoint segment run: adjacent irregular/singleton
+    * segments flatten into one irregular; uniform neighbors with the same
+    * frequency whose second starts exactly one period after the first ends
+    * merge into one uniform. */
+  private def coalesceSegments(segs: Seq[DateTimeIndex]): Seq[DateTimeIndex] = {
+    def loose(ix: DateTimeIndex) =
+      ix.size == 1 || ix.isInstanceOf[IrregularDateTimeIndex]
+    val out = collection.mutable.ArrayBuffer.empty[DateTimeIndex]
+    segs.foreach { s =>
+      (out.lastOption, s) match {
+        case (Some(p: UniformDateTimeIndex), u: UniformDateTimeIndex)
+            if p.frequency == u.frequency &&
+              TimeUtils.toNanos(p.frequency.advance(p.start, p.periods)) ==
+                u.nanosAtLoc(0) =>
+          out(out.length - 1) = UniformDateTimeIndex(p.start,
+            p.periods + u.periods, p.frequency)
+        case (Some(p), cur) if loose(p) && loose(cur) =>
+          out(out.length - 1) =
+            IrregularDateTimeIndex(p.toNanosArray ++ cur.toNanosArray, p.zone)
+        case _ => out += s
+      }
+    }
+    out.toSeq
   }
 
   /** Parse a [[DateTimeIndex.tag]]. */

@@ -97,6 +97,61 @@ class DateTimeIndexSpec extends AnyFunSuite with Matchers {
     val b = DateTimeIndex.irregular(Array(3L, 5L, 11L))
     val u = DateTimeIndex.union(Seq(a, b))
     u.toNanosArray shouldBe Array(1L, 3L, 5L, 9L, 11L)
+    // two overlapping irregulars coalesce back to ONE irregular segment
+    assert(u.isInstanceOf[IrregularDateTimeIndex])
+  }
+
+  // ---- union segment structure mirrors the reference's
+  // DateTimeIndexUtilsSuite (union/simplify cases) ----
+
+  test("union: non-overlapping inputs keep their segments (any input order)") {
+    val i1 = DateTimeIndex.uniform(dt("2015-04-10"), 5, Frequency.days(2))
+    val i2 = DateTimeIndex.uniform(dt("2015-05-10"), 5, Frequency.days(2))
+    val i3 = DateTimeIndex.irregular(Seq(dt("2015-06-10"), dt("2015-06-13"),
+      dt("2015-06-15"), dt("2015-06-20"), dt("2015-06-25")))
+    val want = DateTimeIndex.hybrid(Array(i1, i2, i3))
+    DateTimeIndex.union(Seq(i1, i2, i3)) shouldBe want
+    DateTimeIndex.union(Seq(i3, i1, i2)) shouldBe want
+  }
+
+  test("union: overlapping uniform and irregular splits like the reference") {
+    val i1 = DateTimeIndex.uniform(dt("2015-04-10"), 5, Frequency.days(2))
+    val i2 = DateTimeIndex.uniform(dt("2015-05-10"), 5, Frequency.days(2))
+    val i3 = DateTimeIndex.irregular(Seq(dt("2015-04-09"), dt("2015-04-11"),
+      dt("2015-05-01"), dt("2015-05-10"), dt("2015-06-25")))
+    DateTimeIndex.union(Seq(i3, i1, i2)) shouldBe DateTimeIndex.hybrid(Array(
+      DateTimeIndex.irregular(Seq(dt("2015-04-09"), dt("2015-04-10"), dt("2015-04-11"))),
+      DateTimeIndex.uniform(dt("2015-04-12"), 4, Frequency.days(2)),
+      DateTimeIndex.irregular(Seq(dt("2015-05-01"), dt("2015-05-10"))),
+      DateTimeIndex.uniform(dt("2015-05-12"), 4, Frequency.days(2)),
+      DateTimeIndex.irregular(Seq(dt("2015-06-25")))))
+  }
+
+  test("union of long uniform calendars stays O(segments), not O(periods)") {
+    // ten years of days + ten years of days, overlapping by five: the old
+    // implementation materialized ~5.5k longs; now it is ONE uniform
+    val a = DateTimeIndex.uniform(dt("2000-01-01"), 3653, Frequency.days(1))
+    val b = DateTimeIndex.uniform(dt("2005-01-01"), 3652, Frequency.days(1))
+    val u = DateTimeIndex.union(Seq(a, b))
+    assert(u.isInstanceOf[UniformDateTimeIndex])
+    u.size shouldBe 5479 // 2000-01-01 .. 2014-12-31, four leap years
+    u.first shouldBe dt("2000-01-01")
+    u.last shouldBe dt("2014-12-31")
+  }
+
+  test("islice preserves uniformity and hybrid structure") {
+    val u = DateTimeIndex.uniform(dt("2024-01-01"), 10, Frequency.days(1))
+    val s = u.islice(2, 7)
+    assert(s.isInstanceOf[UniformDateTimeIndex])
+    s.first shouldBe dt("2024-01-03")
+    s.size shouldBe 5
+    val h = DateTimeIndex.hybrid(Array(
+      DateTimeIndex.uniform(dt("2024-01-01"), 3, Frequency.days(1)),
+      DateTimeIndex.irregular(Array(100L, 200L))))
+    val hs = h.islice(1, 4)
+    hs.size shouldBe 3
+    hs.toNanosArray shouldBe Array(
+      TimeUtils.toNanos(dt("2024-01-02")), TimeUtils.toNanos(dt("2024-01-03")), 100L)
   }
 
   test("zone changes preserve instants") {
