@@ -8,7 +8,8 @@ import org.apache.commons.math3.stat.regression.OLSMultipleLinearRegression
  * (capability of reference models/Autoregression.scala:24-96, re-implemented:
  * OLS on the trimmed lag matrix via commons-math3).
  */
-case class ARModel(c: Double, coefficients: Array[Double]) extends TimeSeriesModel {
+case class ARModel(c: Double, coefficients: Array[Double]) extends TimeSeriesModel
+    with TimeSeriesFilter {
   private val p = coefficients.length
 
   /** residuals: first p entries passed through unchanged so that

@@ -12,7 +12,8 @@ import org.apache.commons.math3.random.RandomGenerator
  * bounded BOBYQA on the exact log-likelihood with analytic gradient exposed
  * for diagnostics).
  */
-case class GARCHModel(omega: Double, alpha: Double, beta: Double) extends TimeSeriesModel {
+case class GARCHModel(omega: Double, alpha: Double, beta: Double) extends TimeSeriesModel
+    with TimeSeriesFilter {
 
   private def h0(ts: Array[Double]): Double = {
     val denom = 1.0 - alpha - beta
@@ -104,7 +105,7 @@ case class GARCHModel(omega: Double, alpha: Double, beta: Double) extends TimeSe
  * (capability of reference ARGARCH, re-implemented).
  */
 case class ARGARCHModel(c: Double, phi: Double, alpha: Double, beta: Double,
-    omega: Double) extends TimeSeriesModel {
+    omega: Double) extends TimeSeriesModel with TimeSeriesFilter {
   def garch: GARCHModel = GARCHModel(omega, alpha, beta)
 
   override def removeTimeDependentEffects(ts: Array[Double]): Array[Double] = {

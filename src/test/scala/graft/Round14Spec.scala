@@ -65,6 +65,23 @@ class Round14Spec extends AnyFunSuite with Matchers with SparkTestSession {
     out.map(_.getAs[Long]("vec_id")).sorted shouldBe Array(1L, 3L)
   }
 
+  test("TimeSeriesFilter filters i.i.d. innovations into model dynamics") {
+    import graft.models.{ARModel, GARCHModel, TimeSeriesFilter}
+    val ar: TimeSeriesFilter = ARModel(0.5, Array(0.3))
+    val iid = Array(1.0, -0.5, 0.25, 0.8)
+    val dest = new Array[Double](iid.length)
+    val out = ar.filter(iid, dest)
+    (out eq dest) shouldBe true
+    out shouldBe ARModel(0.5, Array(0.3)).addTimeDependentEffects(iid)
+    // dest may alias the input
+    val inPlace = iid.clone()
+    ar.filter(inPlace, inPlace) shouldBe out
+    // GARCH implements it too (variance-scaling filter)
+    val g = GARCHModel(0.1, 0.2, 0.5)
+    val gd = new Array[Double](iid.length)
+    g.filter(iid, gd) shouldBe g.addTimeDependentEffects(iid)
+  }
+
   test("binaryMetrics: single-class AUC is null; out-of-range scores clamp") {
     import spark.implicits._
     val onlyPos = Seq((1.0, 0.9), (1.0, 0.3)).toDF("label", "score")

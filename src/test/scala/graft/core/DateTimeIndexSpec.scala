@@ -85,6 +85,31 @@ class DateTimeIndexSpec extends AnyFunSuite with Matchers {
     idx.locAtDateTime(dt("2024-01-08")) shouldBe 5
   }
 
+  test("business-day grid across all firstDayOfWeek starts (reference FrequencySuite)") {
+    // For each week start, the probe day is the SECOND day of that business
+    // week (e.g. Sunday-start markets probe a Monday); the grid is the
+    // reference's advance/difference matrix: same-week, exactly-a-week,
+    // cross-weekend, more-than-a-week, two-weeks, beyond.
+    val probe = Map(
+      1 -> "2015-04-07", 2 -> "2015-04-08", 3 -> "2015-04-09",
+      4 -> "2015-04-10", 5 -> "2015-04-11", 6 -> "2015-04-12",
+      7 -> "2015-04-13")
+    val grid = Seq((1, 1, 1), (2, 1, 2), (1, 2, 2), (5, 1, 7), (1, 5, 7),
+      (4, 1, 6), (1, 4, 6), (6, 1, 8), (1, 6, 8), (10, 1, 14), (1, 10, 14),
+      (12, 1, 16), (1, 12, 16))
+    probe.foreach { case (fdow, dayStr) =>
+      val day = dt(dayStr)
+      grid.foreach { case (freqDays, steps, plainDays) =>
+        withClue(s"fdow=$fdow freq=$freqDays steps=$steps: ") {
+          Frequency.businessDays(freqDays, fdow).advance(day, steps) shouldBe
+            day.plusDays(plainDays)
+          Frequency.businessDays(freqDays, fdow)
+            .difference(day, day.plusDays(plainDays)) shouldBe steps
+        }
+      }
+    }
+  }
+
   test("month/year frequencies use calendar arithmetic") {
     val mf = Frequency.months(1)
     mf.advance(dt("2024-01-31"), 1) shouldBe dt("2024-02-29") // leap clamp
