@@ -691,6 +691,7 @@ object SparkEntry {
     // simulation truths; the oracle side is a constant VALUES SELECT, which
     // makes the §2.8/§2.9 fit kernels hash-checkable by the driver ----------------
     "mr01_arima_recover" -> ((s, _) => graft.models.Recovery.arima(s)),
+    "mr19_r_goldens" -> ((s, _) => graft.models.Recovery.rGoldens(s)),
     "mr02_ar_recover" -> ((s, _) => graft.models.Recovery.ar(s)),
     "mr03_ewma_recover" -> ((s, _) => graft.models.Recovery.ewma(s)),
     "mr04_hw_recover" -> ((s, _) => graft.models.Recovery.holtWinters(s)),
@@ -3375,6 +3376,7 @@ object SparkEntry {
     // constant-SELECT oracles for the recovery certification queries: every
     // (key, check) pair is expected true (see models/Recovery.scala)
     "mr01_arima_recover" -> graft.models.Recovery.oracleFor("arima"),
+    "mr19_r_goldens" -> graft.models.Recovery.oracleFor("rgolden"),
     "mr02_ar_recover" -> graft.models.Recovery.oracleFor("ar"),
     "mr03_ewma_recover" -> graft.models.Recovery.oracleFor("ewma"),
     "mr04_hw_recover" -> graft.models.Recovery.oracleFor("holtwinters"),

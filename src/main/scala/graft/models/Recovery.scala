@@ -336,6 +336,56 @@ object Recovery {
   // ------------------------------------------------------------------
 
   /** Distribute (key, seed) configs and run `kernel` one-per-task. */
+  // ------------------------------------------------------------------
+  // R-pinned goldens (mr19): not simulate-then-recover — the published
+  // datasets and R outputs the reference's own suites assert against
+  // (reference ARIMASuite.scala:27-41: arima.sim(ar=.3, ma=.7) seed 456;
+  // HoltWintersModelSuite.scala:44-70: HoltWinters(AirPassengers) +
+  // forecast.HoltWinters h=12). Tolerances are the reference suites' own.
+  // ------------------------------------------------------------------
+
+  /** Monthly international airline passengers 1949-1960 (Box & Jenkins;
+    * R's built-in `AirPassengers` dataset — public domain). */
+  private val airPassengers: Array[Double] = Array(
+    112, 118, 132, 129, 121, 135, 148, 148, 136, 119, 104, 118,
+    115, 126, 141, 135, 125, 149, 170, 170, 158, 133, 114, 140,
+    145, 150, 178, 163, 172, 178, 199, 199, 184, 162, 146, 166,
+    171, 180, 193, 181, 183, 218, 230, 242, 209, 191, 172, 194,
+    196, 196, 236, 235, 229, 243, 264, 272, 237, 211, 180, 201,
+    204, 188, 235, 227, 234, 264, 302, 293, 259, 229, 203, 229,
+    242, 233, 267, 269, 270, 315, 364, 347, 312, 274, 237, 278,
+    284, 277, 317, 313, 318, 374, 413, 405, 355, 306, 271, 306,
+    315, 301, 356, 348, 355, 422, 465, 467, 404, 347, 305, 336,
+    340, 318, 362, 348, 363, 435, 491, 505, 404, 359, 310, 337,
+    360, 342, 406, 396, 420, 472, 548, 559, 463, 407, 362, 405,
+    417, 391, 419, 461, 472, 535, 622, 606, 508, 461, 390, 432)
+    .map(_.toDouble)
+
+  /** R's forecast.HoltWinters(HoltWinters(AirPassengers), h=12) point
+    * forecasts — the constants the reference suite pins (±10). */
+  private val rHwForecast: Array[Double] = Array(
+    453.4977, 429.3906, 467.0361, 503.2574, 512.3395, 571.8880,
+    652.6095, 637.4623, 539.7548, 490.7250, 424.4593, 469.5315)
+
+  def rGoldenKernel(key: String, seed: Long): Seq[Check] = {
+    val rArima = {
+      val in = getClass.getClassLoader.getResourceAsStream("R_ARIMA_DataSet1.csv")
+      try scala.io.Source.fromInputStream(in).getLines().map(_.toDouble).toArray
+      finally in.close()
+    }
+    val am = ARIMA.fitModel(1, 0, 1, rArima)
+    val hw = HoltWinters.fitModel(airPassengers, 12, "additive")
+    val fc = hw.forecast(airPassengers, 12)
+    val fcMaxErr = fc.zip(rHwForecast).map { case (a, b) => math.abs(a - b) }.max
+    Seq(
+      ck(key, "r_arima_ar", am.coefficients(1), 0.3, 0.05),
+      ck(key, "r_arima_ma", am.coefficients(2), 0.7, 0.05),
+      ck(key, "r_hw_alpha", hw.alpha, 0.24796, 0.02),
+      ck(key, "r_hw_beta", hw.beta, 0.03453, 0.02),
+      ck(key, "r_hw_gamma", hw.gamma, 1.0, 0.02),
+      Check(key, "r_hw_forecast_within_10", fcMaxErr < 10.0, fcMaxErr))
+  }
+
   private def run(s: SparkSession, configs: Seq[(String, Long)],
       kernel: (String, Long) => Seq[Check]): DataFrame = {
     import s.implicits._
@@ -348,7 +398,7 @@ object Recovery {
   private val seeds1 = Seq(("s1", 0L)) // deterministic kernels need no seed spread
 
   private def keysOf(group: String): Seq[(String, Long)] =
-    if (group == "spline") seeds1 else seeds3
+    if (group == "spline" || group == "rgolden") seeds1 else seeds3
 
   /** Canonical check names per kernel, in emit order — the oracle VALUES
     * lists and the drift spec are built from these. */
@@ -368,6 +418,8 @@ object Recovery {
       "bp_rejects_hetero", "bp_keeps_clean"),
     "spline" -> Seq("interp_1", "interp_3", "interp_5", "interp_7",
       "knots_preserved", "outside_range_nan", "inside_gap_filled"),
+    "rgolden" -> Seq("r_arima_ar", "r_arima_ma", "r_hw_alpha", "r_hw_beta",
+      "r_hw_gamma", "r_hw_forecast_within_10"),
     "var" -> Seq("a11", "a12", "a21", "a22", "c1", "c2"),
     "varp" -> Seq("a1_close", "a2_close", "c_close", "forecast_matches_fit"),
     "granger" -> Seq("x_causes_y_detected", "reverse_direction_kept",
@@ -749,6 +801,7 @@ object Recovery {
   def stationarity(s: SparkSession): DataFrame = run(s, seeds3, stationarityKernel)
   def lmTests(s: SparkSession): DataFrame = run(s, seeds3, lmTestsKernel)
   def spline(s: SparkSession): DataFrame = run(s, seeds1, splineKernel)
+  def rGoldens(s: SparkSession): DataFrame = run(s, seeds1, rGoldenKernel)
 
   /** All kernels, locally (no Spark) — used by the probe and the spec. */
   def allLocal(): Seq[(String, Seq[Check])] = Seq(
