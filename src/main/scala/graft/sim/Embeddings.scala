@@ -23,16 +23,29 @@ object Embeddings {
    * Requires a non-empty input; if k exceeds the number of DISTINCT
    * vectors, stops at the distinct count (never emits radius-0 duplicate
    * centers).
-   * Scale shape: k − 1 passes, each computing every row's min distance to
-   * the BROADCAST center list (≤ k·dim doubles) and taking the argmax via
-   * one aggregate — O(k²·n) arithmetic total with k bounded, no growing
-   * lineage, nothing but the k centers ever on the driver.
+   * Scale shape: per-row min distances are carried in the distributed
+   * state and updated against only each pass's NEW centers, so total
+   * arithmetic is O(n·k·dim); each pass admits up to `batch` centers via
+   * a lazy batched argmax (one TakeOrdered pulls the `batch` farthest
+   * rows, then centers are admitted driver-side while the best updated
+   * candidate still STRICTLY beats the batch floor — distances only
+   * shrink, so the floor upper-bounds every non-candidate and the result
+   * is bit-identical to one-at-a-time Gonzalez). Pass count: at most
+   * k − 1, typically ≈ k/batch on spread-out data. State is
+   * localCheckpointed each pass (no lineage growth); only the k centers
+   * and the batch ever reach the driver.
    */
   def kCenterSample(df: DataFrame, k: Int, idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding", batch: Int = 16): DataFrame = {
     require(k >= 1, "k >= 1")
+    require(batch >= 1, "batch >= 1")
     val spark = df.sparkSession
     import spark.implicits._
+    def sq(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
     val base = df.select(col(idCol).cast("long").as("id"),
       transform(col(vecCol), x => x.cast("double")).as("v"))
       .as[(Long, Seq[Double])].map(t => (t._1, t._2.toArray))
@@ -45,30 +58,75 @@ object Embeddings {
       // the seed center has no previous centers — its radius is undefined
       // (NaN), and the non-increasing-radius theorem starts at rank 2
       val centers = collection.mutable.ArrayBuffer((first, firstVec, Double.NaN))
+      // state carries each row's EXACT min distance to all admitted
+      // centers, updated once per pass against only that pass's new
+      // centers — total arithmetic O(n·k·dim), not the O(n·k²·dim) of
+      // recomputing against the full center list every pass
+      var state = {
+        val bc = spark.sparkContext.broadcast(firstVec)
+        base.map { case (id, v) => (id, v, sq(v, bc.value)) }
+      }
+      state.persist()
       var exhausted = false // farthest remaining distance hit 0: every
       // remaining vector coincides with a center, so further "centers"
       // would be silent radius-0 duplicates — stop instead (k > distinct
       // rows returns fewer than k)
+      var pass = 0
       while (centers.length < k && !exhausted) {
-        val bc = spark.sparkContext.broadcast(centers.map(_._2).toArray)
-        // (minDistToCenters, -id) argmax in ONE aggregate: max lexicographic
-        val next = base.map { case (id, v) =>
-          val cs = bc.value
-          var mind = Double.MaxValue
-          var c = 0
-          while (c < cs.length) {
-            var d = 0.0; var i = 0
-            val cv = cs(c)
-            while (i < v.length) { val t = v(i) - cv(i); d += t * t; i += 1 }
-            if (d < mind) mind = d
-            c += 1
+        pass += 1
+        // one TakeOrdered pass pulls the `batch` farthest rows; their
+        // distances are exact, and every non-candidate row is <= floor
+        val want = math.min(batch, k - centers.length + 1)
+        val cands = state.toDF("id", "v", "d")
+          .orderBy(col("d").desc, col("id").asc).limit(want)
+          .as[(Long, Seq[Double], Double)].collect()
+          .map(t => (t._1, t._2.toArray, t._3))
+        if (cands.isEmpty || cands(0)._3 == 0.0) exhausted = true
+        else {
+          val floor = cands.last._3
+          // lazy batched admit, EXACTLY Gonzalez: candidate distances are
+          // updated driver-side against centers admitted this pass; admit
+          // while the best updated candidate still STRICTLY beats every
+          // non-candidate's upper bound (distances only shrink), with the
+          // (d, smaller id) tie order preserved. d == floor could hide a
+          // smaller-id non-candidate at the same distance -> stop the pass.
+          val admitted = collection.mutable.ArrayBuffer.empty[Array[Double]]
+          var live = cands.map { case (id, v, d) => (id, v, d) }
+          var continue = true
+          while (continue && live.nonEmpty && centers.length < k) {
+            val best = live.maxBy { case (id, _, d) => (d, -id) }
+            val isFirstOfPass = admitted.isEmpty
+            // updated candidate distances hitting 0 says nothing about
+            // NON-candidates (their floor bound is the pre-update value),
+            // so a zero here just ends the pass; only a zero GLOBAL max
+            // (checked on cands(0) above) sets exhausted
+            if (best._3 == 0.0) continue = false
+            else if (isFirstOfPass || best._3 > floor) {
+              centers += ((best._1, best._2, math.sqrt(best._3)))
+              admitted += best._2
+              live = live.filter(_._1 != best._1).map { case (id, v, d) =>
+                (id, v, math.min(d, sq(v, best._2)))
+              }
+            } else continue = false
           }
-          (mind, -id, v)
-        }.reduce { (a, b) =>
-          if (a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)) a else b
+          if (centers.length < k && !exhausted) {
+            // fold this pass's centers into the distributed state once
+            val bc = spark.sparkContext.broadcast(admitted.toArray)
+            val old = state
+            // localCheckpoint: k/batch passes of map lineage would
+            // otherwise stack into one deep closure chain
+            state = old.map { case (id, v, d) =>
+              var m = d
+              val cs = bc.value
+              var c = 0
+              while (c < cs.length) {
+                val t = sq(v, cs(c)); if (t < m) m = t; c += 1
+              }
+              (id, v, m)
+            }.localCheckpoint()
+            old.unpersist(false)
+          }
         }
-        if (next._1 == 0.0) exhausted = true
-        else centers += ((-next._2, next._3, math.sqrt(next._1)))
       }
       centers.zipWithIndex.map { case ((id, _, r), rank) =>
         (rank + 1, id, r)

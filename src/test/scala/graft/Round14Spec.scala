@@ -65,6 +65,37 @@ class Round14Spec extends AnyFunSuite with Matchers with SparkTestSession {
     out.map(_.getAs[Long]("vec_id")).sorted shouldBe Array(1L, 3L)
   }
 
+  test("batched kCenterSample is bit-identical to sequential Gonzalez") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 200L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 4f - 2f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    // driver-side one-at-a-time Gonzalez (the contract)
+    val pts = vecs.map { case (id, v) => (id, v.map(_.toDouble)) }
+    def sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val k = 13
+    val centers = collection.mutable.ArrayBuffer(
+      (pts.minBy(_._1)._1, Double.NaN))
+    val minD = collection.mutable.Map(pts.map(p =>
+      p._1 -> sq(p._2, pts.minBy(_._1)._2)): _*)
+    while (centers.length < k) {
+      val (bid, bd) = minD.toSeq.maxBy { case (id, d) => (d, -id) }
+      centers += ((bid, math.sqrt(bd)))
+      val bv = pts.find(_._1 == bid).get._2
+      pts.foreach(p => minD(p._1) = math.min(minD(p._1), sq(p._2, bv)))
+    }
+    // the distributed batched version, small batch to force several passes
+    val got = graft.sim.Embeddings.kCenterSample(df, k, batch = 4)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("radius")))
+    got.map(_._1) shouldBe centers.map(_._1).toArray
+    got.drop(1).map(_._2).zip(centers.drop(1).map(_._2)).foreach {
+      case (a, b) => a shouldBe b +- 1e-9
+    }
+  }
+
   test("TimeSeriesFilter filters i.i.d. innovations into model dynamics") {
     import graft.models.{ARModel, GARCHModel, TimeSeriesFilter}
     val ar: TimeSeriesFilter = ARModel(0.5, Array(0.3))
