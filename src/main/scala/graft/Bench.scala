@@ -12,6 +12,28 @@ object Bench {
     // timed query doesn't absorb ~10s of one-time startup cost
     Tables.lineitem(spark, sfDir).count()
     Tables.events(spark, sfDir).count()
+    // Fixed calibration workload (codegen + partial agg + one small
+    // shuffle over generated rows — no I/O, no graft code): measures THIS
+    // host's speed at suite start and end, so per-query medians can be
+    // read as calibration-normalized ratios across rounds. Same-code
+    // full-suite totals have swung ~25% between driver runs on this host
+    // (SCALE.md); the `norm` column factors that swing out of
+    // regression calls.
+    def calibrateOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 20000000L, 1L, cpus.toInt)
+        // pmod keeps the partial sums ANSI-safe (raw xxhash64 sums overflow)
+        .selectExpr("xxhash64(id) AS h", "pmod(xxhash64(id), 1000000) AS m")
+        .groupBy(org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.col("h"), org.apache.spark.sql.functions.lit(64)))
+        .agg(org.apache.spark.sql.functions.sum("m"))
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def calibrate(): Double =
+      Seq(calibrateOnce(), calibrateOnce(), calibrateOnce()).sorted.apply(1)
+    val calStart = calibrate()
+    System.err.println(f"[bench] calibration (start) $calStart%.3f s")
     // a crashed query must fail LOUDLY: its error is recorded per-query in
     // the JSON (never a silent time-to-crash masquerading as a fast pass)
     // local iteration aid: SPARK_GRAFT_ONLY=m16,dd06 times just those ids
@@ -124,13 +146,18 @@ object Bench {
     // to a FILE — the stdout channel is tail-capture-bounded (see below) and
     // must never be the only home of per-query history again (BENCH_r07
     // lost the round's medians to truncation)
+    val calEnd = calibrate()
+    System.err.println(f"[bench] calibration (end) $calEnd%.3f s")
     val detail = results.map { case (k, med, first, e, pos, gcMs, ccMb) =>
       s"${jstr(k)}:{\"median\":${fmt(med, 3)},\"first\":${fmt(first, 3)}" +
+        s",\"norm\":${fmt(med / calStart, 3)}" +
         s",\"pos\":$pos,\"gc_ms\":$gcMs,\"code_cache_mb\":${fmt(ccMb, 1)}" +
         e.map(m => s",\"error\":${jstr(m)}").getOrElse("") + "}"
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":${jstr(sfDir)},"queries":$detail}"""
+      s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"failed":$failed,""" +
+        s""""cal_start_sec":${fmt(calStart, 3)},"cal_end_sec":${fmt(calEnd, 3)},""" +
+        s""""sf":${jstr(sfDir)},"queries":$detail}"""
     try {
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench_detail.json"), detailJson + "\n")
@@ -152,7 +179,7 @@ object Bench {
     // that doesn't fit is summed into "other" (tiny certification queries,
     // typically) with the dropped count in "n_other". Full per-query data
     // lives in bench_detail.json and on stderr.
-    val header = s""""metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size}"""
+    val header = s""""metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size},"cal":${fmt(calStart, 2)}"""
     val short = results.map { case (k, v, _, _, _, _, _) => (k.takeWhile(_ != '_'), v) }
     val useShort = short.map(_._1).distinct.size == results.size
     // errors keyed the same way as the timings: under a prefix collision
