@@ -944,16 +944,19 @@ object SparkEntry {
     "m35_varp_order" -> ((s, dir) =>
       // information-criterion order selection over the m32 trivariate
       // system, p = 1..3 scored on one streamed pass (pmax Gram nests all
-      // smaller orders as leading sub-blocks); DuckDB cannot express the
-      // per-order solves -> rows-only here; mr16 certifies the planted
-      // order is selected on simulated VAR(2) systems
+      // smaller orders as leading sub-blocks); the DuckDB oracle replays
+      // every per-order solve via generated Gram-Schmidt CTEs (olsCtes)
+      // and the closed-form 3x3 determinant; mr16 additionally certifies
+      // the planted order is selected on simulated VAR(2) systems
       graft.models.VectorAR.varpOrderSelect(dailyTriple(s, dir), 3,
         Seq("v", "cnt", "mkt"), key = "user_id", ts = "day_us")
+        // 5 dp like m32: the oracle replays each order's solve via the
+        // generated Gram-Schmidt chain (different algebra, ~1e-7 agreement)
         .select(col("key").cast("long").as("user_id"),
           col("p").cast("long").as("p"), col("n_obs"),
-          round(col("log_det_sigma"), 6).as("log_det_sigma"),
-          round(col("aic"), 6).as("aic"), round(col("bic"), 6).as("bic"),
-          round(col("hqic"), 6).as("hqic"))),
+          round(col("log_det_sigma"), 5).as("log_det_sigma"),
+          round(col("aic"), 5).as("aic"), round(col("bic"), 5).as("bic"),
+          round(col("hqic"), 5).as("hqic"))),
     "m38_varp_intervals" -> ((s, dir) =>
       // 5-step VAR(2) forecast with 95% normal-theory prediction bands
       // (MSE(h) = sum of phi Sigma phi' from the same streamed fit);
@@ -1520,6 +1523,142 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /**
+   * Emit DuckDB CTEs solving, per user, the exact k-regressor OLS of the
+   * three targets y1..y3 on x1..xk (+ intercept) over design CTE `src`
+   * (columns: user_id, y1..y3, x1..xk) — the generated generalization of
+   * [[varpSolveCtes]]'s handwritten k=6 chain. Produces CTEs
+   * `{pfx}g1..{pfx}g{k}` (Gram-Schmidt basis), `{pfx}a` (aggregates) and
+   * `{pfx}c` (one row per user with coefficients b{i}_{j}, i=0..k
+   * intercept-first, j=1..3, plus nobs). Algebra: centered Gram-Schmidt
+   * basis u1..uk, gamma_t = sum(u_t y)/sum(u_t^2), back-substitution
+   * through the unit-triangular change of basis, intercept from means.
+   */
+  private def olsCtes(pfx: String, src: String, k: Int): String = {
+    val sb = new StringBuilder
+    val cdefs = (2 to k).map(i => s"x$i - avg(x$i) OVER w AS c$i").mkString(",\n             ")
+    val mdefs = (1 to k).map(i => s"avg(x$i) OVER w AS m$i").mkString(", ")
+    sb ++= s"""${pfx}g1 AS (
+           SELECT user_id, y1, y2, y3, x1 - avg(x1) OVER w AS u1,
+             $cdefs,
+             $mdefs
+           FROM $src WINDOW w AS (PARTITION BY user_id)),
+         """
+    for (t <- 2 to k) {
+      val projs = (1 until t).map(s =>
+        s"- sum(u$s*c$t) OVER w / sum(u$s*u$s) OVER w * u$s").mkString("\n                ")
+      sb ++= s"""${pfx}g$t AS (SELECT *,
+             c$t $projs AS u$t
+           FROM ${pfx}g${t - 1} WINDOW w AS (PARTITION BY user_id)),
+         """
+    }
+    val ms = (1 to k).map(i => s"any_value(m$i) AS m$i").mkString(", ")
+    val ss = (1 to k).map(t => s"sum(u$t*u$t) AS s$t").mkString(", ")
+    val rs = (for (s <- 1 to k; t <- s + 1 to k)
+      yield s"sum(u$s*c$t) AS r${s}_$t").mkString(",\n             ")
+    val gs = (for (t <- 1 to k; j <- 1 to 3)
+      yield s"sum(u$t*y$j) AS g${t}_$j").mkString(",\n             ")
+    sb ++= s"""${pfx}a AS (
+           SELECT user_id, count(*) AS nobs,
+             avg(y1) AS my1, avg(y2) AS my2, avg(y3) AS my3,
+             $ms,
+             $ss,
+             $rs,
+             $gs
+           FROM ${pfx}g$k GROUP BY user_id HAVING count(*) >= ${k + 1}),
+         """
+    // back-substitution: t-th layer adds b{t}_{j} for j=1..3
+    var prev = s"${pfx}a"
+    for (t <- k to 1 by -1) {
+      val defs = (1 to 3).map { j =>
+        val tail = (t + 1 to k).map(u => s"- r${t}_$u/s$t*b${u}_$j").mkString(" ")
+        s"g${t}_$j/s$t $tail AS b${t}_$j"
+      }.mkString(",\n             ")
+      sb ++= s"""${pfx}t$t AS (SELECT *,
+             $defs
+           FROM $prev),
+         """
+      prev = s"${pfx}t$t"
+    }
+    val b0s = (1 to 3).map { j =>
+      val terms = (1 to k).map(i => s"- b${i}_$j*m$i").mkString(" ")
+      s"my$j $terms AS b0_$j"
+    }.mkString(",\n             ")
+    sb ++= s"""${pfx}c AS (SELECT *,
+             $b0s
+           FROM $prev)"""
+    sb.toString
+  }
+
+  /** The m35 oracle: pmax=3 lag-aligned design (one shared sample for all
+    * orders, exactly icsLocal's convention), one generated OLS chain per
+    * order p=1..3, then Σ̂ = (Y′Y − B′X′Y)/nobs from raw moments, the
+    * closed-form 3×3 determinant, and the Lütkepohl AIC/BIC/HQIC. */
+  private def varpOrderOracle: String = {
+    val lagCols = (for (l <- 1 to 3; (c, i) <- Seq("v", "cnt", "mkt").zipWithIndex)
+      yield s"lag($c, $l) OVER w AS x${(l - 1) * 3 + i + 1}").mkString(",\n             ")
+    val sxy = (for (i <- 1 to 9; j <- 1 to 3)
+      yield s"sum(x$i*y$j) AS sxy${i}_$j").mkString(",\n             ")
+    def ic(p: Int): String = {
+      val k = 3 * p
+      val sig = (for (a <- 1 to 3; b <- 1 to 3) yield {
+        val yy = if (a <= b) s"yy$a$b" else s"yy$b$a"
+        val terms = (1 to k).map(i => s"- b${i}_$a*sxy${i}_$b").mkString(" ")
+        s"($yy - b0_$a*sy$b $terms)/n AS s$a$b"
+      }).mkString(",\n             ")
+      val kPar = 3 * (k + 1)
+      s"""ic${p}a AS (
+           SELECT c.user_id, s.n,
+             $sig
+           FROM p${p}c c JOIN sums s ON c.user_id = s.user_id),
+         ic${p}b AS (
+           SELECT user_id, n,
+             s11*(s22*s33 - s23*s32) - s12*(s21*s33 - s23*s31)
+               + s13*(s21*s32 - s22*s31) AS det
+           FROM ic${p}a),
+         ic$p AS (
+           SELECT user_id, $p AS p, n AS n_obs, ln(det) AS ld,
+             ln(det) + 2.0*$kPar/n AS aic,
+             ln(det) + $kPar*ln(n)/n AS bic,
+             ln(det) + 2.0*$kPar*ln(ln(n))/n AS hqic
+           FROM ic${p}b WHERE det > 0)"""
+    }
+    s"""WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             avg(value) AS v, count(*)::DOUBLE AS cnt
+           FROM events GROUP BY 1, 2),
+         market AS (SELECT day_us, avg(v) AS mkt FROM daily GROUP BY 1),
+         triple AS (
+           SELECT d.user_id, d.day_us, d.v, d.cnt, market.mkt
+           FROM daily d JOIN market USING (day_us)),
+         lagd AS (
+           SELECT user_id, v AS y1, cnt AS y2, mkt AS y3,
+             $lagCols
+           FROM triple WINDOW w AS (PARTITION BY user_id ORDER BY day_us)),
+         d0 AS (SELECT * FROM lagd
+                WHERE x7 IS NOT NULL AND x8 IS NOT NULL AND x9 IS NOT NULL),
+         sums AS (
+           SELECT user_id, count(*) AS n,
+             sum(y1*y1) AS yy11, sum(y1*y2) AS yy12, sum(y1*y3) AS yy13,
+             sum(y2*y2) AS yy22, sum(y2*y3) AS yy23, sum(y3*y3) AS yy33,
+             sum(y1) AS sy1, sum(y2) AS sy2, sum(y3) AS sy3,
+             $sxy
+           FROM d0 GROUP BY user_id),
+         ${olsCtes("p1", "d0", 3)},
+         ${olsCtes("p2", "d0", 6)},
+         ${olsCtes("p3", "d0", 9)},
+         ${ic(1)},
+         ${ic(2)},
+         ${ic(3)},
+         uni AS (SELECT * FROM ic1 UNION ALL SELECT * FROM ic2
+                 UNION ALL SELECT * FROM ic3)
+         SELECT user_id, p::BIGINT AS p, n_obs,
+           round(ld, 5) + 0.0 AS log_det_sigma,
+           round(aic, 5) + 0.0 AS aic, round(bic, 5) + 0.0 AS bic,
+           round(hqic, 5) + 0.0 AS hqic
+         FROM uni"""
+  }
+
   /** Shared DuckDB CTE chain for the m32/m33 oracles: lag-aligned VAR(2)
     * design rows, Gram-Schmidt orthogonal basis u1..u6, and the
     * back-substituted coefficients b{0..6}_{1..3} per user (t0). */
@@ -3736,6 +3875,7 @@ object SparkEntry {
            FROM t0)
          SELECT user_id, eq, term, lag::BIGINT AS lag,
            round(coef, 5) + 0.0 AS coef FROM u"""),
+    "m35_varp_order" -> varpOrderOracle,
     // m33: unroll the 5-step iterated forecast from the same t0
     // coefficients — each step is scalar algebra on the previous two
     // (forecast) states; ts extrapolates the upper-median observed step
