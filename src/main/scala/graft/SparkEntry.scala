@@ -965,20 +965,21 @@ object SparkEntry {
         Seq("v", "cnt", "mkt"), key = "user_id", ts = "day_us")
         .select(col("key").cast("long").as("user_id"),
           col("step").cast("long").as("step"), col("ts").as("day_us"),
-          col("eq"), round(col("value"), 6).as("value"),
-          round(col("se"), 6).as("se"), round(col("lo"), 6).as("lo"),
-          round(col("hi"), 6).as("hi"))),
+          col("eq"), round(col("value"), 5).as("value"),
+          round(col("se"), 5).as("se"), round(col("lo"), 5).as("lo"),
+          round(col("hi"), 5).as("hi"))),
     "m36_varp_irf" -> ((s, dir) =>
       // impulse responses (plain + Cholesky-orthogonalized) of the m32
       // trivariate VAR(2), horizons 0..4; Φ recursion + Θ = Φ·chol(Σ̂) in
-      // the same streamed-Gram kernel; mr17 certifies theorems + planted
-      // recovery, so rows-only here
+      // the same streamed-Gram kernel; the oracle replays Σ̂, the
+      // closed-form Cholesky and the unrolled Φ/Θ recursion exactly
       graft.models.VectorAR.varpIrf(dailyTriple(s, dir), 2, 4,
         Seq("v", "cnt", "mkt"), key = "user_id", ts = "day_us")
         .select(col("key").cast("long").as("user_id"),
           col("step").cast("long").as("step"), col("impulse"), col("response"),
-          round(col("irf"), 6).as("irf"),
-          round(col("irf_orth"), 6).as("irf_orth"))),
+          // 5 dp like m32: the oracle replays via generated scalar CTEs
+          round(col("irf"), 5).as("irf"),
+          round(col("irf_orth"), 5).as("irf_orth"))),
     "m37_varp_fevd" -> ((s, dir) =>
       // 5-step forecast-error variance decomposition of the same system;
       // shares sum to 1 per (user, variable) — asserted by mr17
@@ -986,7 +987,7 @@ object SparkEntry {
         Seq("v", "cnt", "mkt"), key = "user_id", ts = "day_us")
         .select(col("key").cast("long").as("user_id"), col("variable"),
           col("shock"), col("h").cast("long").as("h"),
-          round(col("fevd"), 6).as("fevd"))),
+          round(col("fevd"), 5).as("fevd"))),
     "m34_granger_varp" -> ((s, dir) =>
       // lag-2 Granger F (market -> user series) via restricted/unrestricted
       // OLS in the VectorAR kernel; the p=1 slice of this operator is
@@ -1657,6 +1658,224 @@ object SparkEntry {
            round(aic, 5) + 0.0 AS aic, round(bic, 5) + 0.0 AS bic,
            round(hqic, 5) + 0.0 AS hqic
          FROM uni"""
+  }
+
+  /**
+   * CTEs extending [[varpSolveCtes]] (t0 coefficients over the p=2 design
+   * `d0`) with the innovation covariance Σ̂ = (Y′Y − B′X′Y)/nobs from raw
+   * moments, its closed-form lower Cholesky factor (PD-guarded like
+   * cholLower), the MA(∞) matrices Φ_0..Φ_h of the fitted VAR(2)
+   * (Φ_s = Φ_{s−1}A_1 + Φ_{s−2}A_2 unrolled), and Θ_s = Φ_s·P — the whole
+   * scalar-algebra core behind varpIrf/varpFevd/varpForecastIntervals.
+   * Final CTE `th` carries ph{s}_{r}{c}, th{s}_{r}{c}, l{r}{c}, s{r}{c}
+   * plus everything from t0.
+   */
+  private def varpThetaCtes(h: Int): String = {
+    val sxy = (for (i <- 1 to 6; j <- 1 to 3)
+      yield s"sum(x$i*y$j) AS sxy${i}_$j").mkString(",\n             ")
+    val sig = (for (a <- 1 to 3; b <- 1 to 3) yield {
+      val yy = if (a <= b) s"yy$a$b" else s"yy$b$a"
+      val terms = (1 to 6).map(i => s"- b${i}_$a*sxy${i}_$b").mkString(" ")
+      s"($yy - b0_$a*sy$b $terms)/n AS s$a$b"
+    }).mkString(",\n             ")
+    // A_l[row j][col i] = b{(l-1)*3+i}_j (coefficient of series i at lag l
+    // in equation j) — maCoefficients' orientation
+    def a(l: Int, j: Int, i: Int) = s"b${(l - 1) * 3 + i}_$j"
+    val phis = new StringBuilder
+    var prevCte = "chol"
+    for (s <- 1 to h) {
+      val defs = (for (r <- 1 to 3; c <- 1 to 3) yield {
+        def phiRef(u: Int, rr: Int, qq: Int): String =
+          if (u == 0) (if (rr == qq) "1.0" else "0.0") else s"ph${u}_$rr$qq"
+        val terms = (for (j <- 1 to math.min(s, 2); q <- 1 to 3)
+          yield s"${phiRef(s - j, r, q)}*${a(j, q, c)}").mkString(" + ")
+        s"$terms AS ph${s}_$r$c"
+      }).mkString(",\n             ")
+      phis ++= s"""ph$s AS (SELECT *,
+             $defs
+           FROM $prevCte),
+         """
+      prevCte = s"ph$s"
+    }
+    val thetas = (for (s <- 0 to h; r <- 1 to 3) yield {
+      def ph(q: Int) = if (s == 0) (if (r == q) "1.0" else "0.0") else s"ph${s}_$r$q"
+      Seq(
+        s"${ph(1)}*l11 + ${ph(2)}*l21 + ${ph(3)}*l31 AS th${s}_${r}1",
+        s"${ph(2)}*l22 + ${ph(3)}*l32 AS th${s}_${r}2",
+        s"${ph(3)}*l33 AS th${s}_${r}3").mkString(",\n             ")
+    }).mkString(",\n             ")
+    s"""sums2 AS (
+           SELECT user_id, count(*) AS n,
+             sum(y1*y1) AS yy11, sum(y1*y2) AS yy12, sum(y1*y3) AS yy13,
+             sum(y2*y2) AS yy22, sum(y2*y3) AS yy23, sum(y3*y3) AS yy33,
+             sum(y1) AS sy1, sum(y2) AS sy2, sum(y3) AS sy3,
+             $sxy
+           FROM d0 GROUP BY user_id),
+         sg AS (
+           SELECT t0.*, s2.* EXCLUDE (user_id)
+           FROM t0 JOIN sums2 s2 ON t0.user_id = s2.user_id),
+         sgm AS (SELECT *,
+             $sig
+           FROM sg),
+         chol0 AS (SELECT *, sqrt(s11) AS l11, s21/sqrt(s11) AS l21,
+             s31/sqrt(s11) AS l31 FROM sgm WHERE s11 > 0),
+         chol1 AS (SELECT *, sqrt(s22 - l21*l21) AS l22
+           FROM chol0 WHERE s22 - l21*l21 > 0),
+         chol2 AS (SELECT *, (s32 - l31*l21)/l22 AS l32 FROM chol1),
+         chol AS (SELECT *, sqrt(s33 - l31*l31 - l32*l32) AS l33
+           FROM chol2 WHERE s33 - l31*l31 - l32*l32 > 0),
+         ${phis.toString}th AS (SELECT *,
+             $thetas
+           FROM $prevCte)"""
+  }
+
+  private val varNames = Seq("v", "cnt", "mkt")
+
+  /** m36: unnest (step, impulse, response, irf, irf_orth) from the Θ chain. */
+  private def varpIrfOracle: String = {
+    val h = 4
+    def cell(s: Int, r: Int, c: Int, th: Boolean): String =
+      if (th) s"th${s}_$r$c"
+      else if (s == 0) (if (r == c) "1.0" else "0.0")
+      else s"ph${s}_$r$c"
+    val cells = for (s <- 0 to h; i <- 1 to 3; j <- 1 to 3) yield (s, i, j)
+    s"""WITH $varpSolveCtes,
+         ${varpThetaCtes(h)},
+         u AS (
+           SELECT user_id,
+             unnest([${cells.map(_._1).mkString(",")}]) AS step,
+             unnest([${cells.map(c => s"'${varNames(c._3 - 1)}'").mkString(",")}]) AS impulse,
+             unnest([${cells.map(c => s"'${varNames(c._2 - 1)}'").mkString(",")}]) AS response,
+             unnest([${cells.map(c => cell(c._1, c._2, c._3, th = false)).mkString(",")}]) AS irf,
+             unnest([${cells.map(c => cell(c._1, c._2, c._3, th = true)).mkString(",")}]) AS irf_orth
+           FROM th)
+         SELECT user_id, step::BIGINT AS step, impulse, response,
+           round(irf, 5) + 0.0 AS irf, round(irf_orth, 5) + 0.0 AS irf_orth
+         FROM u"""
+  }
+
+  /** m37: FEVD shares Σ_s θ²/rowsum over the same Θ chain (h=5 → s<5). */
+  private def varpFevdOracle: String = {
+    val h = 5
+    def acc(r: Int, c: Int) =
+      (0 until h).map(s => s"th${s}_$r$c*th${s}_$r$c").mkString(" + ")
+    val accs = (for (r <- 1 to 3; c <- 1 to 3)
+      yield s"${acc(r, c)} AS acc_$r$c").mkString(",\n             ")
+    val cells = for (r <- 1 to 3; c <- 1 to 3) yield (r, c)
+    s"""WITH $varpSolveCtes,
+         ${varpThetaCtes(h - 1)},
+         f AS (SELECT *,
+             $accs
+           FROM th),
+         u AS (
+           SELECT user_id,
+             unnest([${cells.map(c => s"'${varNames(c._1 - 1)}'").mkString(",")}]) AS variable,
+             unnest([${cells.map(c => s"'${varNames(c._2 - 1)}'").mkString(",")}]) AS shock,
+             unnest([${cells.map(c => s"acc_${c._1}${c._2} / (acc_${c._1}1 + acc_${c._1}2 + acc_${c._1}3)").mkString(",")}]) AS fevd
+           FROM f)
+         SELECT user_id, variable, shock, $h::BIGINT AS h,
+           round(fevd, 5) + 0.0 AS fevd FROM u"""
+  }
+
+  /** m38: the m33 forecast recursion joined with running MSE diagonals
+    * mse_i(s) = Σ_{u<s} (Φ_u Σ̂ Φ_u′)_ii from the Θ chain; 95% bands with
+    * the Acklam z the Scala side uses. */
+  private def varpIntervalsOracle: String = {
+    val h = 5
+    val z = "1.959963986120195"
+    def msq(u: Int, i: Int) = { // (Φ_u Σ Φ_u')_ii
+      def ph(q: Int) = if (u == 0) (if (i == q) "1.0" else "0.0") else s"ph${u}_$i$q"
+      (for (a2 <- 1 to 3; b2 <- 1 to 3)
+        yield s"${ph(a2)}*s$a2$b2*${ph(b2)}").mkString(" + ")
+    }
+    val mses = (for (s <- 1 to h; i <- 1 to 3)
+      yield s"${(0 until s).map(u => s"(${msq(u, i)})").mkString(" + ")} AS mse${s}_$i")
+      .mkString(",\n             ")
+    val cells = for (s <- 1 to h; i <- 1 to 3) yield (s, i)
+    s"""WITH $varpSolveCtes,
+         ${varpThetaCtes(h - 1)},
+         hist AS (
+           SELECT user_id, day_us, v, cnt, mkt,
+             row_number() OVER (PARTITION BY user_id ORDER BY day_us DESC) AS rn
+           FROM triple),
+         last2 AS (
+           SELECT user_id,
+             max(CASE WHEN rn = 1 THEN day_us END) AS tlast,
+             max(CASE WHEN rn = 1 THEN v END) AS p1_v,
+             max(CASE WHEN rn = 1 THEN cnt END) AS p1_cnt,
+             max(CASE WHEN rn = 1 THEN mkt END) AS p1_mkt,
+             max(CASE WHEN rn = 2 THEN v END) AS p2_v,
+             max(CASE WHEN rn = 2 THEN cnt END) AS p2_cnt,
+             max(CASE WHEN rn = 2 THEN mkt END) AS p2_mkt
+           FROM hist WHERE rn <= 2 GROUP BY user_id),
+         med AS (
+           SELECT user_id,
+             CASE WHEN len(sts) > 0 THEN sts[len(sts) // 2 + 1]
+                  ELSE 1 END AS step_us
+           FROM (
+             SELECT user_id, list(st ORDER BY st) AS sts
+             FROM (SELECT user_id, day_us - lag(day_us) OVER
+                     (PARTITION BY user_id ORDER BY day_us) AS st
+                   FROM triple)
+             WHERE st IS NOT NULL GROUP BY user_id)),
+         f1 AS (
+           SELECT th.*, l.* EXCLUDE (user_id), m.step_us,
+             b0_1 + b1_1*p1_v + b2_1*p1_cnt + b3_1*p1_mkt
+                  + b4_1*p2_v + b5_1*p2_cnt + b6_1*p2_mkt AS f1_v,
+             b0_2 + b1_2*p1_v + b2_2*p1_cnt + b3_2*p1_mkt
+                  + b4_2*p2_v + b5_2*p2_cnt + b6_2*p2_mkt AS f1_cnt,
+             b0_3 + b1_3*p1_v + b2_3*p1_cnt + b3_3*p1_mkt
+                  + b4_3*p2_v + b5_3*p2_cnt + b6_3*p2_mkt AS f1_mkt
+           FROM th JOIN last2 l USING (user_id) JOIN med m USING (user_id)),
+         f2 AS (SELECT *,
+             b0_1 + b1_1*f1_v + b2_1*f1_cnt + b3_1*f1_mkt
+                  + b4_1*p1_v + b5_1*p1_cnt + b6_1*p1_mkt AS f2_v,
+             b0_2 + b1_2*f1_v + b2_2*f1_cnt + b3_2*f1_mkt
+                  + b4_2*p1_v + b5_2*p1_cnt + b6_2*p1_mkt AS f2_cnt,
+             b0_3 + b1_3*f1_v + b2_3*f1_cnt + b3_3*f1_mkt
+                  + b4_3*p1_v + b5_3*p1_cnt + b6_3*p1_mkt AS f2_mkt
+           FROM f1),
+         f3 AS (SELECT *,
+             b0_1 + b1_1*f2_v + b2_1*f2_cnt + b3_1*f2_mkt
+                  + b4_1*f1_v + b5_1*f1_cnt + b6_1*f1_mkt AS f3_v,
+             b0_2 + b1_2*f2_v + b2_2*f2_cnt + b3_2*f2_mkt
+                  + b4_2*f1_v + b5_2*f1_cnt + b6_2*f1_mkt AS f3_cnt,
+             b0_3 + b1_3*f2_v + b2_3*f2_cnt + b3_3*f2_mkt
+                  + b4_3*f1_v + b5_3*f1_cnt + b6_3*f1_mkt AS f3_mkt
+           FROM f2),
+         f4 AS (SELECT *,
+             b0_1 + b1_1*f3_v + b2_1*f3_cnt + b3_1*f3_mkt
+                  + b4_1*f2_v + b5_1*f2_cnt + b6_1*f2_mkt AS f4_v,
+             b0_2 + b1_2*f3_v + b2_2*f3_cnt + b3_2*f3_mkt
+                  + b4_2*f2_v + b5_2*f2_cnt + b6_2*f2_mkt AS f4_cnt,
+             b0_3 + b1_3*f3_v + b2_3*f3_cnt + b3_3*f3_mkt
+                  + b4_3*f2_v + b5_3*f2_cnt + b6_3*f2_mkt AS f4_mkt
+           FROM f3),
+         f5 AS (SELECT *,
+             b0_1 + b1_1*f4_v + b2_1*f4_cnt + b3_1*f4_mkt
+                  + b4_1*f3_v + b5_1*f3_cnt + b6_1*f3_mkt AS f5_v,
+             b0_2 + b1_2*f4_v + b2_2*f4_cnt + b3_2*f4_mkt
+                  + b4_2*f3_v + b5_2*f3_cnt + b6_2*f3_mkt AS f5_cnt,
+             b0_3 + b1_3*f4_v + b2_3*f4_cnt + b3_3*f4_mkt
+                  + b4_3*f3_v + b5_3*f3_cnt + b6_3*f3_mkt AS f5_mkt
+           FROM f4),
+         fm AS (SELECT *,
+             $mses
+           FROM f5),
+         u AS (
+           SELECT user_id,
+             unnest([${cells.map(_._1).mkString(",")}]) AS step,
+             unnest([${cells.map(c => s"'${varNames(c._2 - 1)}'").mkString(",")}]) AS eq,
+             unnest([${cells.map(c => s"f${c._1}_${varNames(c._2 - 1)}").mkString(",")}]) AS value,
+             unnest([${cells.map(c => s"sqrt(greatest(mse${c._1}_${c._2}, 0.0))").mkString(",")}]) AS se,
+             tlast, step_us
+           FROM fm)
+         SELECT user_id, step::BIGINT AS step,
+           (tlast + step_us * step)::BIGINT AS day_us, eq,
+           round(value, 5) + 0.0 AS value, round(se, 5) + 0.0 AS se,
+           round(value - $z*se, 5) + 0.0 AS lo,
+           round(value + $z*se, 5) + 0.0 AS hi
+         FROM u"""
   }
 
   /** Shared DuckDB CTE chain for the m32/m33 oracles: lag-aligned VAR(2)
@@ -3876,6 +4095,9 @@ object SparkEntry {
          SELECT user_id, eq, term, lag::BIGINT AS lag,
            round(coef, 5) + 0.0 AS coef FROM u"""),
     "m35_varp_order" -> varpOrderOracle,
+    "m36_varp_irf" -> varpIrfOracle,
+    "m37_varp_fevd" -> varpFevdOracle,
+    "m38_varp_intervals" -> varpIntervalsOracle,
     // m33: unroll the 5-step iterated forecast from the same t0
     // coefficients — each step is scalar algebra on the previous two
     // (forecast) states; ts extrapolates the upper-median observed step
