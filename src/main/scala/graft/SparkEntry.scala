@@ -995,7 +995,8 @@ object SparkEntry {
       graft.models.VectorAR.grangerLagP(dailyWithMarket(s, dir), 2,
         key = "user_id", ts = "day_us", y = "value", x = "mkt")
         .select(col("key").cast("long").as("user_id"), col("n_obs"),
-          col("df1"), col("df2"), round(col("f_stat"), 6).as("f_stat"))),
+          // 5 dp like m32: the oracle replays both solves via olsCtes
+          col("df1"), col("df2"), round(col("f_stat"), 5).as("f_stat"))),
     "ts48_periodogram" -> ((s, dir) =>
       // classical periodogram of each user's daily series at Fourier
       // frequencies k=1..8 (mean-centered; direct O(n*maxK) sums — exact
@@ -1535,12 +1536,13 @@ object SparkEntry {
    * basis u1..uk, gamma_t = sum(u_t y)/sum(u_t^2), back-substitution
    * through the unit-triangular change of basis, intercept from means.
    */
-  private def olsCtes(pfx: String, src: String, k: Int): String = {
+  private def olsCtes(pfx: String, src: String, k: Int, nT: Int = 3): String = {
     val sb = new StringBuilder
+    val ycols = (1 to nT).map(j => s"y$j").mkString(", ")
     val cdefs = (2 to k).map(i => s"x$i - avg(x$i) OVER w AS c$i").mkString(",\n             ")
     val mdefs = (1 to k).map(i => s"avg(x$i) OVER w AS m$i").mkString(", ")
     sb ++= s"""${pfx}g1 AS (
-           SELECT user_id, y1, y2, y3, x1 - avg(x1) OVER w AS u1,
+           SELECT user_id, $ycols, x1 - avg(x1) OVER w AS u1,
              $cdefs,
              $mdefs
            FROM $src WINDOW w AS (PARTITION BY user_id)),
@@ -1557,11 +1559,11 @@ object SparkEntry {
     val ss = (1 to k).map(t => s"sum(u$t*u$t) AS s$t").mkString(", ")
     val rs = (for (s <- 1 to k; t <- s + 1 to k)
       yield s"sum(u$s*c$t) AS r${s}_$t").mkString(",\n             ")
-    val gs = (for (t <- 1 to k; j <- 1 to 3)
+    val gs = (for (t <- 1 to k; j <- 1 to nT)
       yield s"sum(u$t*y$j) AS g${t}_$j").mkString(",\n             ")
     sb ++= s"""${pfx}a AS (
            SELECT user_id, count(*) AS nobs,
-             avg(y1) AS my1, avg(y2) AS my2, avg(y3) AS my3,
+             ${(1 to nT).map(j => s"avg(y$j) AS my$j").mkString(", ")},
              $ms,
              $ss,
              $rs,
@@ -1571,7 +1573,7 @@ object SparkEntry {
     // back-substitution: t-th layer adds b{t}_{j} for j=1..3
     var prev = s"${pfx}a"
     for (t <- k to 1 by -1) {
-      val defs = (1 to 3).map { j =>
+      val defs = (1 to nT).map { j =>
         val tail = (t + 1 to k).map(u => s"- r${t}_$u/s$t*b${u}_$j").mkString(" ")
         s"g${t}_$j/s$t $tail AS b${t}_$j"
       }.mkString(",\n             ")
@@ -1581,7 +1583,7 @@ object SparkEntry {
          """
       prev = s"${pfx}t$t"
     }
-    val b0s = (1 to 3).map { j =>
+    val b0s = (1 to nT).map { j =>
       val terms = (1 to k).map(i => s"- b${i}_$j*m$i").mkString(" ")
       s"my$j $terms AS b0_$j"
     }.mkString(",\n             ")
@@ -1730,6 +1732,51 @@ object SparkEntry {
   }
 
   private val varNames = Seq("v", "cnt", "mkt")
+
+  /** m34: lag-2 Granger F — unrestricted (intercept + 2 y-lags + 2 x-lags)
+    * and restricted (intercept + 2 y-lags) OLS over the SAME design rows
+    * via two generated chains, RSS from raw moments with the kernel's
+    * clamp-at-0, F = ((rssR − rssU)/p)/(rssU/df2). */
+  private def grangerOracle: String = {
+    def rss(pfx: String, k: Int): String = {
+      val terms = (1 to k).map(i => s"- ${pfx}b${i}_1*sxy${i}_1").mkString(" ")
+      s"greatest(yy - ${pfx}b0_1*sy1 $terms, 0.0)"
+    }
+    s"""WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             avg(value) AS v
+           FROM events GROUP BY 1, 2),
+         market AS (SELECT day_us, avg(v) AS mkt FROM daily GROUP BY 1),
+         pair AS (
+           SELECT d.user_id, d.day_us, d.v, market.mkt
+           FROM daily d JOIN market USING (day_us)),
+         lagd AS (
+           SELECT user_id, v AS y1,
+             lag(v, 1) OVER w AS x1, lag(v, 2) OVER w AS x2,
+             lag(mkt, 1) OVER w AS x3, lag(mkt, 2) OVER w AS x4
+           FROM pair WINDOW w AS (PARTITION BY user_id ORDER BY day_us)),
+         d0 AS (SELECT * FROM lagd WHERE x2 IS NOT NULL AND x4 IS NOT NULL),
+         sums AS (
+           SELECT user_id, count(*) AS n, sum(y1*y1) AS yy, sum(y1) AS sy1,
+             ${(1 to 4).map(i => s"sum(x$i*y1) AS sxy${i}_1").mkString(", ")}
+           FROM d0 GROUP BY user_id),
+         ${olsCtes("fu", "d0", 4, nT = 1)},
+         ${olsCtes("fr", "d0", 2, nT = 1)},
+         j AS (
+           SELECT s.user_id, s.n,
+             ${(0 to 4).map(i => s"fuc.b${i}_1 AS fub${i}_1").mkString(", ")},
+             ${(0 to 2).map(i => s"frc.b${i}_1 AS frb${i}_1").mkString(", ")},
+             s.yy, s.sy1, ${(1 to 4).map(i => s"s.sxy${i}_1").mkString(", ")}
+           FROM sums s
+           JOIN fuc ON s.user_id = fuc.user_id
+           JOIN frc ON s.user_id = frc.user_id),
+         r AS (
+           SELECT user_id, n, ${rss("fu", 4)} AS rss_u, ${rss("fr", 2)} AS rss_r
+           FROM j)
+         SELECT user_id, n AS n_obs, 2::BIGINT AS df1, (n - 5)::BIGINT AS df2,
+           round(((rss_r - rss_u) / 2) / (rss_u / (n - 5)), 5) + 0.0 AS f_stat
+         FROM r WHERE n > 5 AND rss_u > 0"""
+  }
 
   /** m36: unnest (step, impulse, response, irf, irf_orth) from the Θ chain. */
   private def varpIrfOracle: String = {
@@ -4094,6 +4141,7 @@ object SparkEntry {
            FROM t0)
          SELECT user_id, eq, term, lag::BIGINT AS lag,
            round(coef, 5) + 0.0 AS coef FROM u"""),
+    "m34_granger_varp" -> grangerOracle,
     "m35_varp_order" -> varpOrderOracle,
     "m36_varp_irf" -> varpIrfOracle,
     "m37_varp_fevd" -> varpFevdOracle,
