@@ -466,6 +466,46 @@ object SparkEntry {
       pairDigest(graft.text.Dedup.embeddingNearDuplicates(Tables.embeddings(s, dir),
         threshold = 0.2),
         format_string("%d,%d,%.6f", col("id_a"), col("id_b"), col("cosine")))),
+    // digest twins for the remaining deterministic rows-only surfaces
+    // (same contract as dd15-dd17: frozen sf0.01 constants, one drifted
+    // row flips the md5)
+    "dd18_semdedup_digest" -> ((s, dir) =>
+      pairDigest(graft.sim.SemDedup.semanticDuplicates(Tables.embeddings(s, dir),
+        k = 8, threshold = 0.2),
+        format_string("%d,%d,%d,%.6f", col("cluster"), col("id_a"),
+          col("id_b"), col("cosine")))),
+    "dd19_semdecon_digest" -> ((s, dir) =>
+      pairDigest(graft.text.Dedup.semanticDecontaminate(
+        Tables.embeddings(s, dir).filter(col("vec_id") >= 50),
+        Tables.embeddings(s, dir).filter(col("vec_id") < 50),
+        threshold = 0.2).select(col("vec_id"), col("label")),
+        format_string("%d,%d", col("vec_id"), col("label")))),
+    "sm06_lsh_digest" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      pairDigest(graft.sim.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10),
+        k = 5, planes = 4, probeBits = 2),
+        format_string("%d,%d,%d,%.6f", col("query_id"), col("rank"),
+          col("neighbor_id"), col("cosine")))
+    }),
+    "sm07_ivf_digest" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      pairDigest(graft.sim.Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10),
+        k = 5, nlist = 8, nprobe = 4),
+        format_string("%d,%d,%d,%.6f", col("query_id"), col("rank"),
+          col("neighbor_id"), col("cosine")))
+    }),
+    "sm08_pq_digest" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      pairDigest(graft.sim.Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        k = 5, m = 8, codebookSize = 16, rerank = 50),
+        format_string("%d,%d,%d,%.6f", col("query_id"), col("rank"),
+          col("neighbor_id"), col("cosine")))
+    }),
+    "smp11_kcenter_digest" -> ((s, dir) =>
+      pairDigest(graft.sim.Embeddings.kCenterSample(Tables.embeddings(s, dir), 12)
+        .select(col("rank").cast("long").as("rank"), col("vec_id"),
+          round(col("radius"), 6).as("radius")),
+        format_string("%d,%d,%.6f", col("rank"), col("vec_id"), col("radius")))),
     "sm01_knn_bruteforce" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       graft.sim.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
@@ -2469,6 +2509,20 @@ object SparkEntry {
       """SELECT 'd644f69edef1f1bcc102ec0c25d9f725' AS digest, 143::BIGINT AS n_pairs""",
     "dd17_embedding_digest" ->
       """SELECT '93e6d9fd1e207ec096ab58a7a9010c0f' AS digest, 695::BIGINT AS n_pairs""",
+    // sm06-sm08 independently cross-validated against the GoldenSpec CSVs
+    // (identical md5 over the same sorted line format)
+    "dd18_semdedup_digest" ->
+      """SELECT '07c3a75f8d1738b0b8c5bec5eb3f8a16' AS digest, 1917::BIGINT AS n_pairs""",
+    "dd19_semdecon_digest" ->
+      """SELECT '9b134665e15d0235a1baecb6bf188656' AS digest, 352::BIGINT AS n_pairs""",
+    "sm06_lsh_digest" ->
+      """SELECT '6639b04370ca53c5029c672351aaafb1' AS digest, 50::BIGINT AS n_pairs""",
+    "sm07_ivf_digest" ->
+      """SELECT 'e49ce81bb71273d581b796a1fe706d94' AS digest, 50::BIGINT AS n_pairs""",
+    "sm08_pq_digest" ->
+      """SELECT 'ce5a680ad4f08764b3fcc8f6e05a9f20' AS digest, 50::BIGINT AS n_pairs""",
+    "smp11_kcenter_digest" ->
+      """SELECT '19565b66075d14f1844e3d99f094e570' AS digest, 12::BIGINT AS n_pairs""",
     "dd05_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks
                     FROM documents WHERE doc_id < 60),
