@@ -320,8 +320,14 @@ object SparkEntry {
       graft.models.ModelOps.forecastArima(obs(s, dir), 1, 0, 1, h = 5,
         key = "user_id", ts = "ts_us", value = "value").toDF()),
     "m05_kpss" -> ((s, dir) =>
+      // full oracle: the Newey-West long-run variance, cumsum statistic and
+      // the published-table piecewise-linear p interpolation all replay in
+      // SQL (the automatic Schwert lag ceil(12*(n/100)^.25) included)
       graft.models.ModelOps.kpssAll(obs(s, dir),
-        key = "user_id", ts = "ts_us", value = "value").toDF()),
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key").cast("long").as("user_id"),
+          round(col("statistic"), 6).as("kpss_stat"),
+          round(col("pValue"), 6).as("p_value"))),
     "m06_holtwinters_fit" -> ((s, dir) => {
       // weekly-seasonal HW on the per-user daily mean series
       val daily = TS.resampleCalendar(obs(s, dir), "DAY", avg(_: Column),
@@ -337,8 +343,13 @@ object SparkEntry {
         key = "user_id", ts = "ts_us", value = "value").toDF()
     }),
     "m08_ljungbox" -> ((s, dir) =>
+      // full oracle: m18's autocovariance statistic plus the EXACT even-df
+      // chi-squared survival function (df=10: exp(-q/2)*sum_{k<5}(q/2)^k/k!)
       graft.models.ModelOps.ljungBoxAll(obs(s, dir), lags = 10,
-        key = "user_id", ts = "ts_us", value = "value").toDF()),
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key").cast("long").as("user_id"),
+          round(col("statistic"), 6).as("lb_stat"),
+          round(col("pValue"), 6).as("p_value"))),
     "m09_adf" -> ((s, dir) =>
       graft.models.ModelOps.adfAll(obs(s, dir),
         key = "user_id", ts = "ts_us", value = "value").toDF()),
@@ -681,8 +692,13 @@ object SparkEntry {
         .select(col("key").cast("long").as("user_id"),
           round(col("dw"), 6).as("dw"))),
     "m14_breusch_godfrey" -> ((s, dir) =>
+      // full oracle: the m39 FWL statistic plus the exact df=2 chi-squared
+      // survival function exp(-x/2)
       graft.models.ModelOps.breuschGodfreyAll(obs(s, dir), lags = 2,
-        key = "user_id", ts = "ts_us", value = "value").toDF()),
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key").cast("long").as("user_id"),
+          round(col("statistic"), 6).as("bg_stat"),
+          round(col("pValue"), 6).as("p_value"))),
     "m15_breusch_pagan" -> ((s, dir) =>
       graft.models.ModelOps.breuschPaganAll(obs(s, dir),
         key = "user_id", ts = "ts_us", value = "value").toDF()),
@@ -2782,6 +2798,84 @@ object SparkEntry {
                  WHEN d.doc_id % 3 = 1 THEN greatest(1, (d.n_chars * 10) // 5000)
                  ELSE 1 END)::INT AS frames_sampled
          FROM documents d JOIN ent e ON d.doc_id = e.doc_id""",
+    "m05_kpss" ->
+      """WITH b AS (
+           SELECT user_id, value, epoch_us(ts) AS ts_us FROM events
+         ), r AS (
+           SELECT user_id, value - avg(value) OVER (PARTITION BY user_id) AS e,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts_us) AS t,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM b
+         ), lt AS (
+           SELECT user_id, any_value(n) AS n,
+             ceil(12.0 * pow(any_value(n)/100.0, 0.25))::INT AS l,
+             sum(e*e)/any_value(n) AS s0
+           FROM r GROUP BY user_id
+         ), ks AS (
+           SELECT user_id, n, l, s0, unnest(range(1, l + 1))::INT AS k FROM lt
+         ), gam AS (
+           SELECT ks.user_id, ks.k, ks.l, ks.n,
+             sum(a.e * bb.e) / ks.n AS g
+           FROM ks
+           JOIN r a ON a.user_id = ks.user_id
+           JOIN r bb ON bb.user_id = a.user_id AND bb.t = a.t - ks.k
+           GROUP BY ks.user_id, ks.k, ks.l, ks.n
+         ), s2 AS (
+           SELECT lt.user_id, lt.n,
+             lt.s0 + coalesce(2 * sum((1.0 - gam.k/(gam.l + 1.0)) * gam.g), 0) AS s2
+           FROM lt LEFT JOIN gam ON lt.user_id = gam.user_id
+           GROUP BY lt.user_id, lt.n, lt.s0
+         ), cum AS (
+           SELECT user_id, sum(e) OVER (PARTITION BY user_id ORDER BY t) AS cs
+           FROM r
+         ), cc AS (
+           SELECT user_id, sum(cs*cs) AS ss FROM cum GROUP BY user_id
+         ), st AS (
+           SELECT s2.user_id, cc.ss / (s2.n::DOUBLE * s2.n * s2.s2) AS stat
+           FROM s2 JOIN cc ON s2.user_id = cc.user_id
+         )
+         SELECT user_id, round(stat, 6) AS kpss_stat,
+           round(CASE WHEN stat <= 0.347 THEN 0.10
+                      WHEN stat >= 0.739 THEN 0.01
+                      WHEN stat <= 0.463 THEN 0.10 + (0.05-0.10)*(stat-0.347)/(0.463-0.347)
+                      WHEN stat <= 0.574 THEN 0.05 + (0.025-0.05)*(stat-0.463)/(0.574-0.463)
+                      ELSE 0.025 + (0.01-0.025)*(stat-0.574)/(0.739-0.574) END,
+             6) AS p_value
+         FROM st""",
+    "m08_ljungbox" ->
+      """WITH b AS (
+           SELECT user_id, value, epoch_us(ts) AS ts_us,
+             avg(value) OVER (PARTITION BY user_id) AS mu,
+             count(*) OVER (PARTITION BY user_id) AS n
+           FROM events
+         ), l AS (
+           SELECT user_id, n, value - mu AS e,
+             lag(value - mu, 1) OVER w AS e1, lag(value - mu, 2) OVER w AS e2,
+             lag(value - mu, 3) OVER w AS e3, lag(value - mu, 4) OVER w AS e4,
+             lag(value - mu, 5) OVER w AS e5, lag(value - mu, 6) OVER w AS e6,
+             lag(value - mu, 7) OVER w AS e7, lag(value - mu, 8) OVER w AS e8,
+             lag(value - mu, 9) OVER w AS e9, lag(value - mu, 10) OVER w AS e10
+           FROM b WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+         ), agg AS (
+           SELECT user_id, any_value(n) AS n, sum(e*e) AS c0,
+             sum(e*e1) AS c1, sum(e*e2) AS c2, sum(e*e3) AS c3,
+             sum(e*e4) AS c4, sum(e*e5) AS c5, sum(e*e6) AS c6,
+             sum(e*e7) AS c7, sum(e*e8) AS c8, sum(e*e9) AS c9,
+             sum(e*e10) AS c10
+           FROM l GROUP BY user_id
+         ), q AS (
+           SELECT user_id, n*(n+2) * (
+             (c1/c0)*(c1/c0)/(n-1) + (c2/c0)*(c2/c0)/(n-2) +
+             (c3/c0)*(c3/c0)/(n-3) + (c4/c0)*(c4/c0)/(n-4) +
+             (c5/c0)*(c5/c0)/(n-5) + (c6/c0)*(c6/c0)/(n-6) +
+             (c7/c0)*(c7/c0)/(n-7) + (c8/c0)*(c8/c0)/(n-8) +
+             (c9/c0)*(c9/c0)/(n-9) + (c10/c0)*(c10/c0)/(n-10)) AS q
+           FROM agg
+         )
+         SELECT user_id, round(q, 6) AS lb_stat,
+           round(exp(-q/2) * (1 + q/2 + (q/2)*(q/2)/2
+             + (q/2)*(q/2)*(q/2)/6 + (q/2)*(q/2)*(q/2)*(q/2)/24), 6) AS p_value
+         FROM q""",
     "m19_kpss_stat" ->
       """WITH b AS (
            SELECT user_id, value, epoch_us(ts) AS ts_us,
@@ -2813,6 +2907,47 @@ object SparkEntry {
          SELECT user_id,
            round(beta / sqrt(((1 - r2) * syy / (cnt - 2)) / sxx), 6) AS df_stat
          FROM a""",
+    "m14_breusch_godfrey" ->
+      """WITH b AS (
+           SELECT user_id, value,
+             (row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) - 1)::DOUBLE AS t
+           FROM events
+         ), fit AS (
+           SELECT user_id, regr_slope(value, t) AS sl, regr_intercept(value, t) AS ic
+           FROM b GROUP BY user_id
+         ), e AS (
+           SELECT b.user_id, b.t, b.value - fit.ic - fit.sl * b.t AS e
+           FROM b JOIN fit USING (user_id)
+         ), lagd AS (
+           SELECT user_id, t, e,
+             coalesce(lag(e, 1) OVER w, 0.0) AS e1,
+             coalesce(lag(e, 2) OVER w, 0.0) AS e2
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+         ), part AS (
+           SELECT user_id, regr_slope(e1, t) AS sl1, regr_intercept(e1, t) AS ic1,
+                  regr_slope(e2, t) AS sl2, regr_intercept(e2, t) AS ic2
+           FROM lagd GROUP BY user_id
+         ), tilde AS (
+           SELECT l.user_id, l.e,
+             l.e1 - p.ic1 - p.sl1 * l.t AS f1,
+             l.e2 - p.ic2 - p.sl2 * l.t AS f2
+           FROM lagd l JOIN part p USING (user_id)
+         ), s AS (
+           SELECT user_id, count(*) AS n, avg(e) AS me,
+             sum(f1*f1) AS s11, sum(f2*f2) AS s22, sum(f1*f2) AS s12,
+             sum(f1*e) AS c1, sum(f2*e) AS c2,
+             sum(e*e) AS see
+           FROM tilde GROUP BY user_id
+         )
+         , q AS (
+           SELECT user_id, n * (
+             ((c1*s22 - c2*s12)*c1 + (s11*c2 - s12*c1)*c2)
+               / (s11*s22 - s12*s12)
+           ) / (see - n*me*me) AS stat
+           FROM s)
+         SELECT user_id, round(stat, 6) AS bg_stat,
+           round(exp(-stat/2), 6) AS p_value
+         FROM q""",
     "m39_bg_stat" ->
       """WITH b AS (
            SELECT user_id, value,
