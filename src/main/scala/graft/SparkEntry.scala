@@ -342,6 +342,16 @@ object SparkEntry {
       graft.models.ModelOps.fitGarch(rets,
         key = "user_id", ts = "ts_us", value = "value").toDF()
     }),
+    "m41_egarch_fit" -> ((s, dir) => {
+      // EGARCH(1,1) on per-user return rates (leverage-asymmetric
+      // volatility — the model the reference stubs, fully implemented
+      // here); optimizer fit -> rows-only, mr20 certifies recovery +
+      // the inverse pair hash-exactly
+      val rets = TS.returnRates(obs(s, dir),
+        key = "user_id", ts = "ts_us", value = "value")
+      graft.models.ModelOps.fitEgarch(rets,
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+    }),
     "m08_ljungbox" -> ((s, dir) =>
       // full oracle: m18's autocovariance statistic plus the EXACT even-df
       // chi-squared survival function (df=10: exp(-q/2)*sum_{k<5}(q/2)^k/k!)
@@ -748,6 +758,7 @@ object SparkEntry {
     // makes the §2.8/§2.9 fit kernels hash-checkable by the driver ----------------
     "mr01_arima_recover" -> ((s, _) => graft.models.Recovery.arima(s)),
     "mr19_r_goldens" -> ((s, _) => graft.models.Recovery.rGoldens(s)),
+    "mr20_egarch_recover" -> ((s, _) => graft.models.Recovery.egarch(s)),
     "mr02_ar_recover" -> ((s, _) => graft.models.Recovery.ar(s)),
     "mr03_ewma_recover" -> ((s, _) => graft.models.Recovery.ewma(s)),
     "mr04_hw_recover" -> ((s, _) => graft.models.Recovery.holtWinters(s)),
@@ -3971,6 +3982,7 @@ object SparkEntry {
     // (key, check) pair is expected true (see models/Recovery.scala)
     "mr01_arima_recover" -> graft.models.Recovery.oracleFor("arima"),
     "mr19_r_goldens" -> graft.models.Recovery.oracleFor("rgolden"),
+    "mr20_egarch_recover" -> graft.models.Recovery.oracleFor("egarch"),
     "mr02_ar_recover" -> graft.models.Recovery.oracleFor("ar"),
     "mr03_ewma_recover" -> graft.models.Recovery.oracleFor("ewma"),
     "mr04_hw_recover" -> graft.models.Recovery.oracleFor("holtwinters"),

@@ -11,6 +11,8 @@ case class ArimaFit(key: String, p: Int, d: Int, q: Int,
 case class EwmaFit(key: String, smoothing: Double, sse: Double)
 case class GarchFit(key: String, omega: Double, alpha: Double, beta: Double,
     logLikelihood: Double)
+case class EgarchFit(key: String, omega: Double, alpha: Double, gamma: Double,
+    beta: Double, logLikelihood: Double)
 case class ArFit(key: String, c: Double, coefficients: Seq[Double])
 case class HoltWintersFit(key: String, period: Int, alpha: Double, beta: Double,
     gamma: Double, sse: Double)
@@ -134,6 +136,19 @@ object ModelOps {
       try {
         val m = GARCH.fitModel(arr)
         Some(GarchFit(k, m.omega, m.alpha, m.beta, m.logLikelihood(arr)))
+      } catch { case _: Throwable => None }
+    }
+  }
+
+  /** EGARCH(1,1) per key (leverage-asymmetric volatility). */
+  def fitEgarch(df: DataFrame, key: String = "key", ts: String = "ts_nanos",
+      value: String = "value"): Dataset[EgarchFit] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    grouped(df, key, ts, value).flatMap { case (k, arr) =>
+      try {
+        val m = EGARCH.fitModel(arr)
+        Some(EgarchFit(k, m.omega, m.alpha, m.gamma, m.beta, m.logLikelihood(arr)))
       } catch { case _: Throwable => None }
     }
   }

@@ -161,6 +161,28 @@ object Recovery {
       Check(key, "ll_dominates_truth", llFit >= llTruth - 1e-6, llTruth - llFit))
   }
 
+  /** EGARCH(1,1) ω=−0.2 α=0.25 γ=−0.15 β=0.9 — certifies EGARCH.fitModel
+    * (m41). Tolerances ≈3× the observed estimation error at n=8000
+    * (EgProbe: ω ±0.04, α ±0.016, γ ±0.025, β ±0.02 across seeds);
+    * the fitted likelihood must dominate the truth's and the
+    * add∘remove pair must round-trip to machine epsilon. */
+  def egarchKernel(key: String, seed: Long): Seq[Check] = {
+    val truth = EGARCHModel(omega = -0.2, alpha = 0.25, gamma = -0.15, beta = 0.9)
+    val ts = truth.sample(8000, new MersenneTwister(seed))
+    val m = EGARCH.fitModel(ts)
+    val llFit = m.logLikelihood(ts)
+    val llTruth = truth.logLikelihood(ts)
+    val rt = m.addTimeDependentEffects(m.removeTimeDependentEffects(ts))
+    val rtErr = rt.zip(ts).map { case (a, b) => math.abs(a - b) }.max
+    Seq(
+      ck(key, "omega", m.omega, -0.2, 0.12),
+      ck(key, "alpha", m.alpha, 0.25, 0.08),
+      ck(key, "gamma", m.gamma, -0.15, 0.08),
+      ck(key, "beta", m.beta, 0.9, 0.06),
+      Check(key, "ll_dominates_truth", llFit >= llTruth - 1e-6, llTruth - llFit),
+      Check(key, "inverse_roundtrip", rtErr < 1e-8, rtErr))
+  }
+
   /** AR(1) closed-form forecast: x̂_{n+h} = μ + φ^h (x_n − μ) — certifies
     * ARIMAModel.forecast against the analytic path (m04). */
   def forecastKernel(key: String, seed: Long): Seq[Check] = {
@@ -420,6 +442,8 @@ object Recovery {
       "knots_preserved", "outside_range_nan", "inside_gap_filled"),
     "rgolden" -> Seq("r_arima_ar", "r_arima_ma", "r_hw_alpha", "r_hw_beta",
       "r_hw_gamma", "r_hw_forecast_within_10"),
+    "egarch" -> Seq("omega", "alpha", "gamma", "beta", "ll_dominates_truth",
+      "inverse_roundtrip"),
     "var" -> Seq("a11", "a12", "a21", "a22", "c1", "c2"),
     "varp" -> Seq("a1_close", "a2_close", "c_close", "forecast_matches_fit"),
     "granger" -> Seq("x_causes_y_detected", "reverse_direction_kept",
@@ -802,6 +826,7 @@ object Recovery {
   def lmTests(s: SparkSession): DataFrame = run(s, seeds3, lmTestsKernel)
   def spline(s: SparkSession): DataFrame = run(s, seeds1, splineKernel)
   def rGoldens(s: SparkSession): DataFrame = run(s, seeds1, rGoldenKernel)
+  def egarch(s: SparkSession): DataFrame = run(s, seeds3, egarchKernel)
 
   /** All kernels, locally (no Spark) — used by the probe and the spec. */
   def allLocal(): Seq[(String, Seq[Check])] = Seq(
@@ -816,7 +841,9 @@ object Recovery {
     "arimax" -> seeds3.flatMap(c => arimaxKernel(c._1, c._2)),
     "stationarity" -> seeds3.flatMap(c => stationarityKernel(c._1, c._2)),
     "lm_tests" -> seeds3.flatMap(c => lmTestsKernel(c._1, c._2)),
-    "spline" -> seeds1.flatMap(c => splineKernel(c._1, c._2)))
+    "spline" -> seeds1.flatMap(c => splineKernel(c._1, c._2)),
+    "rgolden" -> seeds1.flatMap(c => rGoldenKernel(c._1, c._2)),
+    "egarch" -> seeds3.flatMap(c => egarchKernel(c._1, c._2)))
 }
 
 /** Dev probe: print the mr15 F statistics per seed (bound calibration). */

@@ -113,6 +113,27 @@ class Round14Spec extends AnyFunSuite with Matchers with SparkTestSession {
     g.filter(iid, gd) shouldBe g.addTimeDependentEffects(iid)
   }
 
+  test("EGARCH: leverage asymmetry, inverse pair, and recovery") {
+    import graft.models.{EGARCH, EGARCHModel}
+    import org.apache.commons.math3.random.MersenneTwister
+    val truth = EGARCHModel(omega = -0.2, alpha = 0.25, gamma = -0.15, beta = 0.9)
+    // leverage: a negative shock must raise next-step variance MORE than an
+    // equal positive shock (gamma < 0)
+    val lhNeg = truth.logVariances(Array(-2.0, 0.0))(1)
+    val lhPos = truth.logVariances(Array(2.0, 0.0))(1)
+    lhNeg should be > lhPos
+    // inverse pair at machine epsilon
+    val ts = truth.sample(2000, new MersenneTwister(5L))
+    val rt = truth.addTimeDependentEffects(truth.removeTimeDependentEffects(ts))
+    rt.zip(ts).foreach { case (a, b) => a shouldBe b +- 1e-10 }
+    // recovery (mr20's seed-101 instance)
+    val m = EGARCH.fitModel(truth.sample(8000, new MersenneTwister(101L)))
+    m.omega shouldBe -0.2 +- 0.12
+    m.alpha shouldBe 0.25 +- 0.08
+    m.gamma shouldBe -0.15 +- 0.08
+    m.beta shouldBe 0.9 +- 0.06
+  }
+
   test("binaryMetrics: single-class AUC is null; out-of-range scores clamp") {
     import spark.implicits._
     val onlyPos = Seq((1.0, 0.9), (1.0, 0.3)).toDF("label", "score")
