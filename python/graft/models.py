@@ -52,6 +52,17 @@ def fit_garch(df, key="key", ts="ts_nanos", value="value"):
     return lift(spark, _m(jvm).fitGarch(df._jdf, key, ts, value).toDF())
 
 
+def fit_egarch(df, key="key", ts="ts_nanos", value="value"):
+    """Nelson (1991) EGARCH(1,1) per key: leverage-asymmetric volatility.
+
+    Returns (key, omega, alpha, gamma, beta, logLikelihood). The reference
+    stubs this model; graft implements it fully (fit + simulate + exact
+    add/remove-effects inverse pair).
+    """
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).fitEgarch(df._jdf, key, ts, value).toDF())
+
+
 def fit_ar(df, p, key="key", ts="ts_nanos", value="value"):
     spark, jvm = ctx(df)
     return lift(spark, _m(jvm).fitAr(df._jdf, int(p), key, ts, value).toDF())

@@ -184,6 +184,9 @@ object JavaModelOps {
   def fitGarch(df: DataFrame, key: String, ts: String, value: String): DataFrame =
     ModelOps.fitGarch(df, key, ts, value).toDF()
 
+  def fitEgarch(df: DataFrame, key: String, ts: String, value: String): DataFrame =
+    ModelOps.fitEgarch(df, key, ts, value).toDF()
+
   def fitHoltWinters(df: DataFrame, period: Int,
       key: String, ts: String, value: String): DataFrame =
     ModelOps.fitHoltWinters(df, period, key, ts, value).toDF()

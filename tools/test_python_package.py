@@ -72,6 +72,12 @@ def main() -> int:
         aligned, key="user_id", ts="day_us", value="value")
     assert dw.count() == n_keys
 
+    # ---- EGARCH lift (leverage-asymmetric volatility; reference stubs it) ----
+    eg = graft.models.fit_egarch(
+        aligned, key="user_id", ts="day_us", value="value")
+    assert set(eg.columns) >= {"key", "omega", "alpha", "gamma", "beta"}
+    assert eg.count() > 0
+
     # ---- text + dedup ----
     docs = graft.io.documents(spark, sf_dir)
     n_docs = docs.count()
