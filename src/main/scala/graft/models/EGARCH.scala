@@ -102,28 +102,31 @@ case class EGARCHModel(omega: Double, alpha: Double, gamma: Double,
 }
 
 object EGARCH {
-  /** Fit EGARCH(1,1) by Nelder-Mead on the exact log-likelihood with
-    * penalty bounds (|β| < 0.999 for stationarity of ln h; α, γ bounded
-    * away from degenerate fits; ω bounded by the log sample variance ±8 —
-    * same strictly-bounded-work reasoning as GARCH.fitModel). */
+  /** Fit EGARCH(1,1) by Nelder-Mead on the exact log-likelihood in a
+    * smooth UNCONSTRAINED parametrization (β = .999·tanh, α/γ = 2·tanh) —
+    * penalty walls made the raw-space simplex crawl along the boundary to
+    * MaxEval on short noisy series (the per-key lift is thousands of fits);
+    * the tanh map keeps every iterate feasible with no discontinuity, so
+    * convergence is the ~1-2k evaluations the smooth surface needs. */
   def fitModel(ts: Array[Double]): EGARCHModel = {
     val lv = math.log(math.max(ArrayOps.variance(ts), 1e-12))
+    def unpack(p: Array[Double]): EGARCHModel = EGARCHModel(
+      p(0), 2.0 * math.tanh(p(1)), 2.0 * math.tanh(p(2)), 0.999 * math.tanh(p(3)))
     def negLL(p: Array[Double]): Double = {
-      val Array(w, a, g, b) = p
-      if (math.abs(b) > 0.999 || math.abs(a) > 2.0 || math.abs(g) > 2.0 ||
-        w < (lv - 8) * (1 - b) - 8 || w > (lv + 8) * math.abs(1 - b) + 8) return 1e12
-      val ll = EGARCHModel(w, a, g, b).logLikelihood(ts)
+      if (math.abs(p(0)) > math.abs(lv) + 16) return 1e12 // ω sanity only
+      val ll = unpack(p).logLikelihood(ts)
       if (ll.isNaN || ll.isInfinite) 1e12 else -ll
     }
-    val opt = new SimplexOptimizer(1e-10, 1e-12)
-    val init = Array(lv * 0.1, 0.1, -0.05, 0.9)
+    def atanh(x: Double) = 0.5 * math.log((1 + x) / (1 - x))
+    val opt = new SimplexOptimizer(1e-8, 1e-9)
+    val init = Array(lv * 0.1, atanh(0.1 / 2), atanh(-0.05 / 2), atanh(0.9 / 0.999))
     val p = try {
       opt.optimize(new ObjectiveFunction(new MultivariateFunction {
         override def value(pm: Array[Double]): Double = negLL(pm)
       }), GoalType.MINIMIZE, new InitialGuess(init),
-        new NelderMeadSimplex(4, 0.05), new MaxEval(20000), new MaxIter(20000))
+        new NelderMeadSimplex(4, 0.05), new MaxEval(4000), new MaxIter(4000))
         .getPoint
     } catch { case _: Throwable => init }
-    EGARCHModel(p(0), p(1), p(2), p(3))
+    unpack(p)
   }
 }
