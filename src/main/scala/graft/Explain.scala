@@ -12,6 +12,7 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val which = if (args.nonEmpty) args.toSet
     else Set("q01_pricing_summary", "q02_revenue_by_nation", "ts01_lag",
+      "ts14_slice",
       "ts08_asof", "sm01_knn_bruteforce", "dd03_minhash_neardup")
     SparkEntry.queries.filter(q => which(q._1)).foreach { case (name, fn) =>
       println(s"\n========== $name ==========")
