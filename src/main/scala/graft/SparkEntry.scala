@@ -1607,6 +1607,7 @@ object SparkEntry {
    * through the unit-triangular change of basis, intercept from means.
    */
   private def olsCtes(pfx: String, src: String, k: Int, nT: Int = 3): String = {
+    require(k >= 2, "olsCtes needs >= 2 regressors (k=1 is plain regr_*)")
     val sb = new StringBuilder
     val ycols = (1 to nT).map(j => s"y$j").mkString(", ")
     val cdefs = (2 to k).map(i => s"x$i - avg(x$i) OVER w AS c$i").mkString(",\n             ")

@@ -39,7 +39,9 @@ sealed trait DateTimeIndex extends Serializable {
   /** Sub-index covering instants in [start, end] (inclusive, nanos). */
   def sliceNanos(start: Long, end: Long): DateTimeIndex
   /** Positional sub-index over locations [from, until) — preserves
-    * uniformity (a uniform islice is uniform). */
+    * uniformity (a uniform islice is uniform). Requires from < until:
+    * an empty index is not a representable value in this API
+    * (IrregularDateTimeIndex requires at least one instant). */
   def islice(from: Int, until: Int): DateTimeIndex
   def slice(start: ZonedDateTime, end: ZonedDateTime): DateTimeIndex =
     sliceNanos(TimeUtils.toNanos(start), TimeUtils.toNanos(end))
@@ -106,7 +108,7 @@ case class UniformDateTimeIndex(
   }
 
   override def islice(from: Int, until: Int): DateTimeIndex = {
-    require(from >= 0 && until <= periods && from <= until, s"bad islice [$from,$until)")
+    require(from >= 0 && until <= periods && from < until, s"bad islice [$from,$until)")
     UniformDateTimeIndex(frequency.advance(start, from), until - from, frequency)
   }
 
@@ -146,7 +148,7 @@ case class IrregularDateTimeIndex(instants: Array[Long], zone: ZoneId = ZoneOffs
     IrregularDateTimeIndex(instants.slice(lo, hi + 1), zone)
   }
   override def islice(from: Int, until: Int): DateTimeIndex = {
-    require(from >= 0 && until <= size && from <= until, s"bad islice [$from,$until)")
+    require(from >= 0 && until <= size && from < until, s"bad islice [$from,$until)")
     IrregularDateTimeIndex(instants.slice(from, until), zone)
   }
   override def atZone(z: ZoneId): DateTimeIndex = IrregularDateTimeIndex(instants, z)
@@ -218,7 +220,7 @@ case class HybridDateTimeIndex(indices: Array[DateTimeIndex]) extends DateTimeIn
     if (kept.length == 1) kept(0) else HybridDateTimeIndex(kept)
   }
   override def islice(from: Int, until: Int): DateTimeIndex = {
-    require(from >= 0 && until <= size && from <= until, s"bad islice [$from,$until)")
+    require(from >= 0 && until <= size && from < until, s"bad islice [$from,$until)")
     val kept = indices.indices.flatMap { i =>
       val lo = math.max(from, prefix(i).toInt)
       val hi = math.min(until, prefix(i + 1).toInt)

@@ -134,6 +134,40 @@ object PropertySpec extends Properties("graft") {
       (g, x)
     }
 
+  // ---- DateTimeIndex.union: the segment-preserving sweep must equal the
+  // brute-force sorted-distinct union of the instants, for ANY mix of
+  // uniform/irregular segments at any overlap, and every coalesced
+  // segment run must be sorted and internally disjoint ----
+  private val genIndex: Gen[DateTimeIndex] = Gen.oneOf(
+    for {
+      start <- Gen.choose(0L, 200L)
+      n <- Gen.choose(1, 30)
+      stepDays <- Gen.choose(1, 3)
+    } yield DateTimeIndex.uniform(
+      java.time.LocalDate.ofEpochDay(start).atStartOfDay(java.time.ZoneOffset.UTC),
+      n, Frequency.days(stepDays)),
+    for {
+      days <- Gen.nonEmptyListOf(Gen.choose(0L, 400L))
+    } yield DateTimeIndex.irregular(days.distinct.sorted.map(d =>
+      java.time.LocalDate.ofEpochDay(d).atStartOfDay(java.time.ZoneOffset.UTC)
+        .toInstant.toEpochMilli * 1000000L).toArray))
+
+  property("union equals brute-force sorted-distinct for any segment mix") =
+    forAll(Gen.nonEmptyListOf(genIndex).map(_.take(5))) { ixs =>
+      val u = DateTimeIndex.union(ixs)
+      val want = ixs.flatMap(_.toNanosArray).distinct.sorted
+      u.toNanosArray.toSeq == want
+    }
+
+  property("union islice agrees with array slicing") =
+    forAll(Gen.nonEmptyListOf(genIndex).map(_.take(4)),
+      Gen.choose(0, 10), Gen.choose(1, 10)) { (ixs, a, b) =>
+      val u = DateTimeIndex.union(ixs)
+      val lo = math.min(a, u.size - 1)
+      val hi = math.min(lo + b, u.size)
+      u.islice(lo, hi).toNanosArray.toSeq == u.toNanosArray.slice(lo, hi).toSeq
+    }
+
   property("VectorAR solve inverts planted SPD systems") =
     forAll(solveSystem) { case (g, xTrue) =>
       val m = g.length; val n = xTrue(0).length
