@@ -713,8 +713,15 @@ object SparkEntry {
           round(col("statistic"), 6).as("bg_stat"),
           round(col("pValue"), 6).as("p_value"))),
     "m15_breusch_pagan" -> ((s, dir) =>
+      // full oracle: the m40 regr_r2 statistic plus the df=1 chi-squared
+      // survival erfc(sqrt(x/2)), with erfc built from SQL primitives
+      // (Taylor series below z=2, Lentz continued fraction above — both
+      // agree with libm erfc to ~1e-12 relative)
       graft.models.ModelOps.breuschPaganAll(obs(s, dir),
-        key = "user_id", ts = "ts_us", value = "value").toDF()),
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key").cast("long").as("user_id"),
+          round(col("statistic"), 6).as("bp_stat"),
+          round(col("pValue"), 6).as("p_value"))),
     "m16_hw_forecast" -> ((s, dir) => {
       val daily = TS.resampleCalendar(obs(s, dir), "DAY", avg(_: Column),
         key = "user_id", ts = "ts_us", value = "value", tickNanos = 1000L)
@@ -739,6 +746,16 @@ object SparkEntry {
         key = "user_id", ts = "ts_us", value = "value", maxLag = 0).toDF()
         .select(col("key").cast("long").as("user_id"),
           round(col("statistic"), 6).as("df_stat"))),
+    "m42_adf_full" -> ((s, dir) =>
+      // lag-2 augmented Dickey-Fuller, FULLY certified: the t-statistic
+      // replays via two generated OLS chains (coefficient by FWL, standard
+      // error from the auxiliary regression's RSS) and the MacKinnon (1994)
+      // response-surface p-value via the SQL-primitive erfc
+      graft.models.ModelOps.adfAll(obs(s, dir), regression = "c",
+        key = "user_id", ts = "ts_us", value = "value", maxLag = 2).toDF()
+        .select(col("key").cast("long").as("user_id"),
+          round(col("statistic"), 6).as("df_stat"),
+          round(col("pValue"), 6).as("p_value"))),
     "m39_bg_stat" -> ((s, dir) =>
       // Breusch-Godfrey n·R² statistic twin of m14 (lags=2 on y ~ 1+t):
       // the oracle replays the aux regression with Frisch-Waugh-Lovell —
@@ -1803,6 +1820,82 @@ object SparkEntry {
   }
 
   private val varNames = Seq("v", "cnt", "mkt")
+
+  /** erfc(z) for z >= 0 from SQL primitives: Taylor series below z=2,
+    * 60-level Lentz continued fraction above — agrees with libm erfc to
+    * ~1e-12 relative (validated against python math.erfc on a grid).
+    * `z` must be a bare column/alias name. */
+  private def erfcSql(z: String): String =
+    s"""CASE WHEN $z < 2.0 THEN
+             1.0 - 2.0/sqrt(pi()) * list_sum([
+               (CASE WHEN n % 2 = 0 THEN 1.0 ELSE -1.0 END)
+                 * exp((2*n+1)*ln($z) - lgamma(n+1.0)) / (2*n+1)
+               FOR n IN range(0, 40)])
+           ELSE
+             exp(-$z*$z)/sqrt(pi()) / ($z + list_reduce(
+               list_prepend(0.0, [kk::DOUBLE FOR kk IN range(60, 0, -1)]),
+               (acc, kk) -> (kk/2.0)/($z + acc)))
+           END"""
+
+  /** m42: lag-2 ADF replayed exactly — main chain (dy on [1, level, 2 dy
+    * lags]) gives the coefficient; the FWL auxiliary chain (level on
+    * [1, dy lags]) gives RSS_aux = 1/[(X'X)^-1]_11, so
+    * t = b1·sqrt(RSS_aux·(n−4)/RSS_main); MacKinnon (1994) p via the
+    * response-surface polynomial and Φ(x) = erfc(∓x/√2)/2. */
+  private def adfFullOracle: String = {
+    s"""WITH base AS (
+           SELECT user_id, value AS v, epoch_us(ts) AS ts_us FROM events),
+         lagd AS (
+           SELECT user_id,
+             v - lag(v, 1) OVER w AS y1,
+             lag(v, 1) OVER w AS x1,
+             lag(v, 1) OVER w - lag(v, 2) OVER w AS x2,
+             lag(v, 2) OVER w - lag(v, 3) OVER w AS x3
+           FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+         d0 AS (SELECT * FROM lagd WHERE x3 IS NOT NULL),
+         sums AS (
+           SELECT user_id, count(*) AS n,
+             sum(y1*y1) AS syy, sum(y1) AS sy,
+             sum(x1*y1) AS sx1y, sum(x2*y1) AS sx2y, sum(x3*y1) AS sx3y,
+             sum(x1*x1) AS sx1x1, sum(x1) AS sx1,
+             sum(x2*x1) AS sx2x1, sum(x3*x1) AS sx3x1
+           FROM d0 GROUP BY user_id),
+         ${olsCtes("au", "d0", 3, nT = 1)},
+         d0x AS (SELECT user_id, x1 AS y1, x2 AS x1, x3 AS x2 FROM d0),
+         ${olsCtes("ax", "d0x", 2, nT = 1)},
+         j AS (
+           SELECT s.user_id, s.n,
+             auc.b1_1 AS beta1,
+             s.syy - (auc.b0_1*s.sy + auc.b1_1*s.sx1y + auc.b2_1*s.sx2y
+               + auc.b3_1*s.sx3y) AS rss_main,
+             s.sx1x1 - (axc.b0_1*s.sx1 + axc.b1_1*s.sx2x1
+               + axc.b2_1*s.sx3x1) AS rss_aux
+           FROM sums s
+           JOIN auc ON s.user_id = auc.user_id
+           JOIN axc ON s.user_id = axc.user_id),
+         tst AS (
+           SELECT user_id,
+             beta1 * sqrt(rss_aux * (n - 4) / rss_main) AS t
+           FROM j WHERE rss_main > 0 AND rss_aux > 0),
+         mk AS (
+           SELECT user_id, t,
+             CASE WHEN t <= -1.61 THEN 2.1659 + 1.4412*t + 0.038269*t*t
+                  ELSE 1.7339 + 0.93202*t - 0.12359*t*t + 0.0061654*t*t*t
+             END AS poly
+           FROM tst),
+         ph AS (
+           SELECT user_id, t, poly, abs(poly)/sqrt(2.0) AS z FROM mk),
+         pp AS (
+           SELECT user_id, t,
+             CASE WHEN t > 2.74 THEN 1.0
+                  WHEN t < -18.83 THEN 0.0
+                  WHEN poly >= 0 THEN 1.0 - 0.5 * (${erfcSql("z")})
+                  ELSE 0.5 * (${erfcSql("z")})
+             END AS p
+           FROM ph)
+         SELECT user_id, round(t, 6) AS df_stat, round(p, 6) AS p_value
+         FROM pp"""
+  }
 
   /** m34: lag-2 Granger F — unrestricted (intercept + 2 y-lags + 2 x-lags)
     * and restricted (intercept + 2 y-lags) OLS over the SAME design rows
@@ -3000,6 +3093,38 @@ object SparkEntry {
                / (s11*s22 - s12*s12)
            ) / (see - n*me*me), 6) AS bg_stat
          FROM s""",
+    "m15_breusch_pagan" ->
+      """WITH b AS (
+           SELECT user_id, value,
+             (row_number() OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) - 1)::DOUBLE AS t
+           FROM events
+         ), fit AS (
+           SELECT user_id, regr_slope(value, t) AS sl, regr_intercept(value, t) AS ic
+           FROM b GROUP BY user_id
+         ), r AS (
+           SELECT b.user_id, b.t,
+             (b.value - fit.ic - fit.sl * b.t) * (b.value - fit.ic - fit.sl * b.t) AS sq
+           FROM b JOIN fit USING (user_id)
+         )
+         , q AS (
+           SELECT user_id, count(*) * regr_r2(sq, t) AS stat
+           FROM r GROUP BY user_id
+         ), pz AS (
+           SELECT user_id, stat, sqrt(stat/2) AS z FROM q
+         )
+         SELECT user_id, round(stat, 6) AS bp_stat,
+           round(CASE WHEN stat <= 0 THEN 1.0
+             WHEN z < 2.0 THEN
+               1.0 - 2.0/sqrt(pi()) * list_sum([
+                 (CASE WHEN n % 2 = 0 THEN 1.0 ELSE -1.0 END)
+                   * exp((2*n+1)*ln(z) - lgamma(n+1.0)) / (2*n+1)
+                 FOR n IN range(0, 40)])
+             ELSE
+               exp(-z*z)/sqrt(pi()) / (z + list_reduce(
+                 list_prepend(0.0, [kk::DOUBLE FOR kk IN range(60, 0, -1)]),
+                 (acc, kk) -> (kk/2.0)/(z + acc)))
+             END, 6) AS p_value
+         FROM pz""",
     "m40_bp_stat" ->
       """WITH b AS (
            SELECT user_id, value,
@@ -4347,6 +4472,7 @@ object SparkEntry {
          SELECT user_id, eq, term, lag::BIGINT AS lag,
            round(coef, 5) + 0.0 AS coef FROM u"""),
     "m34_granger_varp" -> grangerOracle,
+    "m42_adf_full" -> adfFullOracle,
     "m35_varp_order" -> varpOrderOracle,
     "m36_varp_irf" -> varpIrfOracle,
     "m37_varp_fevd" -> varpFevdOracle,
