@@ -148,3 +148,68 @@ object WinnowingMins {
   def ofColumn(c: Column, k: Int, w: Int): Column =
     GraftSqlBridge.column(WinnowingMins(GraftSqlBridge.expression(c), k, w))
 }
+
+/**
+ * Per-document feature-hash bucket counts as ONE compiled pass: split the
+ * UTF-8 bytes on single spaces (exactly `split(text, " ")` with empties
+ * dropped), rolling-hash each token (same fold as [[RollingHash]]), count
+ * into `dim` buckets via `hash & (dim−1)` (`dim` a power of two, so the
+ * masked signed hash equals the unsigned mod — the cross-engine parity
+ * argument of featureHashEmbedding). Replaces the explode → pmod →
+ * groupBy(doc) reassembly, which shuffled every TOKEN to rebuild what was
+ * one row per doc — this is partition-local with no exchange at all.
+ */
+case class FeatureHashCounts(child: Expression, dim: Int)
+    extends UnaryExpression {
+  require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def prettyName: String = "feature_hash_counts"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"feature_hash_counts requires a string column, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      FeatureHashCounts.compute(input.asInstanceOf[UTF8String].getBytes, dim))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ev.value
+      s"""
+         |byte[] ${v}_b = $c.getBytes();
+         |double[] ${v}_cnt = graft.text.FeatureHashCounts.compute(${v}_b, $dim);
+         |$v = new org.apache.spark.sql.catalyst.util.GenericArrayData(${v}_cnt);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashCounts =
+    copy(child = newChild)
+}
+
+object FeatureHashCounts {
+  /** Static kernel shared by eval and codegen (called from generated Java). */
+  def compute(b: Array[Byte], dim: Int): Array[Double] = {
+    val mask = dim - 1
+    val cnt = new Array[Double](dim)
+    var h = 0L
+    var inTok = false
+    var i = 0
+    while (i < b.length) {
+      if (b(i) == ' ') {
+        if (inTok) { cnt((h & mask).toInt) += 1.0; inTok = false; h = 0L }
+      } else {
+        h = h * RollingHash.Base + (b(i) & 0xff)
+        inTok = true
+      }
+      i += 1
+    }
+    if (inTok) cnt((h & mask).toInt) += 1.0
+    cnt
+  }
+
+  def ofColumn(c: Column, dim: Int): Column =
+    GraftSqlBridge.column(FeatureHashCounts(GraftSqlBridge.expression(c), dim))
+}

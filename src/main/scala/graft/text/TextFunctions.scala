@@ -870,21 +870,18 @@ object TextFunctions {
       idCol: String = "doc_id", text: String = "text",
       largeDimThreshold: Int = 256): DataFrame = {
     require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
-    val bucketed = df
+    lazy val bucketed = df
       .select(col(idCol), explode(tokens(col(text))).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("__b", pmod(RollingHash.ofColumn(col("tok")), lit(dim.toLong)))
     val raw =
       if (dim <= largeDimThreshold) {
-        // small dim — one doc-keyed exchange: `dim` conditional-sum
-        // aggregates stay inside whole-stage codegen with map-side partials
-        // (one dim-long row per doc per partition on the wire)
-        val sums = (0 until dim).map(b =>
-          sum(when(col("__b") === b, 1L).otherwise(0L)).as(s"__c$b"))
-        bucketed.groupBy(col(idCol))
-          .agg(sums.head, sums.tail: _*)
-          .withColumn("__raw",
-            array((0 until dim).map(b => col(s"__c$b").cast("double")): _*))
+        // small dim — ONE compiled partition-local pass per doc
+        // (FeatureHashCounts expression): the previous explode → pmod →
+        // groupBy(doc) plan shuffled every token only to reassemble what
+        // was one row per doc; this plan has NO exchange at all
+        df.select(col(idCol),
+          FeatureHashCounts.ofColumn(col(text), dim).as("__raw"))
       } else {
         // large dim — `dim` generated agg expressions exceed the codegen
         // method/constant-pool limits (interpreted fallback or minutes of
@@ -904,6 +901,10 @@ object TextFunctions {
     raw
       .withColumn("__norm",
         sqrt(aggregate(col("__raw"), lit(0.0), (a, x) => a + x * x)))
+      // token-less docs (empty/all-space text) have no embedding — the
+      // explode-based paths dropped them implicitly; the expression path
+      // emits a zero vector, so the drop is made explicit here
+      .filter(col("__norm") > 0)
       .select(col(idCol),
         transform(col("__raw"), x => x / col("__norm")).as("embedding"))
   }
