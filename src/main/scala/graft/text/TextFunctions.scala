@@ -880,6 +880,7 @@ object TextFunctions {
         // (FeatureHashCounts expression): the previous explode → pmod →
         // groupBy(doc) plan shuffled every token only to reassemble what
         // was one row per doc; this plan has NO exchange at all
+        // (matched A/B: 1.3x warm, 2.4x cold — see SCALE.md)
         df.select(col(idCol),
           FeatureHashCounts.ofColumn(col(text), dim).as("__raw"))
       } else {
