@@ -23,6 +23,27 @@ object SparkEntry {
           .cast("binary")).as("digest"),
         count(lit(1)).as("n_pairs"))
 
+  /** Digest twin of an arbitrary rows-only result (the dd15-dd17 contract
+    * extended to the optimizer-fit surfaces): every double/float column
+    * rendered "%.6f", everything else via cast(string), nulls as the
+    * literal "null"; the whole frame reduced to one
+    * (md5-of-sorted-lines, n_pairs) row checked against an sf0.01-frozen
+    * constant oracle. Safe because each fit is per-key deterministic
+    * arithmetic ((user_id, ts_us) has no duplicates in the test tables, so
+    * the per-key sort is total) — one drifted coefficient flips the md5. */
+  private def rowDigest(df: DataFrame): DataFrame = {
+    val parts = df.schema.fields.toIndexedSeq.map { f =>
+      val c = col(f.name)
+      val s = f.dataType match {
+        case org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.FloatType => format_string("%.6f", c)
+        case _ => c.cast("string")
+      }
+      when(c.isNull, lit("null")).otherwise(s)
+    }
+    pairDigest(df, concat_ws(",", parts: _*))
+  }
+
   /** Per-user daily mean joined with the cross-sectional daily mean
     * ("market") — the co-sampled two-series frame behind ts29/m24/m25/ts43.
     * The market side is one row per day; the join is un-hinted (AQE
@@ -355,6 +376,37 @@ object SparkEntry {
       graft.models.ModelOps.fitEgarch(rets,
         key = "user_id", ts = "ts_us", value = "value").toDF()
     }),
+    // ---- m43-m53 + qc03: frozen-digest twins of the rows-only optimizer
+    // fits (VERDICT r14 #1). Each twin re-runs the EXACT same query
+    // function (looked up by name, so the twin can never drift from the
+    // surface it certifies) and reduces the result to one
+    // (md5-of-sorted-lines, n_pairs) row vs an sf0.01-frozen constant —
+    // any future fit regression trips the driver hash, not just a
+    // recovery property.
+    "m43_arima_fit_digest" -> ((s, dir) =>
+      rowDigest(queries("m01_arima_fit")(s, dir))),
+    "m44_ewma_fit_digest" -> ((s, dir) =>
+      rowDigest(queries("m02_ewma_fit")(s, dir))),
+    "m45_arima_forecast_digest" -> ((s, dir) =>
+      rowDigest(queries("m04_arima_forecast")(s, dir))),
+    "m46_hw_fit_digest" -> ((s, dir) =>
+      rowDigest(queries("m06_holtwinters_fit")(s, dir))),
+    "m47_garch_fit_digest" -> ((s, dir) =>
+      rowDigest(queries("m07_garch_fit")(s, dir))),
+    "m48_adf_digest" -> ((s, dir) =>
+      rowDigest(queries("m09_adf")(s, dir))),
+    "m49_autofit_digest" -> ((s, dir) =>
+      rowDigest(queries("m10_arima_autofit")(s, dir))),
+    "m50_arimax_digest" -> ((s, dir) =>
+      rowDigest(queries("m12_arimax")(s, dir))),
+    "m51_hw_forecast_digest" -> ((s, dir) =>
+      rowDigest(queries("m16_hw_forecast")(s, dir))),
+    "m52_ewma_forecast_digest" -> ((s, dir) =>
+      rowDigest(queries("m17_ewma_forecast")(s, dir))),
+    "m53_egarch_fit_digest" -> ((s, dir) =>
+      rowDigest(queries("m41_egarch_fit")(s, dir))),
+    "qc03_logit_digest" -> ((s, dir) =>
+      rowDigest(queries("qc01_quality_logit")(s, dir))),
     "m08_ljungbox" -> ((s, dir) =>
       // full oracle: m18's autocovariance statistic plus the EXACT even-df
       // chi-squared survival function (df=10: exp(-q/2)*sum_{k<5}(q/2)^k/k!)
@@ -2647,6 +2699,33 @@ object SparkEntry {
       """SELECT 'ce5a680ad4f08764b3fcc8f6e05a9f20' AS digest, 50::BIGINT AS n_pairs""",
     "smp11_kcenter_digest" ->
       """SELECT '19565b66075d14f1844e3d99f094e570' AS digest, 12::BIGINT AS n_pairs""",
+    // m43-m53/qc03: sf0.01-frozen digests of the rows-only optimizer-fit
+    // surfaces (regenerate by re-running the twin at sf0.01 after an
+    // intentional kernel change; determinism re-verified run-to-run)
+    "m43_arima_fit_digest" ->
+      """SELECT 'c25d0da8f6f6b8342769a8b61790aef5' AS digest, 150::BIGINT AS n_pairs""",
+    "m44_ewma_fit_digest" ->
+      """SELECT 'f0e6e0d1779a56e6bc40ae1202a4ae77' AS digest, 150::BIGINT AS n_pairs""",
+    "m45_arima_forecast_digest" ->
+      """SELECT 'b39036243fa361752acd6de738ac5c23' AS digest, 750::BIGINT AS n_pairs""",
+    "m46_hw_fit_digest" ->
+      """SELECT '524fc77b3fe0c595d8abc5aedf632e2a' AS digest, 150::BIGINT AS n_pairs""",
+    "m47_garch_fit_digest" ->
+      """SELECT '7da751183e58de43a8b22eb6b9dd28f1' AS digest, 150::BIGINT AS n_pairs""",
+    "m48_adf_digest" ->
+      """SELECT 'e9d321e36ccb23715a43e15348a81a2f' AS digest, 150::BIGINT AS n_pairs""",
+    "m49_autofit_digest" ->
+      """SELECT '035bf7f88dc19e5881120c18a5191d99' AS digest, 20::BIGINT AS n_pairs""",
+    "m50_arimax_digest" ->
+      """SELECT '91b635764b1b72c822ab500e336f5167' AS digest, 150::BIGINT AS n_pairs""",
+    "m51_hw_forecast_digest" ->
+      """SELECT 'e5c3b39bfac323d11593dcb933610fa2' AS digest, 1050::BIGINT AS n_pairs""",
+    "m52_ewma_forecast_digest" ->
+      """SELECT 'd67223885fbbbc6673ed9ad47fd22a12' AS digest, 750::BIGINT AS n_pairs""",
+    "m53_egarch_fit_digest" ->
+      """SELECT '283813ef17d45ed54156ad26ba790084' AS digest, 20::BIGINT AS n_pairs""",
+    "qc03_logit_digest" ->
+      """SELECT '1d076473e861c7d356b633057655d4ea' AS digest, 500::BIGINT AS n_pairs""",
     "dd05_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks
                     FROM documents WHERE doc_id < 60),
