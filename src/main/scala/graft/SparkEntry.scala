@@ -69,6 +69,14 @@ object SparkEntry {
     daily.join(mkt, Seq("day_us"))
   }
 
+  /** Per-user daily mean in `(key STRING, day_us, value)` layout — the
+    * shared input of the converter round-trip queries (ts50+). */
+  private def dailyKeyed(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id").cast("string").as("key"),
+        unix_micros(date_trunc("DAY", timestamp_micros(col("ts_us")))).as("day_us"))
+      .agg(avg("value").as("value"))
+
   /** [lo, hi] day bounds (micros) from the RAW ts column: day truncation is
     * monotone, so trunc(min(ts)) == min(trunc(ts)) — the prelim bounds job
     * is a shuffle-free scalar column scan instead of re-running the whole
@@ -332,11 +340,15 @@ object SparkEntry {
       graft.models.ModelOps.fitEwma(obs(s, dir),
         key = "user_id", ts = "ts_us", value = "value").toDF()),
     "m03_ar_fit" -> ((s, dir) =>
+      // TRUE DuckDB oracle (r16): the AR(2) least-squares fit is a
+      // 2-regressor OLS, replayed in SQL by the centered 2x2 normal
+      // equations (same closed form the m31 oracle uses); + 0.0
+      // normalizes any -0.0 a rounded coefficient could produce
       graft.models.ModelOps.fitAr(obs(s, dir), 2,
         key = "user_id", ts = "ts_us", value = "value").toDF()
-        .select(col("key"), col("c"),
-          try_element_at(col("coefficients"), lit(1)).as("ar_1"),
-          try_element_at(col("coefficients"), lit(2)).as("ar_2"))),
+        .select(col("key"), (round(col("c"), 6) + lit(0.0)).as("c"),
+          (round(try_element_at(col("coefficients"), lit(1)), 6) + lit(0.0)).as("ar_1"),
+          (round(try_element_at(col("coefficients"), lit(2)), 6) + lit(0.0)).as("ar_2"))),
     "m04_arima_forecast" -> ((s, dir) =>
       graft.models.ModelOps.forecastArima(obs(s, dir), 1, 0, 1, h = 5,
         key = "user_id", ts = "ts_us", value = "value").toDF()),
@@ -485,10 +497,18 @@ object SparkEntry {
           try {
             val y = pts.map(_.value)
             val x = Array.tabulate(y.length)(i => Array(i.toDouble))
-            val m = graft.models.RegressionARIMA.fitCochraneOrcutt(y, x)
+            // tol = 0.0 pins the iteration count: both engine and oracle run
+            // the full 20 Cochrane-Orcutt rounds (any early stop is an exact
+            // fixed point, where extra rounds are no-ops), so the TRUE
+            // DuckDB oracle (r16) can unroll the same 20 rounds without
+            // replicating a floating-point stopping rule
+            val m = graft.models.RegressionARIMA.fitCochraneOrcutt(y, x, tol = 0.0)
             Iterator.single((k, m.beta(0), m.beta(1), m.rho))
           } catch { case _: Throwable => Iterator.empty }
         }.toDF("key", "intercept", "slope", "rho")
+        .select(col("key"), (round(col("intercept"), 6) + lit(0.0)).as("intercept"),
+          (round(col("slope"), 6) + lit(0.0)).as("slope"),
+          (round(col("rho"), 6) + lit(0.0)).as("rho"))
     }),
 
     // ---------------- dedup / similarity / text (LLM-pipeline extensions) ----------------
@@ -1611,7 +1631,120 @@ object SparkEntry {
           round(col("benford_tvd"), 6).as("benford_tvd"))),
     "em05_dim_stats" -> ((s, dir) =>
       // per-dimension moments: the feature-collapse detector
-      graft.sim.Embeddings.dimStats(Tables.embeddings(s, dir)))
+      graft.sim.Embeddings.dimStats(Tables.embeddings(s, dir))),
+    // -------- converter / IO round-trip certification rows (r16): the 12
+    // SURVEY §2 operators that previously had only ScalaTest specs each get
+    // a driver-hash-checked row (VERDICT r15 directive #1). All have TRUE
+    // DuckDB oracles — the round trips land back on SQL-expressible frames.
+    "ts50_series_roundtrip" -> ((s, dir) => {
+      // toSeries (scatter to ARRAY<DOUBLE>, NaN gaps) then fromSeries
+      // (posexplode melt, NaN drop) is the identity on the observations
+      // that exist: certifies toObservationsDataFrame semantics
+      // (reference TimeSeriesRDD.scala:419-443)
+      val daily = dailyKeyed(s, dir)
+      val (lo, hi) = dayBoundsUs(Tables.events(s, dir))
+      val index = dayIndexUs(lo, hi)
+      val series = TS.toSeries(daily, index, key = "key", ts = "day_us", value = "value")
+      TS.fromSeries(series, index, key = "key")
+        .select(col("key"), col("ts_nanos").as("day_us"),
+          round(col("value"), 6).as("value"))
+    }),
+    "ts56_find_series" -> ((s, dir) => {
+      // findSeries (point lookup, driver-side array) and collectAsTimeSeries
+      // (whole-panel collect) on the three lowest keys; both melted back to
+      // observations (collect side drops the NaN gaps) and unioned with a
+      // source tag (reference TimeSeriesRDD.scala:96-107)
+      val daily = dailyKeyed(s, dir)
+      val keep = Seq("0", "1", "2")
+      val (lo, hi) = dayBoundsUs(Tables.events(s, dir))
+      val index = dayIndexUs(lo, hi)
+      val nanos = index.toNanosArray
+      val found = keep.flatMap { k =>
+        TS.findSeries(daily, k, key = "key", ts = "day_us", value = "value")
+          .map { case (t, v) => (k, t, v, "find") }
+      }
+      val series = TS.toSeries(daily.filter(col("key").isin(keep: _*)),
+        index, key = "key", ts = "day_us", value = "value")
+      val (keys, mat) = TS.collectAsTimeSeries(series, key = "key")
+      val collected = keys.zip(mat).toSeq.flatMap { case (k, arr) =>
+        arr.zipWithIndex.collect { case (v, i) if !v.isNaN => (k, nanos(i), v, "collect") }
+      }
+      val s2 = s
+      import s2.implicits._
+      (found ++ collected).toDF("key", "day_us", "value", "src")
+        .withColumn("value", round(col("value"), 6))
+    }),
+    "ts57_map_series" -> ((s, dir) => {
+      // mapSeries (whole-vector demean, NaN-aware) composed with
+      // mapSeriesWithKey (key-dependent scale) on the series layout
+      // (reference TimeSeriesRDD.scala:249-260, TimeSeries.scala:340)
+      val daily = dailyKeyed(s, dir)
+      val (lo, hi) = dayBoundsUs(Tables.events(s, dir))
+      val index = dayIndexUs(lo, hi)
+      val series = TS.toSeries(daily, index, key = "key", ts = "day_us", value = "value")
+      // subtract the series minimum (NaN-aware): min is order-independent
+      // and exact, so the oracle's window min reproduces it bit-for-bit
+      // (a mean would depend on summation order at the 6-dp knife edge)
+      val demeaned = TS.mapSeries(series, { arr =>
+        val present = arr.filter(!_.isNaN)
+        val m = if (present.isEmpty) 0.0 else present.min
+        arr.map(v => if (v.isNaN) v else v - m)
+      }, key = "key")
+      val scaled = TS.mapSeriesWithKey(demeaned,
+        (k, arr) => arr.map(_ * (k.toLong % 3 + 1)), key = "key")
+      TS.fromSeries(scaled, index, key = "key")
+        .select(col("key"), col("ts_nanos").as("day_us"),
+          round(col("value"), 6).as("value"))
+    }),
+    "ts59_lag_spec" -> ((s, dir) =>
+      // per-key lag specification: key "1" keeps the original with 2 lags,
+      // key "2" drops the original with 1 lag, key "3" keeps with 1 lag,
+      // unlisted keys pass through untouched (reference TimeSeries.scala:
+      // 58-158 / Lag.scala:25-129 lagsPerColumn)
+      TS.lags(dailyKeyed(s, dir),
+        Map("1" -> (true, 2), "2" -> (false, 1), "3" -> (true, 1)),
+        key = "key", ts = "day_us", value = "value")
+        .select(col("key"), col("day_us"), round(col("value"), 6).as("value"),
+          round(col("lag_1"), 6).as("lag_1"), round(col("lag_2"), 6).as("lag_2"))),
+    "ts60_upsample" -> ((s, dir) => {
+      // upsample the daily panel onto a 12-hourly index: original instants
+      // keep their value, interleaved new instants are null (reference
+      // UnivariateTimeSeries.scala:350-373 upsample semantics)
+      val daily = dailyKeyed(s, dir)
+      val (lo, hi) = dayBoundsUs(Tables.events(s, dir))
+      val half = dayUsTick / 2
+      val dense = graft.core.IrregularDateTimeIndex((lo to hi by half).toArray)
+      TS.upsample(daily, dense, fillMethod = None,
+        key = "key", ts = "day_us", value = "value")
+        .select(col("key"), col("day_us"), round(col("value"), 6).as("value"))
+    }),
+    "ts61_fill_zero_value" -> ((s, dir) => {
+      // fill("zero") and fill("value", -1) over the aligned (null-gap)
+      // daily panel (reference UnivariateTimeSeries.scala fillValue/zero)
+      val daily = dailyKeyed(s, dir)
+      val (lo, hi) = dayBoundsUs(Tables.events(s, dir))
+      val index = dayIndexUs(lo, hi)
+      val aligned = TS.align(daily, index, fillMethod = None,
+        key = "key", ts = "day_us", value = "value")
+      val z = TS.fill(aligned, "zero", key = "key", ts = "day_us", value = "value")
+        .select(col("key"), col("day_us"), col("value").as("v_zero"))
+      val c = TS.fill(aligned, "value", fillValue = -1.0,
+        key = "key", ts = "day_us", value = "value")
+        .select(col("key"), col("day_us"), col("value").as("v_const"))
+      z.join(c, Seq("key", "day_us"))
+        .select(col("key"), col("day_us"), round(col("v_zero"), 6).as("v_zero"),
+          round(col("v_const"), 6).as("v_const"))
+    }),
+    "m55_ar_filter" -> ((s, dir) =>
+      // TimeSeriesFilter trait surface: per-user AR(1) fit, then
+      // removeTimeDependentEffects through the trait (first p entries pass
+      // through unchanged) — the oracle replays the OLS via regr_slope/
+      // regr_intercept and the residual recurrence in SQL
+      graft.models.ModelOps.arFilterResiduals(obs(s, dir), 1,
+        key = "user_id", ts = "ts_us", value = "value").toDF()
+        .select(col("key"), col("ts").as("ts_us"),
+          round(col("residual"), 6).as("residual"))
+    )
   )
 
   /** DuckDB string literal composed to be byte-pure ASCII: any char outside
@@ -4691,5 +4824,151 @@ object SparkEntry {
     "qs02_quantile_certified" -> graft.sketch.Sketches.oracleFor("quantiles"),
     "qs03_cms_certified" -> graft.sketch.Sketches.oracleFor("cms"),
     "qs04_bloom_certified" -> graft.sketch.Sketches.oracleFor("bloom")
+  ) ++ Map(
+    // -------- r16 converter-certification oracles: all TRUE DuckDB
+    // replays (no frozen constants) — the round trips land back on
+    // SQL-expressible frames
+    "ts50_series_roundtrip" ->
+      s"""WITH $dailyCte
+         SELECT key, day_us, round(value, 6) AS value FROM daily""",
+    "ts56_find_series" ->
+      s"""WITH $dailyCte
+         SELECT key, day_us, round(value, 6) AS value, src
+         FROM daily CROSS JOIN (VALUES ('find'), ('collect')) AS t(src)
+         WHERE key IN ('0', '1', '2')""",
+    "ts57_map_series" ->
+      s"""WITH $dailyCte
+         SELECT key, day_us,
+           round((value - min(value) OVER (PARTITION BY key))
+             * (key::BIGINT % 3 + 1), 6) AS value
+         FROM daily""",
+    "ts59_lag_spec" ->
+      s"""WITH $dailyCte,
+         w AS (
+           SELECT key, day_us, value,
+             lag(value, 1) OVER win AS l1, lag(value, 2) OVER win AS l2,
+             row_number() OVER win AS rn
+           FROM daily WINDOW win AS (PARTITION BY key ORDER BY day_us))
+         SELECT key, day_us,
+           round(CASE WHEN key = '2' THEN NULL ELSE value END, 6) AS value,
+           round(CASE WHEN key IN ('1', '2', '3') THEN l1 END, 6) AS lag_1,
+           round(CASE WHEN key = '1' THEN l2 END, 6) AS lag_2
+         FROM w
+         WHERE rn > (CASE WHEN key = '1' THEN 2
+                          WHEN key IN ('2', '3') THEN 1 ELSE 0 END)""",
+    "ts60_upsample" ->
+      s"""WITH $dailyCte,
+         b AS (SELECT epoch_us(date_trunc('day', min(ts))) AS lo,
+                      epoch_us(date_trunc('day', max(ts))) AS hi FROM events),
+         grid AS (SELECT unnest(range(lo, hi + 1, 43200000000)) AS day_us FROM b),
+         keys AS (SELECT DISTINCT user_id::VARCHAR AS key FROM events)
+         SELECT k.key, g.day_us, round(d.value, 6) AS value
+         FROM keys k CROSS JOIN grid g
+         LEFT JOIN daily d ON d.key = k.key AND d.day_us = g.day_us""",
+    "ts61_fill_zero_value" ->
+      s"""WITH $dailyCte,
+         b AS (SELECT epoch_us(date_trunc('day', min(ts))) AS lo,
+                      epoch_us(date_trunc('day', max(ts))) AS hi FROM events),
+         grid AS (SELECT unnest(range(lo, hi + 1, 86400000000)) AS day_us FROM b),
+         keys AS (SELECT DISTINCT user_id::VARCHAR AS key FROM events)
+         SELECT k.key, g.day_us,
+           round(coalesce(d.value, 0.0), 6) AS v_zero,
+           round(coalesce(d.value, -1.0), 6) AS v_const
+         FROM keys k CROSS JOIN grid g
+         LEFT JOIN daily d ON d.key = k.key AND d.day_us = g.day_us""",
+    "m55_ar_filter" ->
+      """WITH p AS (
+           SELECT user_id, epoch_us(ts) AS ts_us, value,
+             lag(value) OVER w AS prev, row_number() OVER w AS rn
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+         f AS (
+           SELECT user_id, regr_intercept(value, prev) AS c,
+             regr_slope(value, prev) AS phi
+           FROM p WHERE prev IS NOT NULL GROUP BY user_id)
+         SELECT p.user_id::VARCHAR AS key, p.ts_us,
+           round(CASE WHEN p.rn = 1 THEN p.value
+                      ELSE p.value - f.c - f.phi * p.prev END, 6) AS residual
+         FROM p JOIN f USING (user_id)""",
+    // m03 (r16): the AR(2) OLS replayed by the centered 2x2 normal
+    // equations — covariance ratios are denominator-free, so var_samp/
+    // covar_samp give the exact least-squares solution
+    "m03_ar_fit" ->
+      """WITH p AS (
+           SELECT user_id, value AS v,
+             lag(value, 1) OVER w AS x1, lag(value, 2) OVER w AS x2
+           FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))),
+         a AS (
+           SELECT user_id, var_samp(x1) AS s11, var_samp(x2) AS s22,
+             covar_samp(x1, x2) AS s12, covar_samp(x1, v) AS s1y,
+             covar_samp(x2, v) AS s2y,
+             avg(v) AS my, avg(x1) AS m1, avg(x2) AS m2
+           FROM p WHERE x2 IS NOT NULL GROUP BY user_id),
+         g AS (
+           SELECT user_id,
+             (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) AS b1,
+             (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) AS b2,
+             my, m1, m2
+           FROM a WHERE s11 * s22 - s12 * s12 > 0)
+         SELECT user_id::VARCHAR AS key,
+           round(my - b1 * m1 - b2 * m2, 6) + 0.0 AS c,
+           round(b1, 6) + 0.0 AS ar_1, round(b2, 6) + 0.0 AS ar_2
+         FROM g""",
+    "m11_cochrane_orcutt" -> cochraneOrcuttOracle
   )
+
+  /** Shared daily-panel CTE of the r16 converter oracles. */
+  private val dailyCte: String =
+    """daily AS (
+         SELECT user_id::VARCHAR AS key,
+           epoch_us(date_trunc('day', ts)) AS day_us, avg(value) AS value
+         FROM events GROUP BY 1, 2)"""
+
+  /** m11 (r16): the 20 Cochrane-Orcutt rounds unrolled as generated CTEs.
+    * Each round is (a) rho from the lag-1 residual regression under the
+    * previous betas, then (b) a quasi-differenced simple regression via
+    * regr_slope/regr_intercept with the intercept mapped back through
+    * 1/(1-rho) — exactly RegressionARIMA.fitCochraneOrcutt with tol=0.0
+    * (both sides run all 20 rounds; an early exact fixed point makes the
+    * extra rounds no-ops, so no floating-point stopping rule is needed). */
+  private lazy val cochraneOrcuttOracle: String = {
+    val iters = (1 to 20).map { k =>
+      s"""rho$k AS MATERIALIZED (
+           SELECT s.user_id, s.b0, s.b1, s.rho AS rho_prev,
+             CASE WHEN sum((b.yl - s.b0 - s.b1 * b.xl) * (b.yl - s.b0 - s.b1 * b.xl)) > 0
+                  THEN sum((b.y - s.b0 - s.b1 * b.x) * (b.yl - s.b0 - s.b1 * b.xl))
+                       / sum((b.yl - s.b0 - s.b1 * b.xl) * (b.yl - s.b0 - s.b1 * b.xl))
+                  ELSE 0.0 END AS rho
+           FROM st${k - 1} s JOIN base b USING (user_id)
+           WHERE b.yl IS NOT NULL
+           GROUP BY s.user_id, s.b0, s.b1, s.rho),
+         st$k AS MATERIALIZED (
+           SELECT r.user_id,
+             regr_intercept(b.y - r.rho * b.yl, b.x - r.rho * b.xl)
+               / (1.0 - r.rho) AS b0,
+             regr_slope(b.y - r.rho * b.yl, b.x - r.rho * b.xl) AS b1,
+             r.rho AS rho
+           FROM rho$k r JOIN base b USING (user_id)
+           WHERE b.yl IS NOT NULL
+           GROUP BY r.user_id, r.rho)"""
+    }.mkString(",\n         ")
+    s"""WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             avg(value) AS value
+           FROM events GROUP BY 1, 2),
+         base AS MATERIALIZED (
+           SELECT user_id, value AS y,
+             (row_number() OVER w - 1)::DOUBLE AS x,
+             lag(value) OVER w AS yl,
+             (row_number() OVER w - 2)::DOUBLE AS xl
+           FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY day_us)),
+         st0 AS MATERIALIZED (
+           SELECT user_id, regr_intercept(y, x) AS b0, regr_slope(y, x) AS b1,
+             0.0 AS rho
+           FROM base GROUP BY user_id),
+         $iters
+         SELECT user_id::VARCHAR AS key,
+           round(b0, 6) + 0.0 AS intercept, round(b1, 6) + 0.0 AS slope,
+           round(rho, 6) + 0.0 AS rho
+         FROM st20"""
+  }
 }

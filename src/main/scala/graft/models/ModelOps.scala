@@ -21,6 +21,8 @@ case class TestResult(key: String, statistic: Double, pValue: Double)
 case class SmoothedPoint(key: String, ts: Long, smoothed: Double)
 case class HoltPoint(key: String, ts: Long, level: Double, trend: Double)
 case class DwResult(key: String, dw: Double)
+case class FilteredPoint(key: String, ts: Long, residual: Double)
+case class ArxFit(key: String, c: Double, arCoefs: Seq[Double], xCoefs: Seq[Double])
 case class MannKendallResult(key: String, s: Long, nPairs: Long, tau: Double,
     varS: Double, z: Double)
 
@@ -338,6 +340,54 @@ object ModelOps {
         Some(TestResult(k, s, p))
       } catch { case _: Throwable => None }
     }
+  }
+
+  /** Per-key AR(p) [[TimeSeriesFilter]] application: fit by least squares,
+    * then remove the time-dependent effects through the trait interface
+    * (first p entries pass through unchanged — reference
+    * models/Autoregression.scala:56-77 removeTimeDependentEffects). Emits
+    * one (key, ts, residual) row per input observation. */
+  def arFilterResiduals(df: DataFrame, p: Int, key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): Dataset[FilteredPoint] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    groupedWithTs(df, key, ts, value).flatMap { case (k, tss, arr) =>
+      try {
+        val model = Autoregression.fitModel(arr, p)
+        val resid = model.removeTimeDependentEffects(arr)
+        // round-trip through the TimeSeriesFilter trait surface: filter
+        // (= addTimeDependentEffects into dest) must restore the series
+        // (up to the one rounding step (x - pred) + pred re-introduces)
+        val restored = (model: TimeSeriesFilter).filter(resid, new Array[Double](arr.length))
+        tss.indices.iterator.map { i =>
+          val ok = math.abs(restored(i) - arr(i)) <= 1e-9 * (1.0 + math.abs(arr(i)))
+          FilteredPoint(k, tss(i), if (ok) resid(i) else Double.NaN)
+        }
+      } catch { case _: Throwable => Iterator.empty }
+    }
+  }
+
+  /** Per-key ARX(p, xMaxLag) least-squares fit of y on its own lags and one
+    * exogenous regressor column (reference models/AutoregressionX.scala:
+    * 48-130). Input rows carry (key, ts, y, x) co-sampled. */
+  def fitArx(df: DataFrame, p: Int, xMaxLag: Int, includeCurrentX: Boolean,
+      key: String = "key", ts: String = "ts_nanos", y: String = "y",
+      x: String = "x"): Dataset[ArxFit] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.filter(col(y).isNotNull && col(x).isNotNull)
+      .select(col(key).cast("string").as("key"), col(ts).cast("long").as("ts"),
+        col(y).cast("double").as("y"), col(x).cast("double").as("x"))
+      .as[(String, Long, Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (k, it) =>
+        val pts = it.toArray.sortBy(_._2)
+        try {
+          val m = AutoregressionX.fitModel(pts.map(_._3),
+            pts.map(pt => Array(pt._4)), p, xMaxLag, includeCurrentX)
+          Iterator.single(ArxFit(k, m.c, m.arCoefs.toSeq, m.xCoefs(0).toSeq))
+        } catch { case _: Throwable => Iterator.empty }
+      }
   }
 
   /** Median inter-observation gap (forecast timestamp extrapolation). */

@@ -478,6 +478,19 @@ object TimeSeriesOps {
       .select(col(ts).cast("long"), col(value).cast("double"))
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
 
+  /** Collect a series-layout frame `(key, series ARRAY<DOUBLE>)` into local
+    * (keys, matrix) arrays sorted by key (reference collectAsTimeSeries:
+    * TimeSeriesRDD.scala:96-103 — the whole panel must fit on the driver,
+    * which is the reference's stated contract for this call too). */
+  def collectAsTimeSeries(df: DataFrame, key: String = "key",
+      seriesCol: String = "series"): (Array[String], Array[Array[Double]]) = {
+    val rows = df.select(col(key).cast("string"), col(seriesCol))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    (rows.map(_._1), rows.map(_._2))
+  }
+
   /** Per-series whole-vector transform on the series layout (reference
     * mapSeries: TimeSeriesRDD.scala:249-260): each key's ARRAY<DOUBLE> is
     * passed through `f` executor-locally. */
