@@ -94,6 +94,15 @@ object Bench {
     // their plan-cache reuse returns; block-boundary is strictly worse,
     // paying the pressure within big blocks without per-query hygiene).
     val cleanup = sys.env.getOrElse("SPARK_GRAFT_CLEANUP", "query")
+    // Interleaved calibration (r16, VERDICT r15 #3): host speed drifted ~2x
+    // WITHIN one driver run (cal 0.643 start vs 0.350 end, r15), so
+    // normalizing every query by cal_start alone produced four false
+    // regression flags at suite positions 0-6. A single untimed calibration
+    // rep every CAL_EVERY queries (plus the median-of-3 start/end anchors)
+    // gives each query a nearby host-speed sample; `norm` divides by the
+    // position-interpolated calibration instead of cal_start.
+    val calEvery = sys.env.getOrElse("SPARK_GRAFT_CAL_EVERY", "25").toInt
+    val calPoints = scala.collection.mutable.ArrayBuffer[(Int, Double)]((0, calStart))
     var lastBlock = ""
     val results = selected.zipWithIndex.map { case ((name, fn), pos) =>
       val block = name.takeWhile(!_.isDigit)
@@ -102,6 +111,11 @@ object Bench {
         lastBlock = block
         if (cleanup == "block") dropCaches(spark)
         System.gc()
+      }
+      if (pos > 0 && pos % calEvery == 0) {
+        val c = calibrateOnce()
+        calPoints += ((pos, c))
+        System.err.println(f"[bench] calibration (pos $pos) $c%.3f s")
       }
       def once(): (Double, Option[String]) = {
         val t0 = System.nanoTime()
@@ -148,15 +162,32 @@ object Bench {
     // lost the round's medians to truncation)
     val calEnd = calibrate()
     System.err.println(f"[bench] calibration (end) $calEnd%.3f s")
+    calPoints += ((results.size, calEnd))
+    // piecewise-linear host-speed estimate at a suite position, through the
+    // interleaved checkpoints (start/end anchors are median-of-3, interior
+    // points single-rep — nearby beats precise for a ~2x intra-run drift)
+    def calAt(pos: Int): Double = {
+      val pts = calPoints.toIndexedSeq
+      if (pos <= pts.head._1) pts.head._2
+      else if (pos >= pts.last._1) pts.last._2
+      else {
+        val i = pts.lastIndexWhere(_._1 <= pos)
+        val (p0, c0) = pts(i); val (p1, c1) = pts(i + 1)
+        if (p1 == p0) c0 else c0 + (c1 - c0) * (pos - p0).toDouble / (p1 - p0)
+      }
+    }
     val detail = results.map { case (k, med, first, e, pos, gcMs, ccMb) =>
       s"${jstr(k)}:{\"median\":${fmt(med, 3)},\"first\":${fmt(first, 3)}" +
-        s",\"norm\":${fmt(med / calStart, 3)}" +
+        s",\"norm\":${fmt(med / calAt(pos), 3)}" +
         s",\"pos\":$pos,\"gc_ms\":$gcMs,\"code_cache_mb\":${fmt(ccMb, 1)}" +
         e.map(m => s",\"error\":${jstr(m)}").getOrElse("") + "}"
     }.mkString("{", ",", "}")
+    val calsJson = calPoints.map { case (p, c) =>
+      s"""{"pos":$p,"cal":${fmt(c, 3)}}""" }.mkString("[", ",", "]")
     val detailJson =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"failed":$failed,""" +
         s""""cal_start_sec":${fmt(calStart, 3)},"cal_end_sec":${fmt(calEnd, 3)},""" +
+        s""""cals":$calsJson,""" +
         s""""sf":${jstr(sfDir)},"queries":$detail}"""
     try {
       java.nio.file.Files.writeString(

@@ -1744,7 +1744,137 @@ object SparkEntry {
         key = "user_id", ts = "ts_us", value = "value").toDF()
         .select(col("key"), col("ts").as("ts_us"),
           round(col("residual"), 6).as("residual"))
-    )
+    ),
+    "ts51_io_parquet_roundtrip" -> ((s, dir) => {
+      // parquet + _index sidecar round trip (reference
+      // saveAsParquetDataFrame / timeSeriesRDDFromParquet:
+      // TimeSeriesRDD.scala:498-551): write series layout + index tag,
+      // read both back, melt, and assert the parsed index matches
+      val daily = dailyKeyed(s, dir)
+      val (lo, hi) = dayBoundsUs(Tables.events(s, dir))
+      val index = dayIndexUs(lo, hi)
+      val series = TS.toSeries(daily, index, key = "key", ts = "day_us", value = "value")
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_ts51_${dir.replaceAll("[^0-9A-Za-z]", "_")}"
+      graft.io.TimeSeriesIO.writeSeriesParquet(series, index, path)
+      val (back, backIdx) = graft.io.TimeSeriesIO.readSeriesParquet(s, path)
+      TS.fromSeries(back, backIdx, key = "key")
+        .select(col("key"), col("ts_nanos").as("day_us"),
+          round(col("value"), 6).as("value"),
+          lit(backIdx.tag == index.tag).as("index_match"))
+    }),
+    "ts52_io_csv_roundtrip" -> ((s, dir) => {
+      // CSV (key,v0,v1,...) + _index sidecar round trip (reference CSV
+      // save/load: TimeSeriesRDD.scala:750-780)
+      val daily = dailyKeyed(s, dir)
+      val (lo, hi) = dayBoundsUs(Tables.events(s, dir))
+      val index = dayIndexUs(lo, hi)
+      val series = TS.toSeries(daily, index, key = "key", ts = "day_us", value = "value")
+      val path = sys.props("java.io.tmpdir") +
+        s"/graft_ts52_${dir.replaceAll("[^0-9A-Za-z]", "_")}"
+      graft.io.TimeSeriesIO.writeSeriesCsv(series, index, path)
+      val (back, backIdx) = graft.io.TimeSeriesIO.readSeriesCsv(s, path)
+      TS.fromSeries(back, backIdx, key = "key")
+        .select(col("key"), col("ts_nanos").as("day_us"),
+          round(col("value"), 6).as("value"),
+          lit(backIdx.tag == index.tag).as("index_match"))
+    }),
+    "ts53_yahoo_parse" -> ((s, dir) =>
+      // Yahoo OHLCV CSV parse of the GOOG fixture (reference
+      // parsers/YahooParser.scala:24-48): per-file key prefixing, 6 stacked
+      // fields, reverse-chronological input — the oracle re-reads the same
+      // file in DuckDB and unpivots
+      graft.io.TimeSeriesIO.readYahooCsv(s,
+        "/root/repo/src/test/resources/GOOG.csv")
+        .select(col("key"), (col("ts_nanos") / 1000L).cast("long").as("ts_us"),
+          round(col("value"), 6).as("value"))),
+    "ts54_indexed_row_matrix" -> ((s, dir) => {
+      // instants pivot -> MLlib IndexedRowMatrix (reference
+      // toIndexedRowMatrix: TimeSeriesRDD.scala:456-486): per-row (= per
+      // index location) NaN-aware stats plus the matrix dims
+      val daily = dailyKeyed(s, dir)
+      val (lo, hi) = dayBoundsUs(Tables.events(s, dir))
+      val index = dayIndexUs(lo, hi)
+      val keys = daily.select("key").distinct().collect()
+        .map(_.getString(0)).sortBy(_.toLong)
+      val instants = TS.toInstants(daily, keys.toSeq, key = "key",
+        ts = "day_us", value = "value")
+      val irm = TS.toIndexedRowMatrix(instants, index, ts = "day_us")
+      val nRows = irm.numRows(); val nCols = irm.numCols()
+      val s2 = s
+      import s2.implicits._
+      irm.rows.map { r =>
+        val present = r.vector.toArray.filter(!_.isNaN)
+        (r.index, present.length.toLong, present.min, present.max)
+      }.toDF("loc", "n_present", "row_min", "row_max")
+        .select(col("loc"), col("n_present"),
+          round(col("row_min"), 6).as("row_min"),
+          round(col("row_max"), 6).as("row_max"),
+          lit(nRows).as("n_rows_total"), lit(nCols).as("n_cols"))
+    }),
+    "ts55_row_matrix" -> ((s, dir) => {
+      // zero-filled instants -> MLlib RowMatrix (reference toRowMatrix:
+      // TimeSeriesRDD.scala:456-466): rows are unindexed, so the
+      // certification output is the multiset of per-row stats (the driver
+      // compare sorts rows)
+      val daily = dailyKeyed(s, dir)
+      val (lo, hi) = dayBoundsUs(Tables.events(s, dir))
+      val index = dayIndexUs(lo, hi)
+      val keys = daily.select("key").distinct().collect()
+        .map(_.getString(0)).sortBy(_.toLong)
+      val aligned = TS.align(daily, index, fillMethod = Some("zero"),
+        key = "key", ts = "day_us", value = "value")
+      val instants = TS.toInstants(aligned, keys.toSeq, key = "key",
+        ts = "day_us", value = "value")
+      val rm = TS.toRowMatrix(instants, ts = "day_us")
+      val s2 = s
+      import s2.implicits._
+      rm.rows.map { v =>
+        val a = v.toArray
+        (v.numNonzeros.toLong, a.min, a.max)
+      }.toDF("n_nonzero", "row_min", "row_max")
+        .select(col("n_nonzero"), round(col("row_min"), 6).as("row_min"),
+          round(col("row_max"), 6).as("row_max"))
+    }),
+    "ts58_index_union" -> ((s, dir) => {
+      // DateTimeIndex.union / simplify on a fixed (data-independent) trio:
+      // two overlapping daily calendars merge into ONE uniform run, an
+      // interleaved half-day instant splits it, and the two trailing
+      // instants coalesce into one irregular segment (reference
+      // DateTimeIndexUtils.scala:114-153) — 4 segments total
+      import java.time.{ZonedDateTime, ZoneOffset}
+      def d(m: Int, day: Int, h: Int = 0) =
+        ZonedDateTime.of(2024, m, day, h, 0, 0, 0, ZoneOffset.UTC)
+      val idx1 = graft.core.DateTimeIndex.uniform(d(1, 1), 31,
+        graft.core.DayFrequency(1))
+      val idx2 = graft.core.DateTimeIndex.uniform(d(1, 20), 22,
+        graft.core.DayFrequency(1))
+      val idx3 = graft.core.DateTimeIndex.irregular(
+        Seq(d(1, 15, 12), d(2, 20), d(3, 1)))
+      val u = graft.core.DateTimeIndex.union(Seq(idx1, idx2, idx3))
+      val segs = u match {
+        case h: graft.core.HybridDateTimeIndex => h.indices.length
+        case _ => 1
+      }
+      val s2 = s
+      import s2.implicits._
+      u.toNanosArray.zipWithIndex.toSeq
+        .map { case (n, i) => (i.toLong, n / 1000L) }
+        .toDF("loc", "ts_us")
+        .withColumn("n_segments", lit(segs.toLong))
+    }),
+    "m54_arx_fit" -> ((s, dir) =>
+      // ARX(1, xLag=1, current x included): each user's daily mean on its
+      // own lag and the market's current + lagged value — a 3-regressor
+      // OLS the oracle replays by Cramer's rule on the centered 3x3
+      // normal equations (reference models/AutoregressionX.scala:48-130)
+      graft.models.ModelOps.fitArx(dailyWithMarket(s, dir), 1, 1,
+        includeCurrentX = true, key = "user_id", ts = "day_us",
+        y = "value", x = "mkt").toDF()
+        .select(col("key"), (round(col("c"), 6) + lit(0.0)).as("c"),
+          (round(try_element_at(col("arCoefs"), lit(1)), 6) + lit(0.0)).as("ar_1"),
+          (round(try_element_at(col("xCoefs"), lit(1)), 6) + lit(0.0)).as("x_0"),
+          (round(try_element_at(col("xCoefs"), lit(2)), 6) + lit(0.0)).as("x_1")))
   )
 
   /** DuckDB string literal composed to be byte-pure ASCII: any char outside
@@ -4913,7 +5043,107 @@ object SparkEntry {
            round(my - b1 * m1 - b2 * m2, 6) + 0.0 AS c,
            round(b1, 6) + 0.0 AS ar_1, round(b2, 6) + 0.0 AS ar_2
          FROM g""",
-    "m11_cochrane_orcutt" -> cochraneOrcuttOracle
+    "m11_cochrane_orcutt" -> cochraneOrcuttOracle,
+    "ts51_io_parquet_roundtrip" ->
+      s"""WITH $dailyCte
+         SELECT key, day_us, round(value, 6) AS value, TRUE AS index_match
+         FROM daily""",
+    "ts52_io_csv_roundtrip" ->
+      s"""WITH $dailyCte
+         SELECT key, day_us, round(value, 6) AS value, TRUE AS index_match
+         FROM daily""",
+    "ts53_yahoo_parse" ->
+      """WITH r AS (
+           SELECT * FROM read_csv('/root/repo/src/test/resources/GOOG.csv',
+             header = true)),
+         u AS (
+           SELECT Date,
+             unnest(['Open', 'High', 'Low', 'Close', 'Volume', 'AdjClose']) AS f,
+             unnest([Open::DOUBLE, High::DOUBLE, Low::DOUBLE, Close::DOUBLE,
+                     Volume::DOUBLE, "Adj Close"::DOUBLE]) AS v
+           FROM r)
+         SELECT 'GOOG_' || f AS key, epoch(Date)::BIGINT * 1000000 AS ts_us,
+           round(v, 6) AS value
+         FROM u WHERE v IS NOT NULL""",
+    "ts54_indexed_row_matrix" ->
+      s"""WITH $dailyCte,
+         b AS (SELECT epoch_us(date_trunc('day', min(ts))) AS lo,
+                      epoch_us(date_trunc('day', max(ts))) AS hi FROM events),
+         dims AS (
+           SELECT (hi - lo) // 86400000000 + 1 AS n_rows_total,
+             (SELECT count(DISTINCT user_id) FROM events) AS n_cols
+           FROM b)
+         SELECT (d.day_us - b.lo) // 86400000000 AS loc, count(*) AS n_present,
+           round(min(d.value), 6) AS row_min, round(max(d.value), 6) AS row_max,
+           dims.n_rows_total, dims.n_cols
+         FROM daily d, b, dims
+         GROUP BY 1, dims.n_rows_total, dims.n_cols""",
+    "ts55_row_matrix" ->
+      s"""WITH $dailyCte,
+         b AS (SELECT epoch_us(date_trunc('day', min(ts))) AS lo,
+                      epoch_us(date_trunc('day', max(ts))) AS hi FROM events),
+         grid AS (SELECT unnest(range(lo, hi + 1, 86400000000)) AS day_us FROM b),
+         keys AS (SELECT DISTINCT user_id::VARCHAR AS key FROM events)
+         SELECT count(CASE WHEN coalesce(d.value, 0.0) <> 0 THEN 1 END) AS n_nonzero,
+           round(min(coalesce(d.value, 0.0)), 6) AS row_min,
+           round(max(coalesce(d.value, 0.0)), 6) AS row_max
+         FROM keys k CROSS JOIN grid g
+         LEFT JOIN daily d ON d.key = k.key AND d.day_us = g.day_us
+         GROUP BY g.day_us""",
+    "ts58_index_union" ->
+      """WITH t AS (
+           SELECT unnest(generate_series(TIMESTAMP '2024-01-01',
+             TIMESTAMP '2024-02-10', INTERVAL 1 DAY)) AS ts
+           UNION ALL SELECT TIMESTAMP '2024-01-15 12:00:00'
+           UNION ALL SELECT TIMESTAMP '2024-02-20 00:00:00'
+           UNION ALL SELECT TIMESTAMP '2024-03-01 00:00:00'),
+         s AS (SELECT DISTINCT epoch_us(ts) AS ts_us FROM t)
+         SELECT row_number() OVER (ORDER BY ts_us) - 1 AS loc, ts_us,
+           4::BIGINT AS n_segments
+         FROM s""",
+    // m54: 3-regressor OLS (y_{t-1}, x_t, x_{t-1}) replayed by Cramer's
+    // rule on the centered 3x3 normal equations
+    "m54_arx_fit" ->
+      """WITH daily AS (
+           SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+             avg(value) AS v
+           FROM events GROUP BY 1, 2),
+         market AS (SELECT day_us, avg(v) AS m FROM daily GROUP BY 1),
+         j AS (SELECT d.user_id, d.day_us, d.v, market.m
+               FROM daily d JOIN market USING (day_us)),
+         p AS (
+           SELECT user_id, v AS y, lag(v) OVER w AS r1, m AS r2,
+             lag(m) OVER w AS r3
+           FROM j WINDOW w AS (PARTITION BY user_id ORDER BY day_us)),
+         a AS (
+           SELECT user_id,
+             var_samp(r1) AS s11, covar_samp(r1, r2) AS s12,
+             covar_samp(r1, r3) AS s13, var_samp(r2) AS s22,
+             covar_samp(r2, r3) AS s23, var_samp(r3) AS s33,
+             covar_samp(r1, y) AS c1, covar_samp(r2, y) AS c2,
+             covar_samp(r3, y) AS c3,
+             avg(y) AS my, avg(r1) AS m1, avg(r2) AS m2, avg(r3) AS m3
+           FROM p WHERE r1 IS NOT NULL GROUP BY user_id),
+         dt AS (
+           SELECT *,
+             s11 * (s22 * s33 - s23 * s23) - s12 * (s12 * s33 - s23 * s13)
+               + s13 * (s12 * s23 - s22 * s13) AS det
+           FROM a),
+         g AS (
+           SELECT user_id,
+             (c1 * (s22 * s33 - s23 * s23) - s12 * (c2 * s33 - s23 * c3)
+               + s13 * (c2 * s23 - s22 * c3)) / det AS b1,
+             (s11 * (c2 * s33 - s23 * c3) - c1 * (s12 * s33 - s23 * s13)
+               + s13 * (s12 * c3 - c2 * s13)) / det AS b2,
+             (s11 * (s22 * c3 - c2 * s23) - s12 * (s12 * c3 - c2 * s13)
+               + c1 * (s12 * s23 - s22 * s13)) / det AS b3,
+             my, m1, m2, m3
+           FROM dt WHERE det > 0)
+         SELECT user_id::VARCHAR AS key,
+           round(my - b1 * m1 - b2 * m2 - b3 * m3, 6) + 0.0 AS c,
+           round(b1, 6) + 0.0 AS ar_1, round(b2, 6) + 0.0 AS x_0,
+           round(b3, 6) + 0.0 AS x_1
+         FROM g"""
   )
 
   /** Shared daily-panel CTE of the r16 converter oracles. */

@@ -27,6 +27,32 @@ object StreamingResample {
         col("window.end").as("bucket_end"), col(value))
 
   /**
+   * Tumbling resample with the batch operator's four closedRight x
+   * stampRight boundary modes (reference Resample.scala:62-86, same
+   * semantics as ts.TimeSeriesOps.resample): the bucket is computed with
+   * the SAME long arithmetic on the event-time micros, so an availableNow
+   * replay of a batch table produces bit-identical buckets. closed-right
+   * sends an exact-boundary timestamp to the PRECEDING bucket; stamp-right
+   * labels the bucket by its end instead of its start.
+   */
+  def tumblingModes(stream: DataFrame, widthUs: Long, aggFn: Column => Column,
+      closedRight: Boolean, stampRight: Boolean, watermark: String,
+      originUs: Long = 0L, key: String = "key", ts: String = "ts",
+      value: String = "value"): DataFrame = {
+    val tsUs = unix_micros(col(ts))
+    val m = pmod(tsUs - originUs, lit(widthUs))
+    val bucketStart =
+      if (!closedRight) tsUs - m
+      else when(m === 0, tsUs - widthUs).otherwise(tsUs - m)
+    val stamp = if (stampRight) bucketStart + widthUs else bucketStart
+    stream.withWatermark(ts, watermark)
+      .withColumn("__bucket", timestamp_micros(stamp.cast("long")))
+      .groupBy(col(key), col("__bucket"))
+      .agg(aggFn(col(value)).as(value))
+      .select(col(key), col("__bucket").as("bucket_ts"), col(value))
+  }
+
+  /**
    * Streaming gap sessionization: Spark's native `session_window` merges
    * events whose gaps are under `gap` into one growing window per key; a
    * session emits once the watermark passes its close. The streaming twin of

@@ -109,6 +109,23 @@ object PropertySpec extends Properties("graft") {
         bd.advance(end, -n) == start
     }
 
+  // r14 directive #10: the single-start example grid promoted to a forAll
+  // across ALL SEVEN firstDayOfWeek starts, multi-day strides, and both
+  // directions (reference Frequency.scala:143-189 / FrequencySuite.scala)
+  property("business-day advance/difference inverse across all week starts") =
+    forAll(Gen.choose(19700, 21900), Gen.choose(1, 60), Gen.choose(1, 7),
+        Gen.choose(1, 3), Gen.oneOf(true, false)) {
+      (epochDay, steps, fdow, days, forward) =>
+        val bd = BusinessDayFrequency(days, fdow)
+        val start0 = java.time.LocalDate.ofEpochDay(epochDay.toLong)
+          .atStartOfDay(java.time.ZoneOffset.UTC)
+        val start = if (bd.isBusinessDay(start0)) start0 else bd.advance(start0, 1)
+        val n = if (forward) steps else -steps
+        val end = bd.advance(start, n)
+        bd.isBusinessDay(end) && bd.difference(start, end) == n &&
+          bd.advance(end, -n) == start
+    }
+
   property("index tag codec round-trips") =
     forAll(sortedInstants) { instants =>
       val idx = IrregularDateTimeIndex(instants)

@@ -177,6 +177,46 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally query.stop()
   }
 
+  test("streaming resample matches batch across all four boundary modes") {
+    // r14 directive #9: the four closedRight x stampRight modes of the
+    // batch resample (reference Resample.scala:62-86) replayed on a
+    // MemoryStream must produce the identical bucket set — including an
+    // observation sitting EXACTLY on a bucket boundary (10:10), which is
+    // the only input the modes disagree on
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val widthUs = 10L * 60 * 1000000
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val obs = Seq(("a", t(0), 1.0), ("a", t(5), 2.0), ("a", t(10), 4.0),
+      ("a", t(12), 8.0), ("a", t(20), 16.0), ("b", t(10), 3.0), ("b", t(15), 5.0))
+    val batchDf = obs.toDF("key", "ts", "value")
+      .withColumn("ts_us", unix_micros(col("ts")))
+    for (closedRight <- Seq(false, true); stampRight <- Seq(false, true)) {
+      val expected = graft.ts.TimeSeriesOps.resample(batchDf, widthUs, sum(_),
+        closedRight, stampRight, 0L, "key", "ts_us", "value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      val input = MemoryStream[(String, Timestamp, Double)]
+      val out = StreamingResample.tumblingModes(
+        input.toDF().toDF("key", "ts", "value"), widthUs, sum(_),
+        closedRight, stampRight, "5 minutes")
+      val qn = s"modes_${closedRight}_$stampRight"
+      val query = out.writeStream.format("memory").queryName(qn)
+        .outputMode("complete").start()
+      try {
+        input.addData(obs.take(4): _*)
+        query.processAllAvailable()
+        input.addData(obs.drop(4): _*)
+        query.processAllAvailable()
+        val got = s.sql(s"SELECT key, unix_micros(bucket_ts), value FROM $qn")
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+        withClue(s"closedRight=$closedRight stampRight=$stampRight: ") {
+          got shouldBe expected
+        }
+      } finally query.stop()
+    }
+  }
+
   test("streaming sessions match the batch sessionizer's groupings") {
     val s = spark
     import s.implicits._
