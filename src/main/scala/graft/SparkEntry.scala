@@ -32,6 +32,14 @@ object SparkEntry {
     * arithmetic ((user_id, ts_us) has no duplicates in the test tables, so
     * the per-key sort is total) — one drifted coefficient flips the md5. */
   private def rowDigest(df: DataFrame): DataFrame = {
+    // r16 (ADVICE r15): the field separator is U+0001 (cannot appear in a
+    // cast-to-string numeric/boolean and never in the key columns these
+    // digests cover) and NULL renders as a U+0000-prefixed sentinel, so a
+    // genuine NULL, the literal string "null", and separator-bearing
+    // values are all unambiguous. %.6f doubles stay -- the same 6-decimal
+    // contract as the value oracles (sub-5e-7 drift is the recovery
+    // certs' job). Changing this line format re-froze m43-m53/qc03 per
+    // the digest-twin contract (README): all mr recovery certs green.
     val parts = df.schema.fields.toIndexedSeq.map { f =>
       val c = col(f.name)
       val s = f.dataType match {
@@ -39,9 +47,9 @@ object SparkEntry {
              org.apache.spark.sql.types.FloatType => format_string("%.6f", c)
         case _ => c.cast("string")
       }
-      when(c.isNull, lit("null")).otherwise(s)
+      when(c.isNull, lit("\u0000null")).otherwise(s)
     }
-    pairDigest(df, concat_ws(",", parts: _*))
+    pairDigest(df, concat_ws("\u0001", parts: _*))
   }
 
   /** Per-user daily mean joined with the cross-sectional daily mean
@@ -115,7 +123,10 @@ object SparkEntry {
   }
 
   /** One per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  // lazy val (ADVICE r15 #3): the digest twins look their surface up by
+  // name at run time (the no-drift guarantee); hoisting the Map means that
+  // lookup reuses one instance instead of rebuilding ~240 entries per twin
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------- relational / aggregation layer ----------------
     "q01_pricing_summary" -> ((s, dir) => {
       Tables.lineitem(s, dir)
@@ -2966,29 +2977,29 @@ object SparkEntry {
     // surfaces (regenerate by re-running the twin at sf0.01 after an
     // intentional kernel change; determinism re-verified run-to-run)
     "m43_arima_fit_digest" ->
-      """SELECT 'c25d0da8f6f6b8342769a8b61790aef5' AS digest, 150::BIGINT AS n_pairs""",
+      """SELECT 'ab474a57f38ecf1f21ebfafd078fb11b' AS digest, 150::BIGINT AS n_pairs""",
     "m44_ewma_fit_digest" ->
-      """SELECT 'f0e6e0d1779a56e6bc40ae1202a4ae77' AS digest, 150::BIGINT AS n_pairs""",
+      """SELECT 'bbd2512c96ff9bc5cb1c811a40d55e86' AS digest, 150::BIGINT AS n_pairs""",
     "m45_arima_forecast_digest" ->
-      """SELECT 'b39036243fa361752acd6de738ac5c23' AS digest, 750::BIGINT AS n_pairs""",
+      """SELECT 'af287a2e7ef77c12f4863a8dd3d611cb' AS digest, 750::BIGINT AS n_pairs""",
     "m46_hw_fit_digest" ->
-      """SELECT '524fc77b3fe0c595d8abc5aedf632e2a' AS digest, 150::BIGINT AS n_pairs""",
+      """SELECT '26331eae35290242167d2449237946ab' AS digest, 150::BIGINT AS n_pairs""",
     "m47_garch_fit_digest" ->
-      """SELECT '7da751183e58de43a8b22eb6b9dd28f1' AS digest, 150::BIGINT AS n_pairs""",
+      """SELECT 'd90a0915d3498cad5e9aa2c7d90c1193' AS digest, 150::BIGINT AS n_pairs""",
     "m48_adf_digest" ->
-      """SELECT 'e9d321e36ccb23715a43e15348a81a2f' AS digest, 150::BIGINT AS n_pairs""",
+      """SELECT 'd8bce0cf1483dd049b7a26fdb2cea169' AS digest, 150::BIGINT AS n_pairs""",
     "m49_autofit_digest" ->
-      """SELECT '035bf7f88dc19e5881120c18a5191d99' AS digest, 20::BIGINT AS n_pairs""",
+      """SELECT '2906d0f93459c0ef989fd22a4f9632ac' AS digest, 20::BIGINT AS n_pairs""",
     "m50_arimax_digest" ->
-      """SELECT '91b635764b1b72c822ab500e336f5167' AS digest, 150::BIGINT AS n_pairs""",
+      """SELECT '0494c16d045e78e08148a60c098269bd' AS digest, 150::BIGINT AS n_pairs""",
     "m51_hw_forecast_digest" ->
-      """SELECT 'e5c3b39bfac323d11593dcb933610fa2' AS digest, 1050::BIGINT AS n_pairs""",
+      """SELECT 'ec8c762b667a3e69aeb137b7b8a9f411' AS digest, 1050::BIGINT AS n_pairs""",
     "m52_ewma_forecast_digest" ->
-      """SELECT 'd67223885fbbbc6673ed9ad47fd22a12' AS digest, 750::BIGINT AS n_pairs""",
+      """SELECT '4457f3f15bf5ad92a59a5f4b2d26b70c' AS digest, 750::BIGINT AS n_pairs""",
     "m53_egarch_fit_digest" ->
-      """SELECT '283813ef17d45ed54156ad26ba790084' AS digest, 20::BIGINT AS n_pairs""",
+      """SELECT '61ac5ee87eda173339acd93eed7f854f' AS digest, 20::BIGINT AS n_pairs""",
     "qc03_logit_digest" ->
-      """SELECT '1d076473e861c7d356b633057655d4ea' AS digest, 500::BIGINT AS n_pairs""",
+      """SELECT '39b9fa782b206e36c74ab8af3e0f704f' AS digest, 500::BIGINT AS n_pairs""",
     "dd05_ngram_jaccard" ->
       """WITH t AS (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks
                     FROM documents WHERE doc_id < 60),
