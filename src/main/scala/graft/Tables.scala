@@ -64,10 +64,19 @@ object Tables {
   }
 
   /** Session config every entry point needs (nanos parquet + stable shuffles). */
-  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder =
-    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+  def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = {
+    val base = b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+    // dev-probe override (unset in driver runs): scan-split sizing for the
+    // scale-up fixtures — exchange-free plans parallelize by input split,
+    // so a small-file local fixture needs split sizes scaled down the same
+    // way a real 100 TB table's thousands of row groups scale them up
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES").fold(base) { v =>
+      base.config("spark.sql.files.maxPartitionBytes", v)
+        .config("spark.sql.files.openCostInBytes", "65536")
+    }
+  }
 }
