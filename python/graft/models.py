@@ -162,3 +162,22 @@ def logistic_score(df, coefs, feature_cols, score_col="score"):
         jl.add(str(c))
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.logisticScore(
         df._jdf, coefs._jdf, jl, score_col))
+
+
+def fit_arx(df, p, x_max_lag, include_current_x=True, key="key",
+            ts="ts_nanos", y="y", x="x"):
+    """ARX(p, xMaxLag) least-squares fit of y on its own lags and one
+    exogenous regressor column, per key (co-sampled (key, ts, y, x) rows;
+    reference models/AutoregressionX.scala:48-130)."""
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).fitArx(
+        df._jdf, int(p), int(x_max_lag), bool(include_current_x),
+        key, ts, y, x).toDF())
+
+
+def ar_filter_residuals(df, p, key="key", ts="ts_nanos", value="value"):
+    """Per-key AR(p) fit, then removeTimeDependentEffects through the
+    TimeSeriesFilter trait (first p entries pass through unchanged)."""
+    spark, jvm = ctx(df)
+    return lift(spark, _m(jvm).arFilterResiduals(
+        df._jdf, int(p), key, ts, value).toDF())

@@ -171,4 +171,13 @@ public final class JavaApiExample {
         weights.count(), sample.count(), logit.count(), metrics.count(),
         tiers.count()};
   }
+
+  /** Round-16 surface: ARX fit + AR TimeSeriesFilter residuals. */
+  public static long[] runRound16(Dataset<Row> biv) {
+    Dataset<Row> arx = JavaModelOps.fitArx(
+        biv, 1, 1, true, "key", "ts_nanos", "y", "x");
+    Dataset<Row> resid = JavaModelOps.arFilterResiduals(
+        biv, 1, "key", "ts_nanos", "y");
+    return new long[] {arx.count(), resid.count()};
+  }
 }

@@ -204,6 +204,18 @@ object JavaModelOps {
   def holtSmoothed(df: DataFrame, alpha: Double, beta: Double,
       key: String, ts: String, value: String): DataFrame =
     ModelOps.holtSmoothed(df, alpha, beta, key, ts, value).toDF()
+
+  /** ARX(p, xMaxLag) fit on co-sampled (key, ts, y, x) rows (reference
+    * models/AutoregressionX.scala:48-130). */
+  def fitArx(df: DataFrame, p: Int, xMaxLag: Int, includeCurrentX: Boolean,
+      key: String, ts: String, y: String, x: String): DataFrame =
+    ModelOps.fitArx(df, p, xMaxLag, includeCurrentX, key, ts, y, x).toDF()
+
+  /** Per-key AR(p) fit + TimeSeriesFilter residuals (reference
+    * Autoregression removeTimeDependentEffects). */
+  def arFilterResiduals(df: DataFrame, p: Int,
+      key: String, ts: String, value: String): DataFrame =
+    ModelOps.arFilterResiduals(df, p, key, ts, value).toDF()
 }
 
 /** Java facade over dedup / similarity / text analysis. */

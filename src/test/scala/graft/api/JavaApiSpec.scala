@@ -113,6 +113,18 @@ class JavaApiSpec extends AnyFunSuite with Matchers with SparkTestSession {
     counts(7) shouldBe 12L // one tier row per doc
   }
 
+  test("Java round-16 facade drives ARX fit and AR filter residuals") {
+    val s = spark
+    import s.implicits._
+    val biv = (for (k <- Seq("a", "b"); t <- 0 until 40) yield
+      (k, t.toLong, math.sin(0.4 * t) + 0.1 * (t % 5),
+        math.cos(0.9 * t) * 0.7 + 0.05 * (t % 3)))
+      .toDF("key", "ts_nanos", "y", "x")
+    val counts = graft.api.java.JavaApiExample.runRound16(biv)
+    counts(0) shouldBe 2L  // one ARX fit per key
+    counts(1) shouldBe 80L // one residual row per observation
+  }
+
   test("Java round-4 facade drives clustering/repetition/sampling/embeddings") {
     val s = spark
     import s.implicits._

@@ -78,6 +78,19 @@ def main() -> int:
     assert set(eg.columns) >= {"key", "omega", "alpha", "gamma", "beta"}
     assert eg.count() > 0
 
+    # ---- r16: ARX fit + AR TimeSeriesFilter residuals ----
+    daily_mkt = aligned.join(
+        aligned.groupBy("day_us").agg(F.avg("value").alias("mkt")), "day_us")
+    arx = graft.models.fit_arx(
+        daily_mkt, 1, 1, include_current_x=True,
+        key="user_id", ts="day_us", y="value", x="mkt")
+    assert set(arx.columns) >= {"key", "c", "arCoefs", "xCoefs"}
+    assert arx.count() > 0
+    arf = graft.models.ar_filter_residuals(
+        aligned, 1, key="user_id", ts="day_us", value="value")
+    assert set(arf.columns) == {"key", "ts", "residual"}
+    assert arf.count() > 0
+
     # ---- text + dedup ----
     docs = graft.io.documents(spark, sf_dir)
     n_docs = docs.count()
