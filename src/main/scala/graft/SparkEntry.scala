@@ -1803,7 +1803,10 @@ object SparkEntry {
       // instants pivot -> MLlib IndexedRowMatrix (reference
       // toIndexedRowMatrix: TimeSeriesRDD.scala:456-486): per-row (= per
       // index location) NaN-aware stats plus the matrix dims
-      val daily = dailyKeyed(s, dir)
+      // capped at the 300 lowest keys: the pivot goes one column per key,
+      // and a 1500-column codegen'd pivot at sf0.1 is bench cost without
+      // extra certification value (all SFs <= 0.02 keep every key)
+      val daily = dailyKeyed(s, dir).filter(col("key").cast("long") < 300)
       val (lo, hi) = dayBoundsUs(Tables.events(s, dir))
       val index = dayIndexUs(lo, hi)
       val keys = daily.select("key").distinct().collect()
@@ -1828,7 +1831,7 @@ object SparkEntry {
       // TimeSeriesRDD.scala:456-466): rows are unindexed, so the
       // certification output is the multiset of per-row stats (the driver
       // compare sorts rows)
-      val daily = dailyKeyed(s, dir)
+      val daily = dailyKeyed(s, dir).filter(col("key").cast("long") < 300)
       val (lo, hi) = dayBoundsUs(Tables.events(s, dir))
       val index = dayIndexUs(lo, hi)
       val keys = daily.select("key").distinct().collect()
@@ -5078,23 +5081,26 @@ object SparkEntry {
          FROM u WHERE v IS NOT NULL""",
     "ts54_indexed_row_matrix" ->
       s"""WITH $dailyCte,
+         d300 AS (SELECT * FROM daily WHERE key::BIGINT < 300),
          b AS (SELECT epoch_us(date_trunc('day', min(ts))) AS lo,
                       epoch_us(date_trunc('day', max(ts))) AS hi FROM events),
          dims AS (
            SELECT (hi - lo) // 86400000000 + 1 AS n_rows_total,
-             (SELECT count(DISTINCT user_id) FROM events) AS n_cols
+             (SELECT count(DISTINCT user_id) FROM events
+              WHERE user_id < 300) AS n_cols
            FROM b)
          SELECT (d.day_us - b.lo) // 86400000000 AS loc, count(*) AS n_present,
            round(min(d.value), 6) AS row_min, round(max(d.value), 6) AS row_max,
            dims.n_rows_total, dims.n_cols
-         FROM daily d, b, dims
+         FROM d300 d, b, dims
          GROUP BY 1, dims.n_rows_total, dims.n_cols""",
     "ts55_row_matrix" ->
       s"""WITH $dailyCte,
          b AS (SELECT epoch_us(date_trunc('day', min(ts))) AS lo,
                       epoch_us(date_trunc('day', max(ts))) AS hi FROM events),
          grid AS (SELECT unnest(range(lo, hi + 1, 86400000000)) AS day_us FROM b),
-         keys AS (SELECT DISTINCT user_id::VARCHAR AS key FROM events)
+         keys AS (SELECT DISTINCT user_id::VARCHAR AS key FROM events
+                  WHERE user_id < 300)
          SELECT count(CASE WHEN coalesce(d.value, 0.0) <> 0 THEN 1 END) AS n_nonzero,
            round(min(coalesce(d.value, 0.0)), 6) AS row_min,
            round(max(coalesce(d.value, 0.0)), 6) AS row_max
