@@ -91,6 +91,15 @@ class IoAndLayoutSpec extends AnyFunSuite with Matchers with SparkTestSession {
     out("b") shouldBe Seq(100.0, 200.0)
   }
 
+  test("collectAsTimeSeries gathers the panel sorted by key") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("b", Seq(3.0, 4.0)), ("a", Seq(1.0, 2.0))).toDF("key", "series")
+    val (keys, mat) = TS.collectAsTimeSeries(df)
+    keys.toSeq shouldBe Seq("a", "b")
+    mat.map(_.toSeq).toSeq shouldBe Seq(Seq(1.0, 2.0), Seq(3.0, 4.0))
+  }
+
   test("instants layout exports to MLlib matrices") {
     val s = spark
     import s.implicits._
