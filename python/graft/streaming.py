@@ -25,6 +25,30 @@ def tumbling(stream, width, watermark, agg="sum", key="key", ts="ts",
                     F.col("window.end").alias("bucket_end"), F.col(value)))
 
 
+def tumbling_modes(stream, width_us, watermark, agg="sum",
+                   closed_right=False, stamp_right=False, origin_us=0,
+                   key="key", ts="ts", value="value"):
+    """Tumbling resample with the batch operator's four closedRight x
+    stampRight boundary modes (same long arithmetic as
+    ts.TimeSeriesOps.resample / StreamingResample.tumblingModes) —
+    implemented natively because the Scala signature takes a
+    Column-function py4j cannot cross."""
+    agg_fn = getattr(F, agg)
+    ts_us = F.unix_micros(F.col(ts))
+    m = F.pmod(ts_us - F.lit(origin_us), F.lit(width_us))
+    if closed_right:
+        bucket = F.when(m == 0, ts_us - width_us).otherwise(ts_us - m)
+    else:
+        bucket = ts_us - m
+    stamp = (bucket + width_us) if stamp_right else bucket
+    return (stream.withWatermark(ts, watermark)
+            .withColumn("__bucket", F.timestamp_micros(stamp.cast("long")))
+            .groupBy(F.col(key), F.col("__bucket"))
+            .agg(agg_fn(F.col(value)).alias(value))
+            .select(F.col(key), F.col("__bucket").alias("bucket_ts"),
+                    F.col(value)))
+
+
 def sliding(stream, width, slide, watermark, key="key", ts="ts",
             value="value"):
     """Sliding-window mean + count on a stream."""

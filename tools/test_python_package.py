@@ -279,6 +279,25 @@ def main() -> int:
         q2.awaitTermination(120)
         hh = {r["token"]: r["count"] for r in spark.table("py_hh").collect()}
         assert hh["alpha"] == 2 and hh["gamma"] == 1, hh
+        # r16: four-boundary-mode streaming resample (closed/stamp right):
+        # the 10:00 doc sits EXACTLY on a bucket boundary, so closed-right
+        # pushes it into the preceding bucket and stamp-right labels by end
+        sevs = stream.withColumn("v", F.lit(1.0))
+        q3 = (graft.streaming.tumbling_modes(
+                  sevs, 60_000_000, "1 minute", agg="sum",
+                  closed_right=True, stamp_right=True,
+                  key="doc_id", ts="event_time", value="v")
+              .writeStream.format("memory").queryName("py_modes")
+              .outputMode("complete").trigger(availableNow=True).start())
+        q3.awaitTermination(120)
+        modes = spark.table("py_modes").collect()
+        assert len(modes) == 3 and all(r["v"] == 1.0 for r in modes)
+        # doc 1 at 10:00:00 exactly: closed-right bucket (09:59, 10:00],
+        # stamp-right label = 10:00:00
+        lbl = {r["doc_id"]: str(r["bucket_ts"]) for r in modes}
+        assert lbl[1].endswith("10:00:00"), lbl
+        assert lbl[2].endswith("10:01:00"), lbl
+        assert lbl[3].endswith("10:02:00"), lbl
 
     # ---- SQL extension functions through the functions module ----
     row = docs.limit(1).select(
