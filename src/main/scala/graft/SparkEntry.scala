@@ -1877,6 +1877,21 @@ object SparkEntry {
         .toDF("loc", "ts_us")
         .withColumn("n_segments", lit(segs.toLong))
     }),
+    "ts62_series_union" -> ((s, dir) => {
+      // first-non-missing union (reference TimeSeriesUtils.union): the
+      // high-value daily mean (sparse — only user-days with a value >= 30
+      // event) wins over the dense daily event count wherever both exist
+      val a = Tables.events(s, dir).filter(col("value") >= 30)
+        .groupBy(col("user_id").cast("string").as("key"),
+          unix_micros(date_trunc("DAY", timestamp_micros(col("ts_us")))).as("day_us"))
+        .agg(avg("value").as("value"))
+      val b = Tables.events(s, dir)
+        .groupBy(col("user_id").cast("string").as("key"),
+          unix_micros(date_trunc("DAY", timestamp_micros(col("ts_us")))).as("day_us"))
+        .agg(count(lit(1)).cast("double").as("value"))
+      TS.unionSeries(Seq(a, b), key = "key", ts = "day_us", value = "value")
+        .select(col("key"), col("day_us"), round(col("value"), 6).as("value"))
+    }),
     "m54_arx_fit" -> ((s, dir) =>
       // ARX(1, xLag=1, current x included): each user's daily mean on its
       // own lag and the market's current + lagged value — a 3-regressor
@@ -5058,6 +5073,18 @@ object SparkEntry {
            round(b1, 6) + 0.0 AS ar_1, round(b2, 6) + 0.0 AS ar_2
          FROM g""",
     "m11_cochrane_orcutt" -> cochraneOrcuttOracle,
+    "ts62_series_union" ->
+      """WITH a AS (
+           SELECT user_id::VARCHAR AS key,
+             epoch_us(date_trunc('day', ts)) AS day_us, avg(value) AS v
+           FROM events WHERE value >= 30 GROUP BY 1, 2),
+         b AS (
+           SELECT user_id::VARCHAR AS key,
+             epoch_us(date_trunc('day', ts)) AS day_us,
+             count(*)::DOUBLE AS v
+           FROM events GROUP BY 1, 2)
+         SELECT b.key, b.day_us, round(coalesce(a.v, b.v), 6) AS value
+         FROM b LEFT JOIN a ON a.key = b.key AND a.day_us = b.day_us""",
     "ts51_io_parquet_roundtrip" ->
       s"""WITH $dailyCte
          SELECT key, day_us, round(value, 6) AS value, TRUE AS index_match

@@ -478,6 +478,24 @@ object TimeSeriesOps {
       .select(col(ts).cast("long"), col(value).cast("double"))
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
 
+  /** First-non-missing union of N observation frames, first frame winning
+    * ties (reference TimeSeriesUtils.union: TimeSeriesUtils.scala:30-44 —
+    * element-wise first-non-NaN sweep; its unbounded-scan/infinite-loop
+    * bugs are not reproduced). Distributed as one tagged unionByName + a
+    * min_by keyed aggregate: a single shuffle regardless of frame count,
+    * NaN treated as missing like the reference. */
+  def unionSeries(frames: Seq[DataFrame], key: String = "key",
+      ts: String = "ts_nanos", value: String = "value"): DataFrame = {
+    require(frames.nonEmpty, "union of no frames")
+    val tagged = frames.zipWithIndex.map { case (f, i) =>
+      f.select(col(key), col(ts), col(value).cast("double").as(value),
+        lit(i).as("__pri"))
+    }.reduce(_ unionByName _)
+    tagged.filter(col(value).isNotNull && !isnan(col(value)))
+      .groupBy(col(key), col(ts))
+      .agg(min_by(col(value), col("__pri")).as(value))
+  }
+
   /** Collect a series-layout frame `(key, series ARRAY<DOUBLE>)` into local
     * (keys, matrix) arrays sorted by key (reference collectAsTimeSeries:
     * TimeSeriesRDD.scala:96-103 — the whole panel must fit on the driver,

@@ -91,6 +91,17 @@ class IoAndLayoutSpec extends AnyFunSuite with Matchers with SparkTestSession {
     out("b") shouldBe Seq(100.0, 200.0)
   }
 
+  test("unionSeries takes the first non-missing value in frame order") {
+    val s = spark
+    import s.implicits._
+    val a = Seq(("k", 1L, 10.0), ("k", 2L, Double.NaN)).toDF("key", "ts_nanos", "value")
+    val b = Seq(("k", 1L, 99.0), ("k", 2L, 20.0), ("k", 3L, 30.0))
+      .toDF("key", "ts_nanos", "value")
+    val out = TS.unionSeries(Seq(a, b))
+      .collect().map(r => r.getLong(1) -> r.getDouble(2)).toMap
+    out shouldBe Map(1L -> 10.0, 2L -> 20.0, 3L -> 30.0)
+  }
+
   test("collectAsTimeSeries gathers the panel sorted by key") {
     val s = spark
     import s.implicits._
