@@ -861,6 +861,10 @@ object SparkEntry {
     // makes the §2.8/§2.9 fit kernels hash-checkable by the driver ----------------
     "mr01_arima_recover" -> ((s, _) => graft.models.Recovery.arima(s)),
     "mr19_r_goldens" -> ((s, _) => graft.models.Recovery.rGoldens(s)),
+    // mr21: same R anchors as mr19, but the published constants themselves
+    // flow to the driver (echoed engine-side, literal in the oracle SQL) —
+    // shrinks the self-frozen trust surface (VERDICT r16 #2)
+    "mr21_r_constants" -> ((s, _) => graft.models.Recovery.rGoldenConstantsDf(s)),
     "mr20_egarch_recover" -> ((s, _) => graft.models.Recovery.egarch(s)),
     "mr02_ar_recover" -> ((s, _) => graft.models.Recovery.ar(s)),
     "mr03_ewma_recover" -> ((s, _) => graft.models.Recovery.ewma(s)),
@@ -4482,6 +4486,7 @@ object SparkEntry {
     // (key, check) pair is expected true (see models/Recovery.scala)
     "mr01_arima_recover" -> graft.models.Recovery.oracleFor("arima"),
     "mr19_r_goldens" -> graft.models.Recovery.oracleFor("rgolden"),
+    "mr21_r_constants" -> graft.models.Recovery.rGoldenConstantsOracle,
     "mr20_egarch_recover" -> graft.models.Recovery.oracleFor("egarch"),
     "mr02_ar_recover" -> graft.models.Recovery.oracleFor("ar"),
     "mr03_ewma_recover" -> graft.models.Recovery.oracleFor("ewma"),

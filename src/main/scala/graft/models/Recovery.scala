@@ -389,6 +389,60 @@ object Recovery {
     453.4977, 429.3906, 467.0361, 503.2574, 512.3395, 571.8880,
     652.6095, 637.4623, 539.7548, 490.7250, 424.4593, 469.5315)
 
+  /** The R-published constants mr19 asserts against, as data: (check name,
+    * R value, tolerance). Tolerances are the reference suites' own
+    * (reference ARIMASuite.scala:38-40 ±0.05; HoltWintersModelSuite.scala:
+    * 50-52 ±0.01 on params — widened to 0.02 as mr19 does for optimizer
+    * variation — and :76 ±10 on the h=12 forecast path). mr21 interpolates
+    * these into BOTH the engine output and the DuckDB oracle SQL, so the
+    * driver artifact itself carries expected values that originate outside
+    * this repo's engine (R 3.2.0 outputs published in the reference suites). */
+  private[graft] val rGoldenPins: Seq[(String, Double, Double)] = Seq(
+    ("r_arima_ar", 0.3, 0.05),
+    ("r_arima_ma", 0.7, 0.05),
+    ("r_hw_alpha", 0.24796, 0.02),
+    ("r_hw_beta", 0.03453, 0.02),
+    ("r_hw_gamma", 1.0, 0.02)) ++
+    Seq(453.4977, 429.3906, 467.0361, 503.2574, 512.3395, 571.8880,
+      652.6095, 637.4623, 539.7548, 490.7250, 424.4593, 469.5315)
+      .zipWithIndex.map { case (v, i) => (f"r_hw_fc_${i + 1}%02d", v, 10.0) }
+
+  /** mr21 — the R-golden constants as a DRIVER-VISIBLE row set: the engine
+    * echoes (check_name, r_value, tol) and computes `within_tol` from a
+    * live ARIMA(1,0,1) fit on R_ARIMA_DataSet1 and a live HoltWinters
+    * additive fit + h=12 forecast on AirPassengers; the oracle is the same
+    * constants with within_tol=true. Unlike mr19 (booleans only), the R
+    * numbers appear literally in oracle_sql.json. */
+  def rGoldenConstantsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val pins = rGoldenPins
+    s.createDataset(Seq(0)).repartition(1).flatMap { _ =>
+      val rArima = {
+        val in = getClass.getClassLoader.getResourceAsStream("R_ARIMA_DataSet1.csv")
+        try scala.io.Source.fromInputStream(in).getLines().map(_.toDouble).toArray
+        finally in.close()
+      }
+      val am = ARIMA.fitModel(1, 0, 1, rArima)
+      val hw = HoltWinters.fitModel(airPassengers, 12, "additive")
+      val fc = hw.forecast(airPassengers, 12)
+      val fitted: Map[String, Double] = Map(
+        "r_arima_ar" -> am.coefficients(1),
+        "r_arima_ma" -> am.coefficients(2),
+        "r_hw_alpha" -> hw.alpha,
+        "r_hw_beta" -> hw.beta,
+        "r_hw_gamma" -> hw.gamma) ++
+        fc.zipWithIndex.map { case (v, i) => f"r_hw_fc_${i + 1}%02d" -> v }
+      pins.map { case (name, r, tol) =>
+        (name, r, tol, math.abs(fitted(name) - r) <= tol)
+      }
+    }.toDF("check_name", "r_value", "tol", "within_tol")
+  }
+
+  private[graft] def rGoldenConstantsOracle: String =
+    "SELECT * FROM (VALUES " + rGoldenPins.map { case (n, r, tol) =>
+      s"('$n', CAST($r AS DOUBLE), CAST($tol AS DOUBLE), true)"
+    }.mkString(", ") + ") AS t(check_name, r_value, tol, within_tol)"
+
   def rGoldenKernel(key: String, seed: Long): Seq[Check] = {
     val rArima = {
       val in = getClass.getClassLoader.getResourceAsStream("R_ARIMA_DataSet1.csv")
