@@ -85,6 +85,83 @@ class ExtensionsAndSkewSpec extends AnyFunSuite with Matchers
     salted shouldBe plain
   }
 
+  test("AQE skew-join split fires on a planted hot key (SkewProbe preconditions pinned)") {
+    // In-suite pin of the r16 SkewProbe finding (SCALE.md "Planted skew"):
+    // the AQE skew split is a silent no-op unless THREE preconditions hold,
+    // each encoded below — (1) the skewed reduce partition must be made of
+    // >1 map-output chunks (one mapper per fixture file via a
+    // maxPartitionBytes below the 4 MB file-open cost), (2) the plan shape
+    // must be SMJ(Sort(shuffle-stage), Sort(shuffle-stage)) — an inline
+    // aggregate under the sort makes the join ineligible, so the profile
+    // side is MATERIALIZED to parquet first — and (3) when the join feeds a
+    // differently-keyed exchange Spark vetoes the split to keep the join's
+    // output partitioning unless forceOptimizeSkewedJoin is set.
+    val spark = this.spark
+    val out = java.nio.file.Files.createTempDirectory("graft-skewspec").toString
+    val conf = spark.conf
+    val saved = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin",
+      "spark.sql.files.maxPartitionBytes")
+      .map(k => k -> conf.getOption(k))
+    try {
+      // planted fixture: 400k events, HALF on user 0, rest over 2000 keys;
+      // 32 files => 32 mappers (precondition 1, with maxPartitionBytes=2m)
+      val ev = spark.range(400000).select(
+        col("id").as("event_id"),
+        when(pmod(col("id"), lit(10)) < 5, lit(0L))
+          .otherwise(pmod(col("id"), lit(2000)) + 1).as("user_id"),
+        (col("id") % 97).cast("double").as("value"))
+      ev.repartition(32).write.mode("overwrite").parquet(s"$out/events")
+      val evS = spark.read.parquet(s"$out/events")
+      // precondition 2: materialize the per-user profile so both SMJ inputs
+      // are plain shuffle stages
+      evS.groupBy("user_id")
+        .agg(count(lit(1)).as("n_ev"), avg("value").as("avg_v"))
+        .write.mode("overwrite").parquet(s"$out/profile")
+      val profile = spark.read.parquet(s"$out/profile")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // cluster-default 256 MB thresholds scaled to this fixture's
+      // partition bytes (same ratio a 100 TB run sees at defaults)
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256k")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256k")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true") // precondition 3
+      conf.set("spark.sql.files.maxPartitionBytes", "2m") // precondition 1
+      val joined = evS.join(profile, "user_id")
+        .groupBy(pmod(col("event_id"), lit(64)).as("b"))
+        .agg(sum(col("value") * col("avg_v")).as("s"))
+      // execute THIS Dataset so its AdaptiveSparkPlanExec re-plans (a
+      // separate count() would leave the plan un-executed)
+      joined.collect().length shouldBe 64
+      val finalPlan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      // QueryStageExec hides its plan from `children` — recurse explicitly
+      def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+        val kids = p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+          case _ => p.children
+        }
+        p +: kids.flatMap(flatten)
+      }
+      val skewJoins = flatten(finalPlan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec
+          if j.isSkewJoin => j
+      }
+      withClue(s"final plan had no skew-handled SMJ:\n$finalPlan\n") {
+        skewJoins should not be empty
+      }
+    } finally saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
+
   test("saltedAggregate equals direct aggregation") {
     val spark = this.spark
     import spark.implicits._
