@@ -32,7 +32,12 @@ def tumbling_modes(stream, width_us, watermark, agg="sum",
     stampRight boundary modes (same long arithmetic as
     ts.TimeSeriesOps.resample / StreamingResample.tumblingModes) —
     implemented natively because the Scala signature takes a
-    Column-function py4j cannot cross."""
+    Column-function py4j cannot cross.
+
+    The watermark is declared on the DERIVED bucket column (event-time
+    metadata does not survive expression arithmetic; on the raw ts it
+    would be inert and append mode rejected). Size it as tolerated
+    lateness plus one bucket width."""
     agg_fn = getattr(F, agg)
     ts_us = F.unix_micros(F.col(ts))
     m = F.pmod(ts_us - F.lit(origin_us), F.lit(width_us))
@@ -41,8 +46,9 @@ def tumbling_modes(stream, width_us, watermark, agg="sum",
     else:
         bucket = ts_us - m
     stamp = (bucket + width_us) if stamp_right else bucket
-    return (stream.withWatermark(ts, watermark)
+    return (stream
             .withColumn("__bucket", F.timestamp_micros(stamp.cast("long")))
+            .withWatermark("__bucket", watermark)
             .groupBy(F.col(key), F.col("__bucket"))
             .agg(agg_fn(F.col(value)).alias(value))
             .select(F.col(key), F.col("__bucket").alias("bucket_ts"),

@@ -34,6 +34,16 @@ object StreamingResample {
    * replay of a batch table produces bit-identical buckets. closed-right
    * sends an exact-boundary timestamp to the PRECEDING bucket; stamp-right
    * labels the bucket by its end instead of its start.
+   *
+   * The watermark is declared on the DERIVED bucket timestamp, not the raw
+   * event time: Spark's event-time metadata does not survive expression
+   * arithmetic, so watermarking `ts` and then grouping by a computed column
+   * would leave the aggregation state unbounded and append mode rejected by
+   * the analyzer (the watermark would be inert). With the watermark on the
+   * group key itself, append mode emits and evicts a bucket once the
+   * watermark passes its label. Because a bucket's label can precede its
+   * latest member event by up to one width (closed-left stamping), size
+   * `watermark` as the tolerated event lateness PLUS one bucket width.
    */
   def tumblingModes(stream: DataFrame, widthUs: Long, aggFn: Column => Column,
       closedRight: Boolean, stampRight: Boolean, watermark: String,
@@ -45,8 +55,9 @@ object StreamingResample {
       if (!closedRight) tsUs - m
       else when(m === 0, tsUs - widthUs).otherwise(tsUs - m)
     val stamp = if (stampRight) bucketStart + widthUs else bucketStart
-    stream.withWatermark(ts, watermark)
+    stream
       .withColumn("__bucket", timestamp_micros(stamp.cast("long")))
+      .withWatermark("__bucket", watermark)
       .groupBy(col(key), col("__bucket"))
       .agg(aggFn(col(value)).as(value))
       .select(col(key), col("__bucket").as("bucket_ts"), col(value))

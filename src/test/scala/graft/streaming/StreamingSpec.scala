@@ -217,6 +217,47 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("tumblingModes append mode: watermark on the bucket column emits and evicts") {
+    // ADVICE r16 (medium): grouping by a DERIVED timestamp dropped the
+    // event-time watermark metadata — append mode was rejected by the
+    // analyzer and state never evicted. The watermark now lives on the
+    // bucket column itself; this test proves (a) the analyzer accepts
+    // append mode, (b) closed buckets emit exactly once as the watermark
+    // passes them, and (c) data later than the watermark is dropped
+    // instead of resurrecting a finalized bucket.
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val widthUs = 10L * 60 * 1000000
+    def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val input = MemoryStream[(String, Timestamp, Double)]
+    val out = StreamingResample.tumblingModes(
+      input.toDF().toDF("key", "ts", "value"), widthUs, sum(_),
+      closedRight = false, stampRight = false, watermark = "0 seconds")
+    val query = out.writeStream.format("memory").queryName("modes_append")
+      .outputMode("append").start()
+    try {
+      input.addData(("a", t(0), 1.0), ("a", t(5), 2.0)) // bucket 10:00
+      query.processAllAvailable()
+      input.addData(("a", t(12), 4.0)) // bucket 10:10; wm from prev batch=10:00
+      query.processAllAvailable()
+      input.addData(("a", t(25), 8.0)) // bucket 10:20; wm=10:10 -> emits 10:00
+      query.processAllAvailable()
+      // flush + a too-late row (bucket 10:00 is finalized; must be dropped)
+      input.addData(("a", t(45), 0.0), ("a", t(2), 99.0))
+      query.processAllAvailable()
+      input.addData(("a", t(59), 0.0)) // advance wm past 10:40
+      query.processAllAvailable()
+      val got = s.sql("SELECT key, unix_micros(bucket_ts), value FROM modes_append")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      def us(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00").getTime * 1000L
+      // 10:50 closes too: the trailing no-data micro-batch advances the
+      // watermark to the last batch's max bucket (10:50) and flushes it
+      got shouldBe Set(("a", us(0), 3.0), ("a", us(10), 4.0),
+        ("a", us(20), 8.0), ("a", us(40), 0.0), ("a", us(50), 0.0))
+    } finally query.stop()
+  }
+
   test("streaming sessions match the batch sessionizer's groupings") {
     val s = spark
     import s.implicits._
