@@ -1907,8 +1907,79 @@ object SparkEntry {
         .select(col("key"), (round(col("c"), 6) + lit(0.0)).as("c"),
           (round(try_element_at(col("arCoefs"), lit(1)), 6) + lit(0.0)).as("ar_1"),
           (round(try_element_at(col("xCoefs"), lit(1)), 6) + lit(0.0)).as("x_0"),
-          (round(try_element_at(col("xCoefs"), lit(2)), 6) + lit(0.0)).as("x_1")))
+          (round(try_element_at(col("xCoefs"), lit(2)), 6) + lit(0.0)).as("x_1"))),
+
+    // ---------------- r17: streaming batch-parity replays (VERDICT r16 #5)
+    // — the Structured Streaming surfaces run as REAL streams (readStream →
+    // operator → writeStream, Trigger.AvailableNow) over the SF table and
+    // the driver hash-checks the emitted result against the BATCH
+    // semantics in DuckDB. Certifies that a streaming deployment of the
+    // operator converges to the batch answer on a full replay. ----------------
+    "st01_streaming_resample_replay" -> ((s, dir) => {
+      // daily tumbling sum per user through StreamingResample.tumblingModes
+      // (closed-left, stamp-left), replayed availableNow; complete mode +
+      // an effectively-infinite watermark so no replay row is "late"
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"), col("value"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st01_").toString
+      ev.write.mode("overwrite").parquet(s"$tmp/events")
+      val stream = s.readStream.schema(ev.schema).parquet(s"$tmp/events")
+      val out = graft.streaming.StreamingResample.tumblingModes(stream,
+        dayUsTick, sum(_), closedRight = false, stampRight = false,
+        watermark = "36500 days", key = "user_id")
+      val sink = s"st01_sink_${System.nanoTime}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // the memory sink holds only the user x day aggregate (bounded well
+      // below the input); the replay fixture is per-run and removed here
+      val res = s.table(sink).select(col("user_id"),
+        unix_micros(col("bucket_ts")).as("day_us"),
+        round(col("value"), 4).as("sum_value")).localCheckpoint()
+      deleteRecursively(tmp)
+      res
+    }),
+    "st02_streaming_dedup_replay" -> ((s, dir) => {
+      // exact streaming dedup (dropDuplicatesWithinWatermark on the
+      // canonical fingerprint) replayed availableNow: exactly ONE survivor
+      // must emit per canonical group — the streaming twin of dd02
+      // synthetic event times on a 2020 base: epoch 0 exactly equals the
+      // stream's INITIAL watermark and a doc_id=0 row would be dropped as
+      // late before the first batch ever advances it
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          timestamp_micros(lit(1577836800000000L) + col("doc_id") * 1000000L)
+            .as("event_time"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st02_").toString
+      docs.write.mode("overwrite").parquet(s"$tmp/docs")
+      val stream = s.readStream.schema(docs.schema).parquet(s"$tmp/docs")
+      val out = graft.streaming.StreamingDedup.streamingExactDedup(
+        stream, "text", "event_time", "36500 days")
+      val sink = s"st02_sink_${System.nanoTime}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = s.table(sink).groupBy("fingerprint")
+        .agg(count(lit(1)).as("n_survivors")).localCheckpoint()
+      deleteRecursively(tmp)
+      res
+    })
   )
+
+  /** Remove a per-run replay fixture directory (best-effort). */
+  private def deleteRecursively(path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get(path)
+    if (Files.exists(root)) {
+      val all = Files.walk(root).iterator().asScala.toSeq.reverse
+      all.foreach(p => try Files.deleteIfExists(p) catch { case _: Exception => () })
+    }
+  }
 
   /** DuckDB string literal composed to be byte-pure ASCII: any char outside
     * printable ASCII becomes `chr(<codepoint>)`. tx03 failed the driver's
@@ -5090,6 +5161,16 @@ object SparkEntry {
            FROM events GROUP BY 1, 2)
          SELECT b.key, b.day_us, round(coalesce(a.v, b.v), 6) AS value
          FROM b LEFT JOIN a ON a.key = b.key AND a.day_us = b.day_us""",
+    // st01/st02: the oracle IS the batch semantics — a full availableNow
+    // replay of the stream must converge to it exactly
+    "st01_streaming_resample_replay" ->
+      """SELECT user_id, epoch_us(date_trunc('day', ts)) AS day_us,
+         round(sum(value), 4) AS sum_value
+         FROM events GROUP BY 1, 2""",
+    "st02_streaming_dedup_replay" ->
+      """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS fingerprint,
+         CAST(1 AS BIGINT) AS n_survivors
+         FROM documents GROUP BY 1""",
     "ts51_io_parquet_roundtrip" ->
       s"""WITH $dailyCte
          SELECT key, day_us, round(value, 6) AS value, TRUE AS index_match
