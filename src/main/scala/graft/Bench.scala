@@ -32,6 +32,12 @@ object Bench {
     }
     def calibrate(): Double =
       Seq(calibrateOnce(), calibrateOnce(), calibrateOnce()).sorted.apply(1)
+    // a leaked dev-probe scan-split override changes measured plans; warn
+    // loudly and stamp the artifact so a contaminated run is self-labeling
+    val splitOverride = Tables.scanSplitOverride
+    splitOverride.foreach(v => System.err.println(
+      s"[bench] WARNING: SPARK_GRAFT_MAX_PARTITION_BYTES=$v is set — " +
+        "scan-split sizing overridden; this run is NOT comparable to driver runs"))
     val calStart = calibrate()
     System.err.println(f"[bench] calibration (start) $calStart%.3f s")
     // a crashed query must fail LOUDLY: its error is recorded per-query in
@@ -186,10 +192,12 @@ object Bench {
     }.mkString("{", ",", "}")
     val calsJson = calPoints.map { case (p, c) =>
       s"""{"pos":$p,"cal":${fmt(c, 3)}}""" }.mkString("[", ",", "]")
+    val overrideJson = splitOverride
+      .map(v => s""""max_partition_bytes_override":${jstr(v)},""").getOrElse("")
     val detailJson =
       s"""{"metric":"total","value":${fmt(total, 3)},"unit":"sec","n_queries":${results.size},"failed":$failed,""" +
         s""""cal_start_sec":${fmt(calStart, 3)},"cal_end_sec":${fmt(calEnd, 3)},""" +
-        s""""cals":$calsJson,""" +
+        s""""cals":$calsJson,$overrideJson""" +
         s""""sf":${jstr(sfDir)},"queries":$detail}"""
     try {
       java.nio.file.Files.writeString(
@@ -224,6 +232,7 @@ object Bench {
       s"${jstr(outKey(k))}:${jstr(e.take(60))}" }.mkString("{", ",", "}")
     val footer = s""""failed":$failed""" +
       (if (failed > 0) s""","errors":$errs""" else "") +
+      splitOverride.map(v => s""","split_override":${jstr(v)}""").getOrElse("") +
       s""","sf":${jstr(sfDir.split('/').last)}"""
     val keyed = if (useShort) short
                 else results.map { case (k, v, _, _, _, _, _) => (k, v) }

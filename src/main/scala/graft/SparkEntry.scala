@@ -15,6 +15,29 @@ object SparkEntry {
 
   private val dayUsTick = 86400000000L
 
+  /** GOOG.csv fixture path, checkout-independent (ADVICE r16): prefer an
+    * explicit repo root via SPARK_GRAFT_REPO, else extract the bundled
+    * classpath copy to a temp file. The same resolved path is interpolated
+    * into the ts53 oracle SQL, which DuckDB reads in a separate process
+    * after this JVM exits — so the extracted file is NOT delete-on-exit. */
+  private lazy val googCsvPath: String = {
+    val fromRepo = sys.env.get("SPARK_GRAFT_REPO")
+      .map(_ + "/src/test/resources/GOOG.csv")
+      .filter(p => new java.io.File(p).isFile)
+    fromRepo.getOrElse {
+      val in = getClass.getClassLoader.getResourceAsStream("GOOG.csv")
+      require(in != null, "GOOG.csv not on classpath")
+      // keep the exact file NAME: readYahooCsv derives the series key
+      // prefix from it (reference YahooParser keys are "GOOG_Open" etc.)
+      val f = java.nio.file.Files.createTempDirectory("graft_yahoo_")
+        .resolve("GOOG.csv")
+      try java.nio.file.Files.copy(in, f,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      f.toString
+    }
+  }
+
   /** (md5 of newline-joined sorted lines, pair count) — the digest shape
     * behind dd15-dd17; `line` must render one pair per row. */
   private def pairDigest(pairs: DataFrame, line: Column): DataFrame =
@@ -1769,14 +1792,18 @@ object SparkEntry {
       val (lo, hi) = dayBoundsUs(Tables.events(s, dir))
       val index = dayIndexUs(lo, hi)
       val series = TS.toSeries(daily, index, key = "key", ts = "day_us", value = "value")
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft_ts51_${dir.replaceAll("[^0-9A-Za-z]", "_")}"
+      // per-run temp dir (ADVICE r16): a fixed path derived from the SF dir
+      // raced concurrent runs and was never cleaned up
+      val path = java.nio.file.Files.createTempDirectory("graft_ts51_").toString
       graft.io.TimeSeriesIO.writeSeriesParquet(series, index, path)
       val (back, backIdx) = graft.io.TimeSeriesIO.readSeriesParquet(s, path)
-      TS.fromSeries(back, backIdx, key = "key")
+      val res = TS.fromSeries(back, backIdx, key = "key")
         .select(col("key"), col("ts_nanos").as("day_us"),
           round(col("value"), 6).as("value"),
           lit(backIdx.tag == index.tag).as("index_match"))
+        .localCheckpoint() // materialize before the fixture is removed
+      deleteRecursively(path)
+      res
     }),
     "ts52_io_csv_roundtrip" -> ((s, dir) => {
       // CSV (key,v0,v1,...) + _index sidecar round trip (reference CSV
@@ -1785,22 +1812,23 @@ object SparkEntry {
       val (lo, hi) = dayBoundsUs(Tables.events(s, dir))
       val index = dayIndexUs(lo, hi)
       val series = TS.toSeries(daily, index, key = "key", ts = "day_us", value = "value")
-      val path = sys.props("java.io.tmpdir") +
-        s"/graft_ts52_${dir.replaceAll("[^0-9A-Za-z]", "_")}"
+      val path = java.nio.file.Files.createTempDirectory("graft_ts52_").toString
       graft.io.TimeSeriesIO.writeSeriesCsv(series, index, path)
       val (back, backIdx) = graft.io.TimeSeriesIO.readSeriesCsv(s, path)
-      TS.fromSeries(back, backIdx, key = "key")
+      val res = TS.fromSeries(back, backIdx, key = "key")
         .select(col("key"), col("ts_nanos").as("day_us"),
           round(col("value"), 6).as("value"),
           lit(backIdx.tag == index.tag).as("index_match"))
+        .localCheckpoint()
+      deleteRecursively(path)
+      res
     }),
     "ts53_yahoo_parse" -> ((s, dir) =>
       // Yahoo OHLCV CSV parse of the GOOG fixture (reference
       // parsers/YahooParser.scala:24-48): per-file key prefixing, 6 stacked
       // fields, reverse-chronological input — the oracle re-reads the same
       // file in DuckDB and unpivots
-      graft.io.TimeSeriesIO.readYahooCsv(s,
-        "/root/repo/src/test/resources/GOOG.csv")
+      graft.io.TimeSeriesIO.readYahooCsv(s, googCsvPath)
         .select(col("key"), (col("ts_nanos") / 1000L).cast("long").as("ts_us"),
           round(col("value"), 6).as("value"))),
     "ts54_indexed_row_matrix" -> ((s, dir) => {
@@ -5180,8 +5208,8 @@ object SparkEntry {
          SELECT key, day_us, round(value, 6) AS value, TRUE AS index_match
          FROM daily""",
     "ts53_yahoo_parse" ->
-      """WITH r AS (
-           SELECT * FROM read_csv('/root/repo/src/test/resources/GOOG.csv',
+      s"""WITH r AS (
+           SELECT * FROM read_csv('$googCsvPath',
              header = true)),
          u AS (
            SELECT Date,

@@ -79,4 +79,11 @@ object Tables {
         .config("spark.sql.files.openCostInBytes", "65536")
     }
   }
+
+  /** The dev-probe scan-split override, if leaked into this process's env.
+    * Bench/Verify call this to warn loudly and stamp the artifact — a
+    * silently inherited probe setting would otherwise contaminate recorded
+    * plans and timings (ADVICE r16). */
+  def scanSplitOverride: Option[String] =
+    sys.env.get("SPARK_GRAFT_MAX_PARTITION_BYTES")
 }

@@ -10,6 +10,9 @@ object Verify {
     // the driver always passes exactly two args)
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    Tables.scanSplitOverride.foreach(v => System.err.println(
+      s"[verify] WARNING: SPARK_GRAFT_MAX_PARTITION_BYTES=$v is set — " +
+        "scan-split sizing overridden; plans differ from driver runs"))
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]"), cpus)
       .getOrCreate()
