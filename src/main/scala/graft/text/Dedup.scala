@@ -159,12 +159,18 @@ object Dedup {
     // no broadcast hint: the candidate-id set is bounded only by the corpus'
     // near-dup rate (30-50% on web crawls), so forcing a broadcast is a
     // driver-OOM at 100 TB. Left-semi on id — AQE picks broadcast iff it fits.
+    // Verification runs on SORTED 64-bit shingle hashes, not shingle
+    // strings: in a dup-dense corpus the verify join's shuffle payload
+    // (two full shingle arrays per candidate pair) dominates, and hashes
+    // cut it ~8x while the Jaccard becomes a linear merge (r17; measured
+    // 100x numbers in SCALE.md). Values are identical modulo 64-bit
+    // collisions (~1e-14 per doc).
     val candSh = base.join(candIds, Seq("id"), "left_semi")
-      .select(col("id"), shingles(col("__text"), k).as("sh"))
+      .select(col("id"), HashedWordShingles.ofColumn(col("__text"), k).as("sh"))
     cands
       .join(candSh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(candSh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .withColumn("jaccard", JaccardSortedLongs.ofColumns(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold && size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
   }

@@ -68,3 +68,131 @@ object WordShingles {
   def ofColumn(c: Column, k: Int): Column =
     GraftSqlBridge.column(WordShingles(GraftSqlBridge.expression(c), k))
 }
+
+/**
+ * Sorted distinct 64-bit xxhash64 values of the word k-shingles — the lean
+ * verification payload for near-dup pipelines. In a dup-dense corpus the
+ * dominant cost of MinHash verification is shuffling two full shingle
+ * STRING arrays to every candidate pair (~kB per side); 64-bit hashes cut
+ * the payload ~8x and turn set intersection into a linear merge over two
+ * sorted long arrays. Jaccard over the hashes equals Jaccard over the
+ * shingles unless two distinct shingles of one document collide in 64 bits
+ * (P ~ n^2 / 2^65 — negligible at any real document size).
+ */
+case class HashedWordShingles(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(org.apache.spark.sql.types.LongType,
+    containsNull = false)
+  override def prettyName: String = "hashed_word_shingles"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"hashed_word_shingles requires a string column, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any =
+    HashedWordShingles.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.HashedWordShingles.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedWordShingles =
+    copy(child = newChild)
+}
+
+object HashedWordShingles {
+  private val Seed = 42L
+
+  /** Tokenization/distinctness single-sourced from [[WordShingles.compute]];
+    * emits the SORTED distinct hash set (sorted order is what makes the
+    * pairwise intersection a linear merge). */
+  def compute(text: UTF8String, k: Int): ArrayData = {
+    val sh = WordShingles.compute(text, k)
+    val n = sh.numElements()
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUTF8String(sh.getUTF8String(i), Seed)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    // distinct strings hash to distinct longs a.s.; drop the astronomically
+    // rare collision so |A| matches the string-set cardinality contract
+    var m = 0
+    i = 0
+    while (i < n) {
+      if (m == 0 || hs(i) != hs(m - 1)) { hs(m) = hs(i); m += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (m == n) hs else java.util.Arrays.copyOf(hs, m))
+  }
+
+  def ofColumn(c: Column, k: Int): Column =
+    GraftSqlBridge.column(HashedWordShingles(GraftSqlBridge.expression(c), k))
+}
+
+/**
+ * Exact Jaccard of two SORTED distinct long arrays via a single linear
+ * merge — no per-row hash-set allocation (array_intersect builds one per
+ * invocation). Null when both sides are empty (try_divide semantics, same
+ * as [[graft.text.Dedup.jaccard]]).
+ */
+case class JaccardSortedLongs(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaccard_sorted_longs"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"jaccard_sorted_longs requires two array<bigint> columns, got " +
+        s"${left.dataType} / ${right.dataType}")
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    JaccardSortedLongs.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("jac")
+      s"""
+      Object $r = graft.text.JaccardSortedLongs.compute($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = ((java.lang.Double) $r).doubleValue(); }
+      """
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): JaccardSortedLongs =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardSortedLongs {
+  /** Merge-count intersection of two sorted distinct long arrays. */
+  def compute(a: ArrayData, b: ArrayData): Any = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return null
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    java.lang.Double.valueOf(inter.toDouble / (na + nb - inter))
+  }
+
+  def ofColumns(a: Column, b: Column): Column =
+    GraftSqlBridge.column(JaccardSortedLongs(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+}
