@@ -41,6 +41,29 @@ object PropertySpec extends Properties("graft") {
       got == expect
     }
 
+  property("HashedWordShingles + JaccardSortedLongs == string-set Jaccard") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dog", "fox", "the")),
+      Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "dog", "fox", "the")),
+      Gen.choose(1, 4)) { (ta, tb, k) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      def strSet(toks: List[String]): Set[String] =
+        if (toks.length < k) Set.empty
+        else toks.sliding(k).map(_.mkString(" ")).toSet
+      def hashed(toks: List[String]) = graft.text.HashedWordShingles
+        .compute(UTF8String.fromString(toks.mkString(" ")), k)
+      val (sa, sb) = (strSet(ta), strSet(tb))
+      val expected: Option[Double] =
+        if (sa.isEmpty && sb.isEmpty) None
+        else Some(sa.intersect(sb).size.toDouble / sa.union(sb).size)
+      val (ha, hb) = (hashed(ta), hashed(tb))
+      // sortedness (the merge precondition) and value equivalence
+      val sorted = (1 until ha.numElements())
+        .forall(i => ha.getLong(i - 1) < ha.getLong(i))
+      val got = Option(graft.text.JaccardSortedLongs.compute(ha, hb))
+        .map(_.asInstanceOf[Double])
+      sorted && (got == expected)
+    }
+
   property("DotProduct.compute-equivalent eval matches scalar math") =
     forAll(Gen.listOfN(16, Gen.choose(-100.0, 100.0)),
       Gen.listOfN(16, Gen.choose(-100.0, 100.0))) { (a, b) =>
