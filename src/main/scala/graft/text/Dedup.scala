@@ -188,10 +188,13 @@ object Dedup {
    */
   def decontaminate(train: DataFrame, holdout: DataFrame, k: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    // 64-bit shingle hashes as the join keys (r17, see duplicateSpans):
+    // the train-side explode is the big exchange and 8-byte keys cut it ~5x
     val trainSh = spread(train).select(col(idCol),
-      explode(shingles(col(textCol), k)).as("__sh"))
+      explode(HashedWordShingles.ofColumn(col(textCol), k)).as("__sh"))
     val holdSh = spread(holdout)
-      .select(explode(shingles(col(textCol), k)).as("__sh")).distinct()
+      .select(explode(HashedWordShingles.ofColumn(col(textCol), k)).as("__sh"))
+      .distinct()
     trainSh.join(holdSh, "__sh")
       .groupBy(col(idCol))
       .agg(countDistinct(col("__sh")).as("n_contaminated_shingles"))
@@ -214,9 +217,10 @@ object Dedup {
   def contaminationScore(train: DataFrame, holdout: DataFrame, k: Int = 3,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val trainSh = spread(train).select(col(idCol),
-      explode(shingles(col(textCol), k)).as("__sh")).distinct()
+      explode(HashedWordShingles.ofColumn(col(textCol), k)).as("__sh")).distinct()
     val holdSh = spread(holdout)
-      .select(explode(shingles(col(textCol), k)).as("__sh")).distinct()
+      .select(explode(HashedWordShingles.ofColumn(col(textCol), k)).as("__sh"))
+      .distinct()
       .withColumn("__hit", lit(1))
     trainSh.join(holdSh, Seq("__sh"), "left")
       .groupBy(col(idCol))
@@ -254,8 +258,14 @@ object Dedup {
    */
   def duplicateSpans(df: DataFrame, k: Int = 5, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val sh = spread(df).select(col(idCol), explode(shingles(col(textCol), k)).as("__sh"))
-    // shingles() is distinct-per-doc, so count(*) per shingle = doc frequency
+    // spans travel as 64-bit shingle hashes, not strings (r17): the explode
+    // feeds TWO exchanges (doc-frequency groupBy + join back), and 8-byte
+    // keys cut those shuffles ~5x vs ~40-byte span strings. Counts are over
+    // the hash set — two distinct spans colliding corpus-wide (P ~ n²/2^65)
+    // would perturb a doc frequency by 1, the standard production trade.
+    val sh = spread(df).select(col(idCol),
+      explode(HashedWordShingles.ofColumn(col(textCol), k)).as("__sh"))
+    // hashed shingles are distinct-per-doc, so count(*) per shingle = doc frequency
     val dfreq = sh.groupBy("__sh").agg(count(lit(1)).as("__df"))
     sh.join(dfreq, "__sh")
       .groupBy(col(idCol))

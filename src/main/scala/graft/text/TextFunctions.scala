@@ -508,8 +508,11 @@ object TextFunctions {
    */
   def shingleCommonality(df: DataFrame, k: Int = 3, idCol: String = "doc_id",
       text: String = "text"): DataFrame = {
+    // 64-bit shingle hashes as the exchange keys (r17, see
+    // Dedup.duplicateSpans): same counts modulo ~2^-65 collisions, ~5x
+    // smaller doc-frequency + join shuffles
     val sh = df.select(col(idCol),
-        explode(array_distinct(WordShingles.ofColumn(col(text), k))).as("sh"))
+        explode(HashedWordShingles.ofColumn(col(text), k)).as("sh"))
     val docFreq = sh.groupBy(col("sh")).agg(count(lit(1)).as("__df"))
     sh.join(docFreq, "sh")
       .groupBy(col(idCol))
