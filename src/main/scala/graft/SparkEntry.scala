@@ -1088,6 +1088,11 @@ object SparkEntry {
           sum(col("__sub")).cast("long").as("n_subtokens"))
         .withColumn("fertility", round(try_divide(
           col("n_subtokens").cast("double"), col("n_words").cast("double")), 6))),
+    "tx26_ngram_repetition" -> ((s, dir) =>
+      // Gopher Table-A1 n-gram repetition filter signals: top n-gram char
+      // fraction (n=2..4) + duplicate n-gram char fraction (n=5..10), all
+      // nine from ONE codegen'd pass per doc — exchange-free
+      graft.text.TextFunctions.ngramRepetitionSignals(Tables.documents(s, dir))),
     "qa02_snapshot_diff" -> ((s, dir) => {
       // recrawl diff monitor: deterministic old/new cohorts of the corpus
       // (drop id%3==1 / add id%3==0, edit id%5==0) classified per source
@@ -2055,6 +2060,63 @@ object SparkEntry {
                 WHEN h_fr >= h_zh THEN 'fr'
                 ELSE 'zh' END AS lang_pred
          FROM c)"""
+  }
+
+  /** Generated DuckDB replay of [[graft.text.NgramRepetition]] (tx26):
+    * per n, n-grams via list_transform over the zipped token/position
+    * unnest; top fraction = row_number-max (count desc, chars desc)
+    * product; duplicate fraction = interval-union of covered token
+    * positions (DISTINCT on (doc, pos)) joined back to per-token lengths.
+    * Same int/int double divisions as the Spark expression. */
+  private def ngramRepOracle: String = {
+    def gramExpr(n: Int): String =
+      (1 to n).map(j => s"toks[i+$j]").mkString(" || ' ' || ")
+    val topCtes = graft.text.NgramRepetition.TopNs.map { n =>
+      s"""g$n AS (SELECT doc_id,
+             unnest(list_transform(range(len(toks) - ${n - 1}),
+               i -> ${gramExpr(n)})) AS gram
+           FROM w),
+         t$n AS (SELECT doc_id, cnt * chars AS prod FROM (
+             SELECT doc_id, cnt, chars,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY cnt DESC, chars DESC) AS rn
+             FROM (SELECT doc_id, gram, count(*) AS cnt,
+                     length(gram) - ${n - 1} AS chars
+                   FROM g$n GROUP BY doc_id, gram)) WHERE rn = 1)"""
+    }
+    val dupCtes = graft.text.NgramRepetition.DupNs.map { n =>
+      s"""g$n AS (SELECT doc_id,
+             unnest(list_transform(range(len(toks) - ${n - 1}),
+               i -> ${gramExpr(n)})) AS gram,
+             unnest(range(len(toks) - ${n - 1})) AS i
+           FROM w),
+         c$n AS (SELECT doc_id, gram, count(*) AS cnt
+                 FROM g$n GROUP BY doc_id, gram),
+         d$n AS (SELECT DISTINCT doc_id, p FROM (
+             SELECT g.doc_id, unnest(range(g.i, g.i + $n)) AS p
+             FROM g$n g JOIN c$n c
+               ON g.doc_id = c.doc_id AND g.gram = c.gram
+             WHERE c.cnt >= 2)),
+         v$n AS (SELECT d.doc_id, sum(length(t.tok)) AS cov
+             FROM d$n d JOIN tok t ON d.doc_id = t.doc_id AND d.p = t.p
+             GROUP BY d.doc_id)"""
+    }
+    def frac(expr: String, name: String): String =
+      s"CASE WHEN b.total_chars = 0 THEN 0.0 ELSE coalesce($expr, 0)::DOUBLE / b.total_chars END AS $name"
+    val topSel = graft.text.NgramRepetition.TopNs.map(n =>
+      frac(s"t$n.prod", s"top_${n}gram_char_frac"))
+    val dupSel = graft.text.NgramRepetition.DupNs.map(n =>
+      frac(s"v$n.cov", s"dup_${n}gram_char_frac"))
+    val joins = graft.text.NgramRepetition.TopNs.map(n => s"LEFT JOIN t$n USING (doc_id)") ++
+      graft.text.NgramRepetition.DupNs.map(n => s"LEFT JOIN v$n USING (doc_id)")
+    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS p FROM w),
+       base AS (SELECT doc_id, count(*) AS m, sum(length(tok))::BIGINT AS total_chars
+                FROM tok GROUP BY doc_id),
+       ${(topCtes ++ dupCtes).mkString(",\n")}
+       SELECT b.doc_id, b.m AS n_tokens, b.total_chars AS n_token_chars,
+         ${(topSel ++ dupSel).mkString(",\n         ")}
+       FROM base b ${joins.mkString(" ")}"""
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -4827,6 +4889,7 @@ object SparkEntry {
              / sum(len(string_split(d.text, ' '))), 6) AS fertility
          FROM p JOIN documents d USING (doc_id)
          GROUP BY p.lang_pred""",
+    "tx26_ngram_repetition" -> ngramRepOracle,
     "qa02_snapshot_diff" ->
       """WITH oldv AS (
            SELECT doc_id, source,

@@ -154,6 +154,30 @@ object TextFunctions {
   }
 
   /**
+   * Gopher-style n-gram repetition signals per document (Rae et al. 2021,
+   * Table A1): top n-gram char fraction for n = 2..4 and duplicate n-gram
+   * char fraction for n = 5..10 — the n-gram half of the repetition filter
+   * family ([[repetitionSignals]] is the word-level half). All nine signals
+   * come out of ONE compiled pass per document ([[NgramRepetition]]), so
+   * the operator is exchange-free: no n-gram ever enters a shuffle, unlike
+   * the naive 9-way explode+groupBy formulation. Fractions are int/int
+   * double divisions — bit-exact vs the oracle.
+   */
+  def ngramRepetitionSignals(df: DataFrame, idCol: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val named = Seq("n_tokens", "n_token_chars",
+      "top_2gram_char_frac", "top_3gram_char_frac", "top_4gram_char_frac",
+      "dup_5gram_char_frac", "dup_6gram_char_frac", "dup_7gram_char_frac",
+      "dup_8gram_char_frac", "dup_9gram_char_frac", "dup_10gram_char_frac")
+    val cols = named.zipWithIndex.map { case (name, i) =>
+      val c = col("__v").getItem(i)
+      (if (i < 2) c.cast("long") else c).as(name)
+    }
+    df.select(col(idCol), NgramRepetition.ofColumn(col(text)).as("__v"))
+      .select(col(idCol) +: cols: _*)
+  }
+
+  /**
    * Gopher-style document quality filter: hard threshold rules over word
    * shape signals (word count bounds, mean word length bounds, minimum
    * fraction of words containing a letter, maximum duplicate-word fraction,
