@@ -2000,6 +2000,35 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_survivors")).localCheckpoint()
       deleteRecursively(tmp)
       res
+    }),
+    "st03_streaming_hh_replay" -> ((s, dir) => {
+      // sharded Space-Saving heavy hitters (StreamingSketch) replayed
+      // availableNow in the NO-EVICTION regime: the corpus vocabulary
+      // (31 tokens at every SF) sits far below shards x capacity, and
+      // Space-Saving counts are EXACT whenever nothing is evicted — so
+      // the streaming summary must reproduce the batch token counts
+      // bit-for-bit, with every error bound at 0. Streaming twin of the
+      // qs03 batch heavy-hitter certification.
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st03_").toString
+      docs.write.mode("overwrite").parquet(s"$tmp/docs")
+      val stream = s.readStream.schema(docs.schema).parquet(s"$tmp/docs")
+      val out = graft.streaming.StreamingSketch.streamingHeavyHitters(
+        stream, "text", shards = 4, capacity = 64)
+      val sink = s"st03_sink_${System.nanoTime}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // update-mode emissions are cumulative full-shard summaries, so the
+      // max count per token is its final count (each token lives in
+      // exactly one shard); max(err) must be 0 — the no-eviction pin
+      val res = s.table(sink).groupBy("token")
+        .agg(max(col("count")).as("n"), max(col("err")).as("max_err"))
+        .localCheckpoint()
+      deleteRecursively(tmp)
+      res
     })
   )
 
@@ -5262,6 +5291,11 @@ object SparkEntry {
       """SELECT md5(trim(regexp_replace(regexp_replace(lower(text),'[^a-z0-9 ]',' ','g'),' +',' ','g'))) AS fingerprint,
          CAST(1 AS BIGINT) AS n_survivors
          FROM documents GROUP BY 1""",
+    "st03_streaming_hh_replay" ->
+      """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS token
+                    FROM documents)
+         SELECT token, count(*)::BIGINT AS n, 0::BIGINT AS max_err
+         FROM t WHERE token <> '' GROUP BY token""",
     "ts51_io_parquet_roundtrip" ->
       s"""WITH $dailyCte
          SELECT key, day_us, round(value, 6) AS value, TRUE AS index_match
