@@ -115,6 +115,14 @@ def repetition_signals(df, text="text", id_col="doc_id"):
         df._jdf, text, id_col))
 
 
+def ngram_repetition_signals(df, id_col="doc_id", text="text"):
+    """Gopher n-gram repetition signals: top n-gram char fraction (n=2..4)
+    and duplicate n-gram char fraction (n=5..10), one compiled pass/doc."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.text.TextFunctions.ngramRepetitionSignals(
+        df._jdf, id_col, text))
+
+
 def stratified_sample(df, rates, strata="source", text="text",
                       default_rate=0.0):
     """Deterministic content-hash sample at per-stratum target rates."""

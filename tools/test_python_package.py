@@ -127,6 +127,11 @@ def main() -> int:
     assert cc.filter(F.col("cluster_id") == 0).count() == 3
     rep = graft.text.repetition_signals(docs)
     assert rep.filter(F.col("top_word_ratio") > 1.0).count() == 0
+    ngrep = graft.text.ngram_repetition_signals(docs)
+    # top fractions are live on the word-soup corpus; dup fractions bounded
+    assert ngrep.filter(F.col("top_2gram_char_frac") > 0).count() > 0
+    assert ngrep.filter((F.col("dup_5gram_char_frac") < 0)
+                        | (F.col("dup_5gram_char_frac") > 1)).count() == 0
     strat = graft.text.stratified_sample(
         docs, {"src0": 1.0}, default_rate=0.0)
     assert set(r["source"] for r in strat.select("source").distinct().collect()) == {"src0"}
