@@ -1318,6 +1318,25 @@ object SparkEntry {
         key = "user_id", ts = "ts_us", value = "value")
         .select(col("user_id"), col("ts_us"), round(col("trend"), 6).as("trend"),
           round(col("seasonal"), 6).as("seasonal"), round(col("resid"), 6).as("resid"))),
+    "ts63_decompose_even" -> ((s, dir) =>
+      // EVEN-period decomposition (r17): the 2x-period MA with half-weight
+      // endpoints over period+1 rows — the R stats::decompose convention
+      // for monthly/quarterly frequencies; period 4 on series position.
+      // Rounded with a +1e-9 bias on BOTH sides: the even MA's
+      // power-of-two denominator puts analytic values EXACTLY on 6-decimal
+      // midpoints, where the engines' round() implementations legitimately
+      // disagree (Spark rounds the exact BigDecimal of the double; DuckDB
+      // multiplies by 1e6 first, which can cross the midpoint). The bias
+      // moves every reachable rational off the midpoint by ~1e-9 — far
+      // above cross-engine fp noise, far below the 5e-7 quantum — so both
+      // engines always round the same way. (ts30's odd period never lands
+      // on midpoints, hence no bias there.)
+      TS.seasonalDecompose(obs(s, dir), 4,
+        key = "user_id", ts = "ts_us", value = "value")
+        .select(col("user_id"), col("ts_us"),
+          round(col("trend") + 1e-9, 6).as("trend"),
+          round(col("seasonal") + 1e-9, 6).as("seasonal"),
+          round(col("resid") + 1e-9, 6).as("resid"))),
     "ts31_ccf" -> ((s, dir) => {
       // lead cross-correlation: does click activity anticipate view activity?
       val daily = Tables.events(s, dir)
@@ -3860,6 +3879,25 @@ object SparkEntry {
            FROM d)
          SELECT user_id, ts_us, round(trend, 6) AS trend,
            round(seasonal, 6) AS seasonal, round(detr - seasonal, 6) AS resid
+         FROM s""",
+    "ts63_decompose_even" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+         t AS (SELECT user_id, ts_us, value,
+             CASE WHEN count(value) OVER wf = 5 THEN
+               (sum(value) OVER wf
+                 - (first_value(value) OVER wf + last_value(value) OVER wf) / 2) / 4
+             END AS trend,
+             (row_number() OVER w - 1) % 4 AS phase
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us),
+             wf AS (PARTITION BY user_id ORDER BY ts_us
+                    ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)),
+         d AS (SELECT user_id, ts_us, phase, trend, value - trend AS detr FROM t),
+         s AS (SELECT user_id, ts_us, trend, detr,
+             avg(detr) OVER (PARTITION BY user_id, phase) AS seasonal
+           FROM d)
+         SELECT user_id, ts_us, round(trend + 1e-9, 6) AS trend,
+           round(seasonal + 1e-9, 6) AS seasonal,
+           round(detr - seasonal + 1e-9, 6) AS resid
          FROM s""",
     "ts31_ccf" ->
       """WITH daily AS (

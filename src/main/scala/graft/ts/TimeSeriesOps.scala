@@ -213,10 +213,14 @@ object TimeSeriesOps {
 
   /**
    * Classical additive seasonal decomposition (decompose-style):
-   * trend = centered moving average of ODD width `period` (full windows
-   * only, null at the edges); seasonal = per-phase mean of the detrended
-   * values, phase = 0-based position in the series modulo period; residual
-   * = value - trend - seasonal. Adds `trend`, `seasonal`, `resid`.
+   * trend = centered moving average of width `period` — for ODD periods a
+   * plain `period`-row centered mean; for EVEN periods the standard
+   * 2x-period MA (half weight on the two outermost of period+1 rows, the
+   * R `stats::decompose` convention for monthly/quarterly data) — full
+   * windows only, null at the edges; seasonal = per-phase mean of the
+   * detrended values, phase = 0-based position in the series modulo
+   * period; residual = value - trend - seasonal. Adds `trend`,
+   * `seasonal`, `resid`.
    *
    * One shuffle on the key: the trend window, the phase column, and the
    * per-(key, phase) seasonal means all reuse the same hash partitioning
@@ -225,15 +229,23 @@ object TimeSeriesOps {
    */
   def seasonalDecompose(df: DataFrame, period: Int, key: String = "key",
       ts: String = "ts_nanos", value: String = "value"): DataFrame = {
-    require(period >= 3 && period % 2 == 1,
-      "seasonalDecompose needs an odd period >= 3 (even periods need a 2x2 MA)")
+    require(period >= 2, "seasonalDecompose needs period >= 2")
     val w = wKey(key, ts)
     val half = period / 2
     val frame = w.rowsBetween(-half, half)
+    val trendExpr =
+      if (period % 2 == 1)
+        when(count(col(value)).over(frame) === period, avg(col(value)).over(frame))
+      else
+        // 2x-period MA over period+1 rows: endpoints at half weight, so
+        // each of the period phases carries total weight 1/period
+        when(count(col(value)).over(frame) === period + 1,
+          (sum(col(value)).over(frame) -
+            (first(col(value)).over(frame) + last(col(value)).over(frame)) / 2)
+            / period)
     val trended = df
       .withColumn("__phase", ((row_number().over(w) - 1) % period).cast("long"))
-      .withColumn("trend",
-        when(count(col(value)).over(frame) === period, avg(col(value)).over(frame)))
+      .withColumn("trend", trendExpr)
       .withColumn("__detr", col(value) - col("trend"))
     val wPhase = Window.partitionBy(col(key), col("__phase"))
     trended

@@ -99,6 +99,35 @@ class Round5Spec extends AnyFunSuite with Matchers with SparkTestSession {
     bySeason(2L) shouldBe 1.0 +- 1e-9
   }
 
+  test("seasonalDecompose even period: 2x-period MA recovers linear trend + pattern") {
+    val s = spark
+    import s.implicits._
+    // value = (100 + 2 t) + s_{t%4} with s = (3, -1, -2, 0): the symmetric
+    // half-weight 2x4 MA is exact on a linear function, and the seasonal
+    // pattern's full-cycle weighted sum is 0 (endpoints share a phase), so
+    // trend must equal the linear part exactly on the interior
+    val pat = Array(3.0, -1.0, -2.0, 0.0)
+    val df = (0 until 16).map(i => (1L, i.toLong, 100.0 + 2.0 * i + pat(i % 4)))
+      .toDF("user_id", "ts_us", "value")
+    val rows = TimeSeriesOps.seasonalDecompose(df, 4,
+      key = "user_id", ts = "ts_us", value = "value")
+      .orderBy("ts_us").collect()
+    // 2 edge rows on each side have no full period+1 window
+    rows.count(_.getAs[Any]("trend") == null) shouldBe 4
+    val interior = rows.filter(_.getAs[Any]("trend") != null)
+    interior.length shouldBe 12
+    interior.foreach { r =>
+      val t = r.getAs[Long]("ts_us")
+      r.getAs[Double]("trend") shouldBe (100.0 + 2.0 * t) +- 1e-9
+      r.getAs[Double]("resid") shouldBe 0.0 +- 1e-9
+    }
+    // detrended interior values are exactly the pattern, so the phase means
+    // reproduce it (phases with only edge rows still average the pattern)
+    val bySeason = rows.filter(_.getAs[Any]("seasonal") != null)
+      .map(r => r.getAs[Long]("ts_us") % 4 -> r.getAs[Double]("seasonal")).toMap
+    (0 until 4).foreach(p => bySeason(p.toLong) shouldBe pat(p) +- 1e-9)
+  }
+
   test("cusumChangepoint finds a mean shift") {
     val s = spark
     import s.implicits._
