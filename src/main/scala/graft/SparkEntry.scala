@@ -1093,6 +1093,10 @@ object SparkEntry {
       // fraction (n=2..4) + duplicate n-gram char fraction (n=5..10), all
       // nine from ONE codegen'd pass per doc — exchange-free
       graft.text.TextFunctions.ngramRepetitionSignals(Tables.documents(s, dir))),
+    "tx27_gopher_repetition_filter" -> ((s, dir) =>
+      // the published Table-A1 threshold gate over tx26's signals: 0/1 flag
+      // per cap + keep; composes with tx11's word-shape gopherFilter
+      graft.text.TextFunctions.gopherRepetitionFilter(Tables.documents(s, dir))),
     "qa02_snapshot_diff" -> ((s, dir) => {
       // recrawl diff monitor: deterministic old/new cohorts of the corpus
       // (drop id%3==1 / add id%3==0, edit id%5==0) classified per source
@@ -4957,6 +4961,21 @@ object SparkEntry {
          FROM p JOIN documents d USING (doc_id)
          GROUP BY p.lang_pred""",
     "tx26_ngram_repetition" -> ngramRepOracle,
+    "tx27_gopher_repetition_filter" -> {
+      val caps = Seq(
+        "top_2gram_char_frac" -> 0.20, "top_3gram_char_frac" -> 0.18,
+        "top_4gram_char_frac" -> 0.16, "dup_5gram_char_frac" -> 0.15,
+        "dup_6gram_char_frac" -> 0.14, "dup_7gram_char_frac" -> 0.13,
+        "dup_8gram_char_frac" -> 0.12, "dup_9gram_char_frac" -> 0.11,
+        "dup_10gram_char_frac" -> 0.10)
+      val flags = caps.map { case (c, cap) =>
+        s"CASE WHEN $c <= $cap THEN 1 ELSE 0 END AS f_$c" }
+      val keep = caps.map { case (c, cap) =>
+        s"(CASE WHEN $c <= $cap THEN 1 ELSE 0 END)" }.mkString(" * ")
+      s"""SELECT q.*, ${flags.mkString(",\n         ")},
+         $keep AS keep
+         FROM ($ngramRepOracle) q"""
+    },
     "qa02_snapshot_diff" ->
       """WITH oldv AS (
            SELECT doc_id, source,

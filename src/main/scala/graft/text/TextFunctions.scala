@@ -229,6 +229,31 @@ object TextFunctions {
   }
 
   /**
+   * The n-gram half of the Gopher repetition FILTER (Rae et al. 2021,
+   * Table A1 thresholds): hard caps over [[ngramRepetitionSignals]] —
+   * top n-gram char fraction ≤ 0.20/0.18/0.16 for n = 2/3/4 and duplicate
+   * n-gram char fraction ≤ 0.15/0.14/0.13/0.12/0.11/0.10 for n = 5..10.
+   * Emits the nine signals, a 0/1 flag per rule, and `keep` = every rule
+   * passes — composes with [[gopherFilter]] (word shape rules) for the
+   * full published gate. Same exchange-free shape as the signals: one
+   * compiled pass per doc, flags are scalar comparisons.
+   */
+  def gopherRepetitionFilter(df: DataFrame, idCol: String = "doc_id",
+      text: String = "text"): DataFrame = {
+    val caps = Seq(
+      "top_2gram_char_frac" -> 0.20, "top_3gram_char_frac" -> 0.18,
+      "top_4gram_char_frac" -> 0.16, "dup_5gram_char_frac" -> 0.15,
+      "dup_6gram_char_frac" -> 0.14, "dup_7gram_char_frac" -> 0.13,
+      "dup_8gram_char_frac" -> 0.12, "dup_9gram_char_frac" -> 0.11,
+      "dup_10gram_char_frac" -> 0.10)
+    val sig = ngramRepetitionSignals(df, idCol, text)
+    val flagged = caps.foldLeft(sig) { case (d, (c, cap)) =>
+      d.withColumn(s"f_$c", when(col(c) <= cap, 1).otherwise(0)) // 0/1: engine-portable
+    }
+    flagged.withColumn("keep", caps.map(c => col(s"f_${c._1}")).reduce(_ * _))
+  }
+
+  /**
    * Top-k word bigrams by total occurrence count (ties broken by bigram
    * text) — the vocabulary-induction companion to [[topKTokens]]: bigram
    * statistics are the first merge-candidate table a BPE-style tokenizer
