@@ -88,8 +88,13 @@ public final class JavaApiExample {
     Dataset<Row> quantized =
         JavaPipelineOps.quantize8bit(vecs, "vec_id", "embedding");
     Dataset<Row> flagged = JavaPipelineOps.outliers(docs, 3.0, "source", "n_chars");
+    Dataset<Row> ngramRep =
+        JavaPipelineOps.ngramRepetitionSignals(docs, "doc_id", "text");
+    Dataset<Row> repGate =
+        JavaPipelineOps.gopherRepetitionFilter(docs, "doc_id", "text");
     return new long[] {clusters.count(), spans.count(), repetition.count(),
-        sampled.count(), cents.count(), quantized.count(), flagged.count()};
+        sampled.count(), cents.count(), quantized.count(), flagged.count(),
+        ngramRep.count(), repGate.filter("keep = 1").count()};
   }
 
   /** Runs the round-9 slice: semantic dedup, mixing, detection, evaluation,

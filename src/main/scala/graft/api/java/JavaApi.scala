@@ -414,6 +414,12 @@ object JavaPipelineOps {
   def gopherFilter(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.text.TextFunctions.gopherFilter(df, idCol, textCol)
 
+  def ngramRepetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.text.TextFunctions.ngramRepetitionSignals(df, idCol, textCol)
+
+  def gopherRepetitionFilter(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    graft.text.TextFunctions.gopherRepetitionFilter(df, idCol, textCol)
+
   def topKBigrams(df: DataFrame, k: Int, textCol: String): DataFrame =
     graft.text.TextFunctions.topKBigrams(df, k, textCol)
 

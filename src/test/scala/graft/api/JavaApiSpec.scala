@@ -143,6 +143,10 @@ class JavaApiSpec extends AnyFunSuite with Matchers with SparkTestSession {
     counts(4) shouldBe 2L // 1 label x 2 dims
     counts(5) shouldBe 2L
     counts(6) shouldBe 0L // constant/singleton groups: null stddev, no outliers
+    counts(7) shouldBe 3L // one ngram-repetition signal row per doc
+    // tiny docs always bust the top-gram caps (a single 2-gram covers
+    // > 20% of a 7-word doc), so the Table-A1 gate keeps none of them
+    counts(8) shouldBe 0L
   }
 
   test("Java model facade returns flat DataFrames") {
