@@ -20,9 +20,10 @@ def lsh_top_k(corpus, queries, k, planes=12, probe_bits=2, id_col="vec_id",
         id_col, vec_col))
 
 
-def ivf_top_k(corpus, queries, k, nlist=16, nprobe=4, id_col="vec_id",
+def ivf_top_k(corpus, queries, k, nlist=0, nprobe=4, id_col="vec_id",
               vec_col="embedding", seed=42, quantizer_max_rows=100000):
-    """IVF top-k: coarse k-means cells, probe the n nearest."""
+    """IVF top-k: coarse k-means cells, probe the n nearest.
+    ``nlist <= 0`` auto-scales the cell count ~ sqrt(corpus)."""
     spark, jvm = ctx(corpus)
     return lift(spark, jvm.graft.sim.Similarity.ivfTopK(
         corpus._jdf, queries._jdf, int(k), int(nlist), int(nprobe), id_col,
@@ -89,7 +90,7 @@ def dim_stats(df, vec_col="embedding"):
     return lift(spark, jvm.graft.sim.Embeddings.dimStats(df._jdf, vec_col))
 
 
-def semantic_duplicates(df, k=16, threshold=0.95, id_col="vec_id",
+def semantic_duplicates(df, k=0, threshold=0.95, id_col="vec_id",
                         vec_col="embedding", nprobe=1):
     """SemDeDup (Abbas et al. 2023): k-means cluster the normalized
     embeddings, exact pairwise cosine within clusters only — meaning-level
@@ -101,7 +102,7 @@ def semantic_duplicates(df, k=16, threshold=0.95, id_col="vec_id",
         df._jdf, int(k), float(threshold), id_col, vec_col, int(nprobe)))
 
 
-def semantic_keepers(df, k=16, threshold=0.95, id_col="vec_id",
+def semantic_keepers(df, k=0, threshold=0.95, id_col="vec_id",
                      vec_col="embedding", nprobe=2):
     """SemDeDup keeper election: drop every larger-id side of a semantic
     duplicate pair; the per-group min id survives. Defaults to nprobe=2

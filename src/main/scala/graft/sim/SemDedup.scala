@@ -49,8 +49,14 @@ object SemDedup {
    * assignment). Candidate volume grows ≤ nprobe²×; pairs co-resident in
    * several probed clusters are deduplicated before the cosine is
    * computed, and `cluster` reports the smallest shared cluster id.
+   *
+   * `k` defaults to 0 = [[suggestedK]] (k ≈ √n from the corpus count) —
+   * the scale-safe default: a FIXED codebook carried to a bigger corpus
+   * makes within-cluster work quadratic in n/k (measured: fixed k=8
+   * exceeds 600 s at the 100× fixture where √n-k finishes in 134 s —
+   * SCALE.md r17). Pass an explicit k only for small pinned corpora.
    */
-  def semanticDuplicates(df: DataFrame, k: Int = 16, threshold: Double = 0.95,
+  def semanticDuplicates(df: DataFrame, k: Int = 0, threshold: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L, quantizerMaxRows: Int = 100000,
       nprobe: Int = 1): DataFrame = {
@@ -129,7 +135,7 @@ object SemDedup {
    * recall 0.42 single-probe vs 0.93 at nprobe=2 on the rc07 bench).
    * `k <= 0` applies [[suggestedK]] (k ≈ √n) from the corpus count.
    */
-  def semanticKeepers(df: DataFrame, k: Int = 16, threshold: Double = 0.95,
+  def semanticKeepers(df: DataFrame, k: Int = 0, threshold: Double = 0.95,
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L, quantizerMaxRows: Int = 100000,
       nprobe: Int = 2): DataFrame =

@@ -283,8 +283,13 @@ object Similarity {
    * each query probes its `nprobe` nearest centroids and ranks only those
    * cells' members by exact cosine. The scale path for clustered embedding
    * spaces: cost ~ corpus/nlist * nprobe per query instead of the full scan.
+   *
+   * `nlist` defaults to 0 = corpus-scaled ([[SemDedup.suggestedK]], ≈ √n):
+   * a fixed cell count carried to a bigger corpus makes each probed cell
+   * linear in n and the scan advantage evaporates (SCALE.md r17). Pass an
+   * explicit nlist only for small pinned corpora.
    */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 16,
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 0,
       nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L, quantizerMaxRows: Int = 100000): DataFrame = {
     val toD = (c: Column) => transform(c, x => x.cast("double"))
@@ -310,7 +315,8 @@ object Similarity {
         math.min(1.0, cap * 1.2 / nCorpus), seed).limit(cap)
     // bounded sample → driver-local deterministic Lloyd (see localKMeans)
     val trainPts = fitInput.collect().map(_.getSeq[Double](0).toArray)
-    val centers = localKMeans(trainPts, nlist, seed)
+    val nlistEff = if (nlist > 0) nlist else SemDedup.suggestedK(nCorpus)
+    val centers = localKMeans(trainPts, nlistEff, seed)
     val centroids = centers.zipWithIndex
     val spark = corpus.sparkSession
     val bcCentroids = spark.sparkContext.broadcast(centroids)
