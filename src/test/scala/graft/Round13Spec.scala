@@ -29,7 +29,7 @@ class Round13Spec extends AnyFunSuite with Matchers with SparkTestSession {
 
   test("semanticDuplicates(k = 0) auto-scales to suggestedK and still finds every planted pair") {
     val n = 500L
-    SemDedup.suggestedK(n) shouldBe 23 // ceil(sqrt(500)), above the k=16 default
+    SemDedup.suggestedK(n) shouldBe 23 // ceil(sqrt(500)), above the minK=16 floor
     val pairs = SemDedup.semanticDuplicates(pairedVecs, k = 0, threshold = 0.99)
     val collected = pairs.select(col("cluster").cast("long"), col("id_a"), col("id_b")).collect()
     val pairSet = collected.map(r => (r.getLong(1), r.getLong(2))).toSet
