@@ -83,3 +83,13 @@ def conversion_latency(df, from_type, to_type, key="user_id", ts="ts_us",
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.conversionLatency(
         df._jdf, from_type, to_type, key, ts, event_type))
+
+
+def interval_join(points, intervals, bucket_us, key="user_id", ts="ts_us",
+                  start="start_us", end="end_us"):
+    """Point-in-interval join via time bucketing: an equi-join on
+    (key, bucket) + exact containment filter instead of the nested-loop
+    theta join. Pick bucket_us near the typical interval length."""
+    spark, jvm = ctx(points)
+    return lift(spark, jvm.graft.events.EventOps.intervalJoin(
+        points._jdf, intervals._jdf, int(bucket_us), key, ts, start, end))

@@ -1387,6 +1387,27 @@ object SparkEntry {
       // global aggregate over the user-cardinality funnel table
       graft.events.EventOps.conversionLatency(Tables.events(s, dir),
         "view", "purchase")),
+    "ev12_interval_join" -> ((s, dir) => {
+      // bucketized point-in-interval join (r17): views landing inside each
+      // click's 2h attribution window, per user. The naive theta join is a
+      // nested-loop scale killer; intervalJoin makes it an equi-join on
+      // (key, time-bucket) + exact containment filter. Distinct intervals
+      // so duplicate same-instant clicks collapse as in the oracle's GROUP BY
+      val ev = Tables.events(s, dir)
+      val win = 7200000000L
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts_us").as("start_us"),
+          (col("ts_us") + lit(win)).as("end_us")).distinct()
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"))
+      val matched = graft.events.EventOps.intervalJoin(views, clicks, bucketUs = win)
+        .groupBy(col("user_id"), col("start_us"))
+        .agg(count(lit(1)).as("n_views"))
+      clicks.select("user_id", "start_us")
+        .join(matched, Seq("user_id", "start_us"), "left")
+        .select(col("user_id"), col("start_us"),
+          coalesce(col("n_views"), lit(0L)).as("n_views"))
+    }),
     "m21_theilsen" -> ((s, dir) =>
       // robust Theil-Sen slope/intercept per user series. 1e-9 grid
       // quantization makes the medians integer-exact (engines' interpolation
@@ -3995,6 +4016,16 @@ object SparkEntry {
            quantile_cont(lat, 0.75) AS lat_p75_us,
            quantile_cont(lat, 0.9) AS lat_p90_us
          FROM f""",
+    "ev12_interval_join" ->
+      """WITH c AS (SELECT DISTINCT user_id, epoch_us(ts) AS start_us,
+             epoch_us(ts) + 7200000000 AS end_us
+           FROM events WHERE event_type = 'click'),
+         v AS (SELECT user_id, epoch_us(ts) AS ts_us
+           FROM events WHERE event_type = 'view')
+         SELECT c.user_id, c.start_us, count(v.ts_us)::BIGINT AS n_views
+         FROM c LEFT JOIN v ON v.user_id = c.user_id
+           AND v.ts_us >= c.start_us AND v.ts_us < c.end_us
+         GROUP BY 1, 2""",
     "ev03_retention" ->
       """WITH active AS (SELECT DISTINCT user_id,
              epoch_us(date_trunc('day', ts)) AS day_us FROM events),

@@ -267,4 +267,35 @@ object EventOps {
           -(col("__mx") - col(ts)).cast("double") / halfLifeUs.toDouble)), 6)
           .as("decay_score"))
   }
+
+  /**
+   * Point-in-interval join: every (point, interval) pair with the same key
+   * and `start <= ts < end`. The naive theta-join formulation plans a
+   * BroadcastNestedLoopJoin (or a cartesian) — per-partition O(points ×
+   * intervals), the classic range-join scale killer. This bucketizes time
+   * at `bucketUs`: each interval explodes to the buckets it overlaps
+   * (⌈len/bucket⌉ + 1 copies — pick bucketUs near the typical interval
+   * length to keep that ~2), each point belongs to exactly ONE bucket, and
+   * the join becomes a plain equi-join on (key, bucket) plus an exact
+   * containment filter — hash-partitioned, AQE/skew-eligible, no nested
+   * loop. Because a point lives in a single bucket, a matching pair is
+   * emitted exactly once: no post-join dedup.
+   *
+   * Output: point columns + the interval's columns (minus its key).
+   * Timestamps must be non-negative (integral `div` bucketing).
+   * Empty/inverted intervals (end <= start) match nothing.
+   */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, bucketUs: Long,
+      key: String = "user_id", ts: String = "ts_us",
+      start: String = "start_us", end: String = "end_us"): DataFrame = {
+    require(bucketUs > 0, "bucketUs > 0")
+    val iv = intervals.filter(col(end) > col(start))
+      .withColumn("__b",
+        explode(sequence(expr(s"$start div $bucketUs"),
+          expr(s"($end - 1) div $bucketUs"))))
+    val pt = points.withColumn("__b", expr(s"$ts div $bucketUs"))
+    pt.join(iv, Seq(key, "__b"))
+      .filter(col(ts) >= col(start) && col(ts) < col(end))
+      .drop("__b")
+  }
 }

@@ -228,4 +228,44 @@ class Round7Spec extends AnyFunSuite with Matchers with SparkTestSession {
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
     out shouldBe Map("b" -> (2L, 10L, 15L, 7.5), "a" -> (1L, 30L, 30L, 30.0))
   }
+
+  test("intervalJoin: multi-bucket intervals, boundaries, and no duplicate matches") {
+    val s = spark
+    import s.implicits._
+    // bucket = 10us; the 0..35 interval spans 4 buckets, the point at 15
+    // must match it exactly ONCE; end is exclusive, start inclusive
+    val intervals = Seq(
+      (1L, 0L, 35L, "long"), (1L, 20L, 30L, "mid"),
+      (1L, 50L, 50L, "empty"), (2L, 0L, 100L, "otherkey"))
+      .toDF("user_id", "start_us", "end_us", "tag")
+    val points = Seq((1L, 15L), (1L, 20L), (1L, 29L), (1L, 30L), (1L, 35L))
+      .toDF("user_id", "ts_us")
+    val out = EventOps.intervalJoin(points, intervals, bucketUs = 10L)
+      .select("ts_us", "tag").collect().map(r => (r.getLong(0), r.getString(1)))
+    out.groupBy(identity).view.mapValues(_.length).toMap.values.forall(_ == 1) shouldBe true
+    out.toSet shouldBe Set(
+      (15L, "long"), (20L, "long"), (29L, "long"), (30L, "long"), // 35 excluded
+      (20L, "mid"), (29L, "mid")) // 30 excluded (end exclusive), empty matches nothing
+  }
+
+  test("intervalJoin matches the naive theta join on random data") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val intervals = (0 until 60).map { i =>
+      val st = rnd.nextInt(1000).toLong
+      (rnd.nextInt(3).toLong, st, st + 1 + rnd.nextInt(120), i.toLong)
+    }.toDF("user_id", "start_us", "end_us", "iv_id")
+    val points = (0 until 200).map(i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(1100).toLong, i.toLong))
+      .toDF("user_id", "ts_us", "pt_id")
+    val fast = EventOps.intervalJoin(points, intervals, bucketUs = 64L)
+      .select("pt_id", "iv_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.as("p").join(intervals.as("i"),
+        $"p.user_id" === $"i.user_id" &&
+          $"p.ts_us" >= $"i.start_us" && $"p.ts_us" < $"i.end_us")
+      .select($"p.pt_id", $"i.iv_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    fast shouldBe naive
+  }
 }
