@@ -411,6 +411,10 @@ object JavaPipelineOps {
   def retention(df: DataFrame, key: String, ts: String): DataFrame =
     graft.events.EventOps.retention(df, key, ts)
 
+  def intervalJoin(points: DataFrame, intervals: DataFrame, bucketUs: Long,
+      key: String, ts: String, start: String, end: String): DataFrame =
+    graft.events.EventOps.intervalJoin(points, intervals, bucketUs, key, ts, start, end)
+
   def gopherFilter(df: DataFrame, idCol: String, textCol: String): DataFrame =
     graft.text.TextFunctions.gopherFilter(df, idCol, textCol)
 
