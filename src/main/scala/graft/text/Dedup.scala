@@ -382,7 +382,26 @@ object Dedup {
    */
   def embeddingNearDuplicates(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.95,
-      bands: Int = 8, planesPerBand: Int = 8, seed: Int = 7): DataFrame = {
+      bands: Int = 8, planesPerBand: Int = 0, seed: Int = 7): DataFrame = {
+    // planesPerBand <= 0 (the default) scales the band bucket space with
+    // the corpus: max(8, ceil(log2(n/8))) keeps expected bucket occupancy
+    // ~8, so RANDOM-collision candidates stay ~n per band instead of
+    // n²/2^planes. A FIXED 8 planes (256 buckets) at 200k vectors puts
+    // ~780 vectors in every bucket — ~600M junk candidate pairs through
+    // the distinct() and both vector joins; measured >600 s at the 100×
+    // fixture where the auto setting finishes (SCALE.md r17). Recall
+    // trade: each added plane multiplies the per-band true-pair collision
+    // probability by s' = 1 − arccos(threshold)/π, so when pinning
+    // planes ABOVE the auto floor for very large corpora, re-budget
+    // recall with more bands via 1 − (1 − s'^planes)^bands. Resolves to
+    // exactly 8 for n ≤ 2048 — every certification artifact (dd17
+    // digest, rc06, GoldenSpec CSVs) is unchanged by the auto default.
+    val planes =
+      if (planesPerBand > 0) planesPerBand
+      else {
+        val n = math.max(1L, spread(df).count())
+        math.max(8, math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt)
+      }
     // the signature table fans out FOUR ways below (both sides of the
     // band self-join + both vector re-joins); materialize it once —
     // n×(bands+dim) values, executor-resident — instead of re-running the
@@ -391,7 +410,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         graft.sim.Similarity.normalized(col(vecCol)).as("v"))
       .withColumn("__sigs", graft.sim.Similarity.hyperplaneBandSignatures(
-        col("v"), bands, planesPerBand, seed))
+        col("v"), bands, planes, seed))
       .localCheckpoint()
     val banded = sigs.select(col("id"), posexplode(col("__sigs")).as(Seq("band", "bucket")))
     val a = banded.as("a")
