@@ -35,6 +35,15 @@ object StreamingDedup {
    * Pre-compute the reference corpus's hyperplane band buckets — the
    * static side of [[streamingEmbeddingNearDup]]. At scale this is written
    * once (ideally bucketed by (band, bucket)) and reused by every stream.
+   *
+   * Size `planesPerBand` from the CORPUS count — max(8, ⌈log2(n/8)⌉),
+   * the same occupancy rule [[graft.text.Dedup.embeddingNearDuplicates]]
+   * applies automatically — and pass the SAME value (and seed) to both
+   * this builder and the stream side: the two sides meet in a bucket only
+   * when their signatures are computed identically, so the parameter is
+   * deliberately explicit here rather than auto-derived (a stream cannot
+   * count the corpus). A fixed 8 at a 200k-vector corpus costs ~n/256
+   * corpus candidates per stream row per band (SCALE.md r17).
    */
   def corpusEmbeddingBuckets(corpus: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", bands: Int = 8, planesPerBand: Int = 8,
