@@ -2073,6 +2073,61 @@ object SparkEntry {
         .localCheckpoint()
       deleteRecursively(tmp)
       res
+    }),
+    "st04_streaming_late_drop" -> ((s, dir) => {
+      // r18 (VERDICT r17 #1): watermark EVICTION and late-data DROPPING on a
+      // real two-phase replay — the one streaming semantic st01-st03 never
+      // exercised (they run no-eviction regimes). Phase 1 streams the
+      // on-time events (daily count per user, update mode, "2 days" bucket
+      // watermark) through a checkpointed availableNow query; phase 2
+      // restarts FROM THE SAME CHECKPOINT with the held-back late rows
+      // (every user_id%5==2 event) appended to the source dir. The restored
+      // watermark = max_bucket - 2 days, so late rows in the last two day
+      // buckets merge into their (retained) state while all older late rows
+      // are dropped by the watermark filter. The DuckDB oracle recomputes
+      // exactly that kept-set in SQL — a hash mismatch would mean Spark's
+      // drop/evict boundary diverged from the documented contract. Rows
+      // whose bucket sits exactly ON the threshold stay in phase 1, so the
+      // check is insensitive to the filter's < vs <= strictness.
+      // (foreachBatch->parquet sink because the memory sink refuses
+      // checkpoint recovery; update-mode emissions are cumulative per
+      // group, so max(count) per group is its final value.)
+      val ev = Tables.events(s, dir)
+        .withColumn("bucket", col("ts_us") - pmod(col("ts_us"), lit(dayUsTick)))
+      val maxB = ev.agg(max("bucket")).head().getLong(0)
+      val wmThresh = maxB - 2 * dayUsTick
+      val lateCond = pmod(col("user_id"), lit(5)) === 2 &&
+        col("bucket") =!= wmThresh
+      val feed = ev.select(col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"), lateCond.as("late"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st04_").toString
+      feed.filter(!col("late")).drop("late").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val inSchema = feed.drop("late").schema
+      def replay(): Unit = {
+        val stream = s.readStream.schema(inSchema).parquet(s"$tmp/in")
+        val out = graft.streaming.StreamingResample.tumblingModes(stream,
+          dayUsTick, count(_), closedRight = false, stampRight = false,
+          watermark = "2 days", key = "user_id")
+        val q = out.writeStream
+          .outputMode("update")
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(s"$tmp/out")
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      replay() // phase 1: on-time rows, watermark advances to maxB - 2 days
+      feed.filter(col("late")).drop("late").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+      replay() // phase 2: late rows against the recovered watermark
+      val res = s.read.parquet(s"$tmp/out")
+        .groupBy(col("user_id"), unix_micros(col("bucket_ts")).as("day_us"))
+        .agg(max(col("value")).as("n_events"))
+        .localCheckpoint()
+      deleteRecursively(tmp)
+      res
     })
   )
 
@@ -5384,6 +5439,20 @@ object SparkEntry {
                     FROM documents)
          SELECT token, count(*)::BIGINT AS n, 0::BIGINT AS max_err
          FROM t WHERE token <> '' GROUP BY token""",
+    // st04: the oracle recomputes the watermark kept-set — every on-time
+    // row, plus held-back (user_id%5==2) rows only when their day bucket is
+    // within 2 days of the stream's max bucket (the recovered watermark)
+    "st04_streaming_late_drop" ->
+      """WITH ev AS (
+           SELECT user_id,
+                  epoch_us(ts) - (epoch_us(ts) % 86400000000) AS bucket
+           FROM events),
+         wm AS (SELECT max(bucket) - 2*86400000000 AS thresh FROM ev),
+         kept AS (
+           SELECT e.user_id, e.bucket FROM ev e, wm w
+           WHERE e.user_id % 5 <> 2 OR e.bucket >= w.thresh)
+         SELECT user_id, bucket AS day_us, count(*) AS n_events
+         FROM kept GROUP BY 1, 2""",
     "ts51_io_parquet_roundtrip" ->
       s"""WITH $dailyCte
          SELECT key, day_us, round(value, 6) AS value, TRUE AS index_match

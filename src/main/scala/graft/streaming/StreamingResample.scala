@@ -41,9 +41,22 @@ object StreamingResample {
    * would leave the aggregation state unbounded and append mode rejected by
    * the analyzer (the watermark would be inert). With the watermark on the
    * group key itself, append mode emits and evicts a bucket once the
-   * watermark passes its label. Because a bucket's label can precede its
-   * latest member event by up to one width (closed-left stamping), size
-   * `watermark` as the tolerated event lateness PLUS one bucket width.
+   * watermark passes its label.
+   *
+   * ==Watermark sizing (BEHAVIOR CHANGE in r17)==
+   * `watermark` here is lateness measured on BUCKET LABELS, not raw event
+   * times. Because a bucket's label can precede its latest member event by
+   * up to one width (closed-left stamping), size `watermark` as the
+   * tolerated raw-event lateness PLUS one bucket width — a raw event `t`
+   * whose label `t - (t mod width)` has fallen behind the watermark is
+   * dropped even when `t` itself is within the stated delay. Before r17 the
+   * watermark was declared on the raw event column and was INERT (state
+   * never evicted, append mode rejected); callers who sized it as raw
+   * lateness must widen by one width when upgrading, or use
+   * [[tumblingModesLateness]], which does that widening internally and
+   * keeps the raw-lateness contract. Both the drop rule and the state
+   * eviction are pinned by `StreamingSpec` ("update mode: late rows drop
+   * and state evicts").
    */
   def tumblingModes(stream: DataFrame, widthUs: Long, aggFn: Column => Column,
       closedRight: Boolean, stampRight: Boolean, watermark: String,
@@ -62,6 +75,22 @@ object StreamingResample {
       .agg(aggFn(col(value)).as(value))
       .select(col(key), col("__bucket").as("bucket_ts"), col(value))
   }
+
+  /**
+   * [[tumblingModes]] with the watermark expressed as tolerated lateness on
+   * RAW event times (the pre-r17 mental model): internally widens the
+   * bucket-column watermark by one bucket width, so an event no more than
+   * `lateness` behind the newest event seen is always merged into its
+   * bucket regardless of where the bucket boundary falls. `lateness` is a
+   * calendar-interval string ("15 minutes"); the widened delay is
+   * `lateness + widthUs microseconds`.
+   */
+  def tumblingModesLateness(stream: DataFrame, widthUs: Long,
+      aggFn: Column => Column, closedRight: Boolean, stampRight: Boolean,
+      lateness: String, originUs: Long = 0L, key: String = "key",
+      ts: String = "ts", value: String = "value"): DataFrame =
+    tumblingModes(stream, widthUs, aggFn, closedRight, stampRight,
+      watermark = s"$lateness $widthUs microseconds", originUs, key, ts, value)
 
   /**
    * Streaming gap sessionization: Spark's native `session_window` merges
