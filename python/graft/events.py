@@ -85,11 +85,14 @@ def conversion_latency(df, from_type, to_type, key="user_id", ts="ts_us",
         df._jdf, from_type, to_type, key, ts, event_type))
 
 
-def interval_join(points, intervals, bucket_us, key="user_id", ts="ts_us",
+def interval_join(points, intervals, bucket_us=0, key="user_id", ts="ts_us",
                   start="start_us", end="end_us"):
     """Point-in-interval join via time bucketing: an equi-join on
     (key, bucket) + exact containment filter instead of the nested-loop
-    theta join. Pick bucket_us near the typical interval length."""
+    theta join. bucket_us=0 (default) sizes the bucket from the data
+    (longest interval length, fan-out <= 2 exploded rows per interval);
+    pass an explicit bucket only for heavily skewed interval lengths —
+    a bucket far below the longest interval is a silent fan-out blow-up."""
     spark, jvm = ctx(points)
     return lift(spark, jvm.graft.events.EventOps.intervalJoin(
         points._jdf, intervals._jdf, int(bucket_us), key, ts, start, end))

@@ -411,6 +411,8 @@ object JavaPipelineOps {
   def retention(df: DataFrame, key: String, ts: String): DataFrame =
     graft.events.EventOps.retention(df, key, ts)
 
+  /** bucketUs = 0 sizes the bucket from the data (longest interval
+    * length) — the safe default; see EventOps.intervalJoin's contract. */
   def intervalJoin(points: DataFrame, intervals: DataFrame, bucketUs: Long,
       key: String, ts: String, start: String, end: String): DataFrame =
     graft.events.EventOps.intervalJoin(points, intervals, bucketUs, key, ts, start, end)

@@ -284,16 +284,39 @@ object EventOps {
    * Output: point columns + the interval's columns (minus its key).
    * Timestamps must be non-negative (integral `div` bucketing).
    * Empty/inverted intervals (end <= start) match nothing.
+   *
+   * ==Bucket-width contract (r18, VERDICT r17 #7)==
+   * Cost is interval fan-out: an interval explodes to ⌈len/bucketUs⌉ + 1
+   * rows, so an EXPLICIT `bucketUs` far below the longest interval is a
+   * silent blow-up — one year-long interval at a 1-minute bucket is ~525k
+   * exploded rows before the join. `bucketUs = 0` (the default) sidesteps
+   * the trap by sizing the bucket from the data: one scalar aggregate reads
+   * the LONGEST interval length and uses it as the bucket, capping fan-out
+   * at 2 rows per interval while each point still lands in exactly one
+   * bucket. That is the safe default at any scale; pass an explicit
+   * `bucketUs` only when interval lengths are heavily skewed (one huge
+   * outlier interval would otherwise set a bucket so wide that MANY points
+   * share each (key, bucket) — fine for the join's correctness, but the
+   * equi-join keys get coarser; a p99-length bucket with fan-out
+   * ⌈p100/p99⌉+1 on the few outliers is then the better trade, and that
+   * choice needs the caller's knowledge of the distribution).
    */
-  def intervalJoin(points: DataFrame, intervals: DataFrame, bucketUs: Long,
+  def intervalJoin(points: DataFrame, intervals: DataFrame, bucketUs: Long = 0L,
       key: String = "user_id", ts: String = "ts_us",
       start: String = "start_us", end: String = "end_us"): DataFrame = {
-    require(bucketUs > 0, "bucketUs > 0")
+    require(bucketUs >= 0, "bucketUs >= 0 (0 = auto: longest interval length)")
+    val b =
+      if (bucketUs > 0) bucketUs
+      else {
+        val row = intervals.filter(col(end) > col(start))
+          .agg(max(col(end) - col(start))).head()
+        if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+      }
     val iv = intervals.filter(col(end) > col(start))
       .withColumn("__b",
-        explode(sequence(expr(s"$start div $bucketUs"),
-          expr(s"($end - 1) div $bucketUs"))))
-    val pt = points.withColumn("__b", expr(s"$ts div $bucketUs"))
+        explode(sequence(expr(s"$start div $b"),
+          expr(s"($end - 1) div $b"))))
+    val pt = points.withColumn("__b", expr(s"$ts div $b"))
     pt.join(iv, Seq(key, "__b"))
       .filter(col(ts) >= col(start) && col(ts) < col(end))
       .drop("__b")
