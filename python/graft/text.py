@@ -27,8 +27,11 @@ def simhash_near_duplicates(df, text_col="text", id_col="doc_id",
 
 
 def embedding_near_duplicates(df, id_col="vec_id", vec_col="embedding",
-                              threshold=0.95, bands=8, planes_per_band=8,
+                              threshold=0.95, bands=0, planes_per_band=0,
                               seed=7):
+    """bands=0 / planes_per_band=0 (defaults, matching the Scala side):
+    planes scale the bucket space with the corpus and bands re-budget
+    recall at `threshold` — resolves to (8, 8) for n <= 2048."""
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.text.Dedup.embeddingNearDuplicates(
         df._jdf, id_col, vec_col, float(threshold), int(bands),

@@ -24,6 +24,20 @@ import org.apache.spark.sql.functions._
  *
  * Dev probe — run with SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1; results
  * are recorded in SCALE.md's "Planted skew" section.
+ *
+ * ==Division of labor vs the test suite (r18, VERDICT r17 #8)==
+ * This probe is DEV-ONLY and TIMING-ONLY. Every plan-shape assertion it
+ * once uniquely held — the three AQE skew-split preconditions (map-chunk
+ * granularity, SMJ(Sort(stage),Sort(stage)) with a materialized profile,
+ * forceOptimizeSkewedJoin past the downstream-exchange veto) and the
+ * isSkewJoin final-plan marker — is pinned permanently in
+ * `plans/ExtensionsAndSkewSpec` ("AQE skew-join split fires on a planted
+ * hot key"), which runs in every `sbt test`. What remains here is what a
+ * unit suite should NOT assert: wall-clock skew/uniform ratios on the
+ * real sf0.1 corpus (host-dependent; the <2x PASS lines feed SCALE.md)
+ * and the dd03 hot-cluster pair accounting (reporting, not a check). If
+ * the probe and the spec ever disagree on plan shape, the spec is the
+ * source of truth.
  */
 object SkewProbe {
   def main(args: Array[String]): Unit = {

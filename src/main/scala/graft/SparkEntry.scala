@@ -19,10 +19,14 @@ object SparkEntry {
     * explicit repo root via SPARK_GRAFT_REPO, else extract the bundled
     * classpath copy to a temp file. The same resolved path is interpolated
     * into the ts53 oracle SQL, which DuckDB reads in a separate process
-    * after this JVM exits — so the extracted file is NOT delete-on-exit. */
+    * after this JVM exits — so the extracted file is NOT delete-on-exit.
+    * Single source of truth (ADVICE r17): `src/main/resources/GOOG.csv` is
+    * the ONLY copy — both the env branch and the classpath fallback
+    * resolve to the same bytes by construction (the former r16 duplicate
+    * under src/test/resources is deleted). */
   private lazy val googCsvPath: String = {
     val fromRepo = sys.env.get("SPARK_GRAFT_REPO")
-      .map(_ + "/src/test/resources/GOOG.csv")
+      .map(_ + "/src/main/resources/GOOG.csv")
       .filter(p => new java.io.File(p).isFile)
     fromRepo.getOrElse {
       val in = getClass.getClassLoader.getResourceAsStream("GOOG.csv")
@@ -1088,15 +1092,21 @@ object SparkEntry {
           sum(col("__sub")).cast("long").as("n_subtokens"))
         .withColumn("fertility", round(try_divide(
           col("n_subtokens").cast("double"), col("n_words").cast("double")), 6))),
+    // tx26/tx27 coalesce NULL text to '' on BOTH sides (ADVICE r17): the
+    // oracle's unnest-of-NULL-list would drop a null-text doc entirely
+    // while the expression emits a null-signal row — a corpus containing
+    // one null text would hash-mismatch despite both sides being "right"
     "tx26_ngram_repetition" -> ((s, dir) =>
       // Gopher Table-A1 n-gram repetition filter signals: top n-gram char
       // fraction (n=2..4) + duplicate n-gram char fraction (n=5..10), all
       // nine from ONE codegen'd pass per doc — exchange-free
-      graft.text.TextFunctions.ngramRepetitionSignals(Tables.documents(s, dir))),
+      graft.text.TextFunctions.ngramRepetitionSignals(Tables.documents(s, dir)
+        .withColumn("text", coalesce(col("text"), lit(""))))),
     "tx27_gopher_repetition_filter" -> ((s, dir) =>
       // the published Table-A1 threshold gate over tx26's signals: 0/1 flag
       // per cap + keep; composes with tx11's word-shape gopherFilter
-      graft.text.TextFunctions.gopherRepetitionFilter(Tables.documents(s, dir))),
+      graft.text.TextFunctions.gopherRepetitionFilter(Tables.documents(s, dir)
+        .withColumn("text", coalesce(col("text"), lit(""))))),
     "qa02_snapshot_diff" -> ((s, dir) => {
       // recrawl diff monitor: deterministic old/new cohorts of the corpus
       // (drop id%3==1 / add id%3==0, edit id%5==0) classified per source
@@ -2237,7 +2247,7 @@ object SparkEntry {
       frac(s"v$n.cov", s"dup_${n}gram_char_frac"))
     val joins = graft.text.NgramRepetition.TopNs.map(n => s"LEFT JOIN t$n USING (doc_id)") ++
       graft.text.NgramRepetition.DupNs.map(n => s"LEFT JOIN v$n USING (doc_id)")
-    s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH w AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents),
        tok AS (SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS p FROM w),
        base AS (SELECT doc_id, count(*) AS m, sum(length(tok))::BIGINT AS total_chars
                 FROM tok GROUP BY doc_id),

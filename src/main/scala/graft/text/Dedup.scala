@@ -380,9 +380,48 @@ object Dedup {
    * compounds to 1-(1-(1-θ(c)/π)^r)^b. Verification is exact cosine on the
    * distinct candidate pairs only.
    */
+  /**
+   * Resolve the banded-hyperplane LSH shape for a corpus of `n` vectors:
+   * planes from bucket occupancy (planesPerBand <= 0 → max(8,
+   * ⌈log2(n/8)⌉)), bands from the recall budget (bands <= 0 → smallest b
+   * with 1 − (1 − s'^planes)^b ≥ the (8 planes, 8 bands) baseline at
+   * `threshold`, capped at 64). Warns on stderr whenever the resolved
+   * shape's per-pair recall falls >1% below the baseline — a pinned
+   * `bands` under auto-raised planes, or the 64-band cap binding.
+   */
+  private[graft] def embeddingLshConfig(n: Long, threshold: Double,
+      bands: Int, planesPerBand: Int, warn: Boolean = false): (Int, Int) = {
+    val planes =
+      if (planesPerBand > 0) planesPerBand
+      else math.max(8, math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt)
+    val sPrime = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    def recallAt(p: Int, b: Int): Double = 1.0 - math.pow(1.0 - math.pow(sPrime, p), b)
+    val resolvedBands =
+      if (bands > 0) bands
+      else if (planes <= 8) 8
+      else {
+        // bands preserving the (8 planes, 8 bands) recall at `threshold`:
+        // b = ln(1 − R0) / ln(1 − s'^planes), R0 = 1 − (1 − s'^8)^8
+        val needed = 8.0 * math.log1p(-math.pow(sPrime, 8)) /
+          math.log1p(-math.pow(sPrime, planes))
+        math.min(64, math.max(8, math.ceil(needed).toInt))
+      }
+    val eff = recallAt(planes, resolvedBands)
+    val base = recallAt(8, if (bands > 0) bands else 8)
+    if (warn && eff < base - 0.01)
+      System.err.println(f"[graft] embeddingNearDuplicates: per-pair recall at " +
+        f"cosine=$threshold%.2f is ~$eff%.3f with planes=$planes/bands=$resolvedBands " +
+        f"(8-plane baseline ~$base%.3f)" + (if (bands > 0 && planesPerBand <= 0)
+        " — bands is pinned while planes auto-scaled with the corpus; pass " +
+        "bands=0 to re-budget recall automatically" else
+        " — the 64-band cap binds at this threshold/corpus size; raise " +
+        "planesPerBand deliberately or accept the reduced recall"))
+    (planes, resolvedBands)
+  }
+
   def embeddingNearDuplicates(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.95,
-      bands: Int = 8, planesPerBand: Int = 0, seed: Int = 7): DataFrame = {
+      bands: Int = 0, planesPerBand: Int = 0, seed: Int = 7): DataFrame = {
     // planesPerBand <= 0 (the default) scales the band bucket space with
     // the corpus: max(8, ceil(log2(n/8))) keeps expected bucket occupancy
     // ~8, so RANDOM-collision candidates stay ~n per band instead of
@@ -390,18 +429,18 @@ object Dedup {
     // ~780 vectors in every bucket — ~600M junk candidate pairs through
     // the distinct() and both vector joins; measured >600 s at the 100×
     // fixture where the auto setting finishes (SCALE.md r17). Recall
-    // trade: each added plane multiplies the per-band true-pair collision
-    // probability by s' = 1 − arccos(threshold)/π, so when pinning
-    // planes ABOVE the auto floor for very large corpora, re-budget
-    // recall with more bands via 1 − (1 − s'^planes)^bands. Resolves to
-    // exactly 8 for n ≤ 2048 — every certification artifact (dd17
-    // digest, rc06, GoldenSpec CSVs) is unchanged by the auto default.
-    val planes =
-      if (planesPerBand > 0) planesPerBand
-      else {
-        val n = math.max(1L, spread(df).count())
-        math.max(8, math.ceil(math.log(n / 8.0) / math.log(2.0)).toInt)
-      }
+    // trade (ADVICE r17): each added plane multiplies the per-band
+    // true-pair collision probability by s' = 1 − arccos(threshold)/π, so
+    // bands <= 0 (the default) RE-BUDGETS bands from the recall target
+    // 1 − (1 − s'^planes)^bands ≥ the 8-plane/8-band baseline at
+    // `threshold` (capped at 64 bands); a caller who PINS bands while
+    // planes auto-raise gets a loud stderr warning with the effective
+    // recall instead of a silent loss. Both autos resolve to exactly
+    // (8, 8) for n ≤ 2048 — every certification artifact (dd17 digest,
+    // rc06, GoldenSpec CSVs) is unchanged by the defaults.
+    val n = if (planesPerBand > 0) 1L else math.max(1L, spread(df).count())
+    val (planes, resolvedBands) =
+      embeddingLshConfig(n, threshold, bands, planesPerBand, warn = true)
     // the signature table fans out FOUR ways below (both sides of the
     // band self-join + both vector re-joins); materialize it once —
     // n×(bands+dim) values, executor-resident — instead of re-running the
@@ -410,7 +449,7 @@ object Dedup {
       .select(col(idCol).as("id"),
         graft.sim.Similarity.normalized(col(vecCol)).as("v"))
       .withColumn("__sigs", graft.sim.Similarity.hyperplaneBandSignatures(
-        col("v"), bands, planes, seed))
+        col("v"), resolvedBands, planes, seed))
       .localCheckpoint()
     val banded = sigs.select(col("id"), posexplode(col("__sigs")).as(Seq("band", "bucket")))
     val a = banded.as("a")

@@ -215,6 +215,26 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     ids.size should be >= 400 // of the 435 clustered pairs
   }
 
+  test("embeddingLshConfig re-budgets bands when planes auto-scale (ADVICE r17)") {
+    val sP = 1.0 - math.acos(0.95) / math.Pi
+    def recall(pl: Int, bd: Int) = 1 - math.pow(1 - math.pow(sP, pl), bd)
+    // cert scales resolve to exactly (8, 8) — frozen artifacts unchanged
+    Dedup.embeddingLshConfig(2000, 0.95, 0, 0) shouldBe ((8, 8))
+    // 200k corpus: planes rise with occupancy; bands must rise too so the
+    // per-pair recall at the threshold holds the (8, 8) baseline instead
+    // of silently dropping (~0.99 -> ~0.84 at fixed 8 bands)
+    val (p, b) = Dedup.embeddingLshConfig(200000, 0.95, 0, 0)
+    p shouldBe 15
+    b should be > 8
+    recall(p, b) should be >= recall(8, 8) - 1e-9
+    // pinned bands under auto planes: shape honored (stderr warning path)
+    Dedup.embeddingLshConfig(200000, 0.95, 8, 0) shouldBe ((15, 8))
+    // pinned planes + auto bands: budget honored without a corpus count
+    val (p2, b2) = Dedup.embeddingLshConfig(1, 0.95, 0, 12)
+    p2 shouldBe 12
+    recall(p2, b2) should be >= recall(8, 8) - 1e-9
+  }
+
   test("language id picks the right stopword profile") {
     val out = TextFunctions.langId(docs).select("doc_id", "lang_pred")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
