@@ -104,6 +104,22 @@ def dup_clusters(corpus, pairs, id_col="doc_id"):
         corpus._jdf, pairs._jdf, id_col))
 
 
+def cluster_representatives(docs, pairs, quality_col, id_col="doc_id"):
+    """Quality-aware canonical election over near-dup clusters: exactly one
+    keep=True per cluster, argmax of `quality_col` with ties to min id."""
+    spark, jvm = ctx(docs)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.clusterRepresentatives(
+        docs._jdf, pairs._jdf, quality_col, id_col))
+
+
+def leakage_free_split(docs, pairs, n_splits, id_col="doc_id"):
+    """Assign near-dup CLUSTERS (not docs) to splits so duplicates never
+    straddle a train/eval boundary; seeded-hash splitter."""
+    spark, jvm = ctx(docs)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.leakageFreeSplit(
+        docs._jdf, pairs._jdf, int(n_splits), id_col))
+
+
 def duplicate_spans(df, k=5, text_col="text", id_col="doc_id"):
     """Per-doc ratio of k-gram spans appearing in at least one other doc."""
     spark, jvm = ctx(df)

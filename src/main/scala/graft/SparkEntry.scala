@@ -1289,6 +1289,41 @@ object SparkEntry {
         .select("id_a", "id_b")
       graft.text.Dedup.dupClusters(t.select("doc_id"), pairs)
     }),
+    // ---------------- r18: cluster-level dedup decisions (the two steps a
+    // production pipeline runs AFTER cc01's clustering): quality-aware
+    // canonical election and leakage-free split assignment. Pair source is
+    // the same SQL-expressible jaccard slice as cc01 so the full chain —
+    // iterative CC plus the election/split — is hash-checked against a
+    // recursive-CTE oracle; production input would be LSH pairs. ----------
+    "dd20_cluster_prune" -> ((s, dir) => {
+      val t = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val toks = t.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val a = toks.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+      val b = toks.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .filter(try_divide(size(array_intersect(col("ta"), col("tb"))).cast("double"),
+          size(array_union(col("ta"), col("tb"))).cast("double")) >= 0.5)
+        .select("id_a", "id_b")
+      // quality = distinct-token count: an integer signal, so the argmax
+      // is trivially cross-engine-exact; swap in qualityScore in production
+      graft.text.Dedup.clusterRepresentatives(
+        toks.select(col("doc_id"), col("toks")), pairs,
+        size(col("toks")).cast("long"))
+    }),
+    "smp12_leakage_free_split" -> ((s, dir) => {
+      val t = Tables.documents(s, dir).filter(col("doc_id") < 200)
+      val toks = t.select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+      val a = toks.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+      val b = toks.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .filter(try_divide(size(array_intersect(col("ta"), col("tb"))).cast("double"),
+          size(array_union(col("ta"), col("tb"))).cast("double")) >= 0.5)
+        .select("id_a", "id_b")
+      // modulo splitter so DuckDB can replay the assignment; the certified
+      // property (cluster-atomic splits) holds for any splitter
+      graft.text.Dedup.leakageFreeSplit(t.select("doc_id"), pairs, nSplits = 10,
+        splitOf = Some(c => pmod(c, lit(10))))
+    }),
     "dd09_dup_spans" -> ((s, dir) =>
       // C4-style cross-document repeated spans: ratio of a doc's 5-gram
       // spans that appear in at least one other document
@@ -3879,6 +3914,45 @@ object SparkEntry {
            SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src)
          SELECT id AS doc_id, min(r) AS cluster_id,
            (id = min(r)) AS is_canonical
+         FROM reach GROUP BY id""",
+    "dd20_cluster_prune" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, list_distinct(string_split(text,' ')) AS toks
+           FROM documents WHERE doc_id < 200),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM t a, t b WHERE a.doc_id < b.doc_id
+             AND len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE
+                 / len(list_distinct(a.toks || b.toks)) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM t
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src),
+         cc AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+         q AS (SELECT doc_id, len(toks)::BIGINT AS quality FROM t)
+         SELECT c.doc_id, c.cluster_id, q.quality,
+           (row_number() OVER (PARTITION BY c.cluster_id
+              ORDER BY q.quality DESC, c.doc_id ASC) = 1) AS keep
+         FROM cc c JOIN q USING (doc_id)""",
+    "smp12_leakage_free_split" ->
+      """WITH RECURSIVE t AS (
+           SELECT doc_id, list_distinct(string_split(text,' ')) AS toks
+           FROM documents WHERE doc_id < 200),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM t a, t b WHERE a.doc_id < b.doc_id
+             AND len(list_filter(a.toks, x -> list_contains(b.toks, x)))::DOUBLE
+                 / len(list_distinct(a.toks || b.toks)) >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+                   UNION ALL SELECT id_b, id_a FROM pairs),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM t
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN edges e ON reach.id = e.src)
+         SELECT id AS doc_id, min(r) AS cluster_id,
+           (min(r) % 10)::INT AS split
          FROM reach GROUP BY id""",
     "dd09_dup_spans" ->
       """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),

@@ -294,6 +294,19 @@ object JavaPipelineOps {
   def dupClusters(corpus: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
     graft.text.Dedup.dupClusters(corpus, pairs, idCol)
 
+  /** Quality-aware canonical election: `qualityCol` names a column of
+    * `docs`; exactly one keep=true per near-dup cluster (r18). */
+  def clusterRepresentatives(docs: DataFrame, pairs: DataFrame,
+      qualityCol: String, idCol: String): DataFrame =
+    graft.text.Dedup.clusterRepresentatives(docs, pairs,
+      org.apache.spark.sql.functions.col(qualityCol), idCol)
+
+  /** Cluster-atomic split assignment with the default seeded-hash
+    * splitter (r18). */
+  def leakageFreeSplit(docs: DataFrame, pairs: DataFrame, nSplits: Int,
+      idCol: String): DataFrame =
+    graft.text.Dedup.leakageFreeSplit(docs, pairs, nSplits, idCol)
+
   def duplicateSpans(df: DataFrame, k: Int, textCol: String, idCol: String): DataFrame =
     graft.text.Dedup.duplicateSpans(df, k, textCol, idCol)
 

@@ -247,6 +247,61 @@ object Dedup {
   }
 
   /**
+   * Quality-aware canonical election over near-dup clusters (r18): where
+   * [[dupClusters]] elects the MIN-ID document, production dedup keeps the
+   * BEST document of each cluster by a quality signal (Gopher/C4 pipelines
+   * prune to the highest-quality member, not the lowest id). `quality` is
+   * any per-document Column over `docs` (composite score, distinct-token
+   * count, length); ties break to the smaller id so the election is total
+   * and deterministic. Emits every document with its cluster, its quality,
+   * and `keep` — exactly one true per cluster, singletons always kept.
+   *
+   * Shape: one CC run over the pairs (see [[graft.graph.ConnectedComponents]]
+   * — O(log diameter) rounds of keyed shuffles) plus ONE extra shuffle on
+   * cluster_id for the per-cluster argmax window. Nothing widens with
+   * cluster size except the window partition, which is the same per-key
+   * work a groupBy(cluster) would do.
+   */
+  def clusterRepresentatives(docs: DataFrame, pairs: DataFrame,
+      quality: Column, idCol: String = "doc_id"): DataFrame = {
+    val labels = graft.graph.ConnectedComponents.run(
+      docs.select(col(idCol)),
+      pairs.select(col(pairs.columns(0)).as("src"), col(pairs.columns(1)).as("dst")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col(idCol).asc)
+    docs.select(col(idCol), quality.as("quality"))
+      .join(labels, idCol)
+      .withColumnRenamed("component", "cluster_id")
+      .withColumn("keep", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col("quality"), col("keep"))
+  }
+
+  /**
+   * Leakage-free train/validation split (r18): assign near-dup CLUSTERS —
+   * not documents — to splits, so two near-duplicates can never land on
+   * opposite sides of a train/eval boundary (the classic contamination
+   * path: a paraphrase of a training doc in the validation set inflates
+   * eval). `splitOf` maps the cluster id to a split in [0, nSplits); the
+   * default is a seeded xxhash64 — pass a custom Column function when the
+   * split must be replayable outside Spark (the smp12 driver row uses
+   * plain modulo so DuckDB can replay it; the CERTIFIED property is
+   * cluster-atomicity, which holds for any splitOf by construction).
+   * Same shape as [[dupClusters]]: the CC labels plus one narrow map.
+   */
+  def leakageFreeSplit(docs: DataFrame, pairs: DataFrame, nSplits: Int,
+      idCol: String = "doc_id",
+      splitOf: Option[Column => Column] = None): DataFrame = {
+    require(nSplits >= 2, "nSplits >= 2")
+    val f = splitOf.getOrElse((c: Column) => pmod(xxhash64(c, lit(2027)), lit(nSplits)))
+    val labels = graft.graph.ConnectedComponents.run(
+      docs.select(col(idCol)),
+      pairs.select(col(pairs.columns(0)).as("src"), col(pairs.columns(1)).as("dst")))
+    labels.select(col(idCol), col("component").as("cluster_id"),
+      f(col("component")).cast("int").as("split"))
+  }
+
+  /**
    * Cross-document duplicated spans: for every document, how many of its
    * distinct word k-shingles also appear in at least one OTHER document
    * (C4-style repeated-span detection — high ratios mean boilerplate).

@@ -215,6 +215,46 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     ids.size should be >= 400 // of the 435 clustered pairs
   }
 
+  test("clusterRepresentatives elects the best-quality doc per cluster (ties to min id)") {
+    val s = spark
+    import s.implicits._
+    // planted graph: chain {1-2, 2-3} => cluster 1; {10-11} => cluster 10;
+    // 20 is a singleton. Qualities make 2 and 3 tie (id breaks it to 2).
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (10L, 1L), (11L, 4L), (20L, 7L))
+      .toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val out = Dedup.clusterRepresentatives(docs, pairs, col("q"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    out(1L) shouldBe ((1L, 5L, false))
+    out(2L) shouldBe ((1L, 9L, true))  // beats 3's equal quality on id
+    out(3L) shouldBe ((1L, 9L, false))
+    out(10L) shouldBe ((10L, 1L, false))
+    out(11L) shouldBe ((10L, 4L, true))
+    out(20L) shouldBe ((20L, 7L, true)) // singleton always kept
+    out.count(_._2._3) shouldBe 3       // exactly one keep per cluster
+  }
+
+  test("leakageFreeSplit keeps every near-dup cluster on one side") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 40L).toDF("doc_id")
+    // pair i with i+1 within blocks of 4: ten 4-doc clusters
+    val pairs = (1L to 40L).filter(i => i % 4 != 0)
+      .map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.leakageFreeSplit(docs, pairs, nSplits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    out.length shouldBe 40
+    // cluster-atomicity: one distinct split per cluster, splits in range
+    out.groupBy(_._2).values.foreach(g => g.map(_._3).distinct.length shouldBe 1)
+    out.foreach(t => t._3 should (be >= 0 and be < 3))
+    // the explicit modulo splitter replays exactly (the smp12 oracle path)
+    val mod = Dedup.leakageFreeSplit(docs, pairs, nSplits = 10,
+      splitOf = Some(c => pmod(c, lit(10))))
+      .collect().map(r => (r.getLong(1), r.getInt(2)))
+    mod.foreach { case (cid, sp) => sp shouldBe (cid % 10).toInt }
+  }
+
   test("embeddingLshConfig re-budgets bands when planes auto-scale (ADVICE r17)") {
     val sP = 1.0 - math.acos(0.95) / math.Pi
     def recall(pl: Int, bd: Int) = 1 - math.pow(1 - math.pow(sP, pl), bd)

@@ -125,6 +125,13 @@ def main() -> int:
     pairs = spark.createDataFrame([(0, 1), (1, 2)], ["id_a", "id_b"])
     cc = graft.text.dup_clusters(docs.select("doc_id"), pairs)
     assert cc.filter(F.col("cluster_id") == 0).count() == 3
+    # r18: quality-aware election + cluster-atomic split through the facades
+    reps = graft.text.cluster_representatives(
+        docs.select("doc_id", F.col("n_chars").alias("q")), pairs, "q")
+    assert reps.filter("keep").count() == reps.select("cluster_id").distinct().count()
+    split = graft.text.leakage_free_split(docs.select("doc_id"), pairs, 5)
+    assert (split.groupBy("cluster_id")
+            .agg(F.countDistinct("split").alias("k")).filter("k > 1").count() == 0)
     rep = graft.text.repetition_signals(docs)
     assert rep.filter(F.col("top_word_ratio") > 1.0).count() == 0
     ngrep = graft.text.ngram_repetition_signals(docs)
