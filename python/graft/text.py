@@ -127,6 +127,53 @@ def duplicate_spans(df, k=5, text_col="text", id_col="doc_id"):
         df._jdf, int(k), text_col, id_col))
 
 
+def remove_duplicated_spans(df, k=5, min_doc_freq=2, text_col="text",
+                            id_col="doc_id"):
+    """Cleaned text with every word covered by a k-gram shared across
+    >= min_doc_freq docs dropped (boilerplate-span removal)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.removeDuplicatedSpans(
+        df._jdf, int(k), int(min_doc_freq), text_col, id_col))
+
+
+def minhash_index(df, text_col="text", id_col="doc_id", k=3, num_hashes=64):
+    """Persisted near-dup index: (id, sig, sh) rows; write as parquet and
+    dedup later batches against it without rescanning corpus text."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.minhashIndex(
+        df._jdf, text_col, id_col, int(k), int(num_hashes)))
+
+
+def incremental_minhash_near_duplicates(batch, index, text_col="text",
+                                        id_col="doc_id", k=3, num_hashes=64,
+                                        bands=16, threshold=0.7):
+    """Near-dup pairs of a NEW batch vs a minhash_index and itself — equal
+    to the full pipeline on index+batch restricted to pairs touching the
+    batch."""
+    spark, jvm = ctx(batch)
+    return lift(spark,
+        jvm.graft.api.java.JavaPipelineOps.incrementalMinhashNearDuplicates(
+            batch._jdf, index._jdf, text_col, id_col, int(k),
+            int(num_hashes), int(bands), float(threshold)))
+
+
+def exact_index(df, text_col="text", id_col="doc_id", canonical=False):
+    """Persisted exact-dedup index: one (fp, keep_id) row per distinct
+    content."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.exactIndex(
+        df._jdf, text_col, id_col, bool(canonical)))
+
+
+def exact_incremental(batch, index, text_col="text", id_col="doc_id",
+                      canonical=False):
+    """Flag each batch doc whose fingerprint exists in the index or earlier
+    in the batch; returns (id, fp, is_dup, dup_of)."""
+    spark, jvm = ctx(batch)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.exactIncremental(
+        batch._jdf, index._jdf, text_col, id_col, bool(canonical)))
+
+
 def repetition_signals(df, text="text", id_col="doc_id"):
     """Gopher-style word repetition/shape signals per document."""
     spark, jvm = ctx(df)

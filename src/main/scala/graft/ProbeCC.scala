@@ -11,6 +11,12 @@ import org.apache.spark.sql.functions._
  * minhashNearDuplicates pair set (dd03 parameters) and times the iterative
  * CC alone, pairs pre-materialized. Run with SPARK_GRAFT_SF_DIR at sf0.1 /
  * /tmp/sf1 / /tmp/sf10 for the 1x/10x/100x series (see SCALE.md).
+ *
+ * r18: also times [[graft.text.Dedup.clusterRepresentatives]] (CC plus one
+ * window shuffle on cluster_id for the quality argmax) and
+ * [[graft.text.Dedup.leakageFreeSplit]] (CC plus a narrow map) on the same
+ * pair set — the delta over plain dupClusters is the marginal cost of the
+ * election / split step at scale.
  */
 object ProbeCC {
   def main(args: Array[String]): Unit = {
@@ -31,8 +37,18 @@ object ProbeCC {
       val t0 = System.nanoTime()
       val cc = graft.text.Dedup.dupClusters(docs.select("doc_id"), pairs)
       val nCanonical = cc.filter(col("is_canonical")).count()
-      val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[probecc] rep$r $secs%8.2f s  canonical=$nCanonical")
+      val t1 = System.nanoTime()
+      val reps18 = graft.text.Dedup.clusterRepresentatives(
+        docs.select(col("doc_id"), length(col("text")).cast("long").as("q")),
+        pairs, col("q"))
+      val nKeep = reps18.filter(col("keep")).count()
+      val t2 = System.nanoTime()
+      val split = graft.text.Dedup.leakageFreeSplit(docs.select("doc_id"), pairs, 10)
+      val nSplit = split.select("split").distinct().count()
+      val t3 = System.nanoTime()
+      println(f"[probecc] rep$r cc=${(t1 - t0) / 1e9}%7.2f s canonical=$nCanonical" +
+        f"  elect=${(t2 - t1) / 1e9}%7.2f s keep=$nKeep" +
+        f"  split=${(t3 - t2) / 1e9}%7.2f s splits=$nSplit")
     }
     spark.stop()
   }

@@ -1324,10 +1324,38 @@ object SparkEntry {
       graft.text.Dedup.leakageFreeSplit(t.select("doc_id"), pairs, nSplits = 10,
         splitOf = Some(c => pmod(c, lit(10))))
     }),
+    "dd22_incremental_exact" -> ((s, dir) => {
+      // daily-ingest exact dedup: docs < 250 are the persisted index, the
+      // rest arrive as a batch flagged against index + earlier-in-batch
+      val docs = Tables.documents(s, dir)
+      val index = graft.text.Dedup.exactIndex(docs.filter(col("doc_id") < 250))
+      graft.text.Dedup.exactIncremental(docs.filter(col("doc_id") >= 250), index)
+    }),
+    // incremental-minhash digest twin: the pair set of the incremental
+    // pipeline on the 250-split MUST equal the committed dd03 golden
+    // restricted to pairs touching the batch (equivalence is structural —
+    // same seeded signatures/banding/verify; IncrementalDedupSpec asserts
+    // it on a synthetic corpus). The frozen constant below is therefore
+    // DERIVED from src/test/resources/goldens/dd03_minhash_neardup.csv
+    // (21 of 25 pairs touch id >= 250), not self-frozen from a run.
+    "dd23_incremental_minhash_digest" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val index = graft.text.Dedup.minhashIndex(docs.filter(col("doc_id") < 250))
+      pairDigest(graft.text.Dedup.incrementalMinhashNearDuplicates(
+        docs.filter(col("doc_id") >= 250), index,
+        k = 3, numHashes = 64, bands = 16, threshold = 0.3),
+        // normalize (min,max) so lines byte-match the dd03 golden's
+        format_string("%d,%d,%.6f", least(col("id_a"), col("id_b")),
+          greatest(col("id_a"), col("id_b")), col("jaccard")))
+    }),
     "dd09_dup_spans" -> ((s, dir) =>
       // C4-style cross-document repeated spans: ratio of a doc's 5-gram
       // spans that appear in at least one other document
       graft.text.Dedup.duplicateSpans(Tables.documents(s, dir), k = 5)),
+    "dd21_remove_dup_spans" -> ((s, dir) =>
+      // Dolma/RefinedWeb boilerplate removal: drop every word covered by a
+      // 5-gram that appears in >= 2 distinct docs, emit the cleaned text
+      graft.text.Dedup.removeDuplicatedSpans(Tables.documents(s, dir), k = 5)),
     "tx10_repetition" -> ((s, dir) =>
       // Gopher-style word-repetition signals; int/int ratios, unrounded
       graft.text.TextFunctions.repetitionSignals(Tables.documents(s, dir))),
@@ -3966,6 +3994,39 @@ object SparkEntry {
            count(*) FILTER (WHERE d.df > 1)::DOUBLE / count(*) AS dup_span_ratio
          FROM sh s JOIN dfreq d USING (sh)
          GROUP BY s.doc_id""",
+    "dd22_incremental_exact" ->
+      """WITH idx AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+                      FROM documents WHERE doc_id < 250 GROUP BY 1),
+         b AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 250),
+         bm AS (SELECT fp, min(doc_id) AS batch_min FROM b GROUP BY 1)
+         SELECT b.doc_id, b.fp,
+           (i.keep_id IS NOT NULL OR bm.batch_min < b.doc_id) AS is_dup,
+           CASE WHEN i.keep_id IS NOT NULL THEN i.keep_id
+                WHEN bm.batch_min < b.doc_id THEN bm.batch_min END AS dup_of
+         FROM b LEFT JOIN idx i USING (fp) JOIN bm USING (fp)""",
+    // derived from the committed dd03 golden CSV (pairs touching id >= 250),
+    // not frozen from a run — see the queries-side comment and the manifest
+    "dd23_incremental_minhash_digest" ->
+      """SELECT '3746a3a73b0c7f551a5c15eac7a3ab5c' AS digest, 21::BIGINT AS n_pairs""",
+    // positional 5-gram coverage removal; the O(tokens x starts) lambda scan
+    // here is oracle-only — the Spark side merges sorted starts in one pass
+    "dd21_remove_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+         sp AS (SELECT doc_id, i AS s,
+                  t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5] AS sh
+                FROM toks, unnest(range(greatest(len(t)-4,0))) AS u(i)),
+         dup AS (SELECT sh FROM sp GROUP BY sh HAVING count(DISTINCT doc_id) >= 2),
+         cov AS (SELECT doc_id, list(DISTINCT s) AS starts
+                 FROM sp JOIN dup USING (sh) GROUP BY doc_id),
+         j AS (SELECT toks.doc_id, t, coalesce(starts, []) AS starts
+               FROM toks LEFT JOIN cov USING (doc_id)),
+         k AS (SELECT doc_id, t, list_filter(t, (x, i) ->
+                 len(list_filter(starts, s -> s+1 <= i AND i <= s+5)) = 0) AS kept
+               FROM j)
+         SELECT doc_id,
+           coalesce(array_to_string(kept, ' '), '') AS clean_text,
+           len(t)::BIGINT AS n_words, len(kept)::BIGINT AS n_kept
+         FROM k""",
     "tx10_repetition" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS tok
                       FROM documents),

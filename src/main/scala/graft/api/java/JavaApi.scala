@@ -310,6 +310,37 @@ object JavaPipelineOps {
   def duplicateSpans(df: DataFrame, k: Int, textCol: String, idCol: String): DataFrame =
     graft.text.Dedup.duplicateSpans(df, k, textCol, idCol)
 
+  /** Boilerplate-span removal: cleaned text with every word covered by a
+    * k-gram shared across >= minDocFreq docs dropped (r18). */
+  def removeDuplicatedSpans(df: DataFrame, k: Int, minDocFreq: Int,
+      textCol: String, idCol: String): DataFrame =
+    graft.text.Dedup.removeDuplicatedSpans(df, k, minDocFreq, textCol, idCol)
+
+  /** Persisted near-dup index builder (r18): (id, sig, sh) rows to write
+    * as parquet and dedup later batches against. */
+  def minhashIndex(df: DataFrame, textCol: String, idCol: String,
+      k: Int, numHashes: Int): DataFrame =
+    graft.text.Dedup.minhashIndex(df, textCol, idCol, k, numHashes)
+
+  /** Incremental near-dup of a new batch against a [[minhashIndex]] and
+    * itself — equals the full pipeline restricted to pairs touching the
+    * batch (r18). */
+  def incrementalMinhashNearDuplicates(batch: DataFrame, index: DataFrame,
+      textCol: String, idCol: String, k: Int, numHashes: Int, bands: Int,
+      threshold: Double): DataFrame =
+    graft.text.Dedup.incrementalMinhashNearDuplicates(batch, index, textCol,
+      idCol, k, numHashes, bands, threshold)
+
+  /** Persisted exact-dedup fingerprint index (r18). */
+  def exactIndex(df: DataFrame, textCol: String, idCol: String,
+      canonical: Boolean): DataFrame =
+    graft.text.Dedup.exactIndex(df, textCol, idCol, canonical)
+
+  /** Incremental exact dedup of a batch against an [[exactIndex]] (r18). */
+  def exactIncremental(batch: DataFrame, index: DataFrame, textCol: String,
+      idCol: String, canonical: Boolean): DataFrame =
+    graft.text.Dedup.exactIncremental(batch, index, textCol, idCol, canonical)
+
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame =
     graft.text.TextFunctions.repetitionSignals(df, textCol, idCol)
 

@@ -117,15 +117,25 @@ object Dedup {
    * MinHash-LSH candidate pairs: band the signature, bucket-join on
    * (band index, band hash), emit distinct (id_a < id_b) pairs.
    */
-  def minhashCandidates(df: DataFrame, idCol: String, sigCol: String,
+  /** (id, band, bucket) rows from a signature column — the LSH banding step
+    * shared by the full and incremental pipelines. Identical inputs produce
+    * identical buckets (builtin `hash`, fixed seed), which is what makes
+    * [[incrementalMinhashNearDuplicates]] exactly equivalent to the full
+    * pipeline restricted to pairs touching the batch. */
+  private def bandBuckets(df: DataFrame, idCol: String, sigCol: String,
       bands: Int): DataFrame = {
     val rowsPerBand = expr(s"size($sigCol) div $bands")
-    // NOTE: no persist here — the a/b sides are identical subplans, so
-    // Spark's ReuseExchange computes the signature stage once already
-    val banded = df.select(col(idCol).as("id"), posexplode(
+    df.select(col(idCol).as("id"), posexplode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => hash(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)))
     ).as(Seq("band", "bucket")))
+  }
+
+  def minhashCandidates(df: DataFrame, idCol: String, sigCol: String,
+      bands: Int): DataFrame = {
+    // NOTE: no persist here — the a/b sides are identical subplans, so
+    // Spark's ReuseExchange computes the signature stage once already
+    val banded = bandBuckets(df, idCol, sigCol, bands)
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -173,6 +183,105 @@ object Dedup {
       .withColumn("jaccard", JaccardSortedLongs.ofColumns(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold && size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  // ------------------------------------------------- incremental dedup
+
+  /**
+   * Persisted near-dup index for a corpus: one row per document carrying its
+   * minhash signature (banding-ready) and its SORTED 64-bit shingle hashes
+   * (exact-verify-ready). Write this as parquet once; every later crawl
+   * batch then dedups against it via [[incrementalMinhashNearDuplicates]]
+   * WITHOUT re-reading or re-signing any corpus text — the daily-ingest
+   * pattern at 100 TB, where re-running the full pipeline on corpus+batch
+   * would re-pay the whole corpus-side shuffle per batch. Storage cost is
+   * ~8 bytes per shingle plus 8 per hash; the payback is that verification
+   * never touches corpus text again.
+   */
+  def minhashIndex(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", k: Int = 3, numHashes: Int = 64): DataFrame =
+    spread(df).select(col(idCol).as("id"),
+      minhashSignatureFromText(col(textCol), k, numHashes).as("sig"),
+      HashedWordShingles.ofColumn(col(textCol), k).as("sh"))
+
+  /**
+   * Incremental MinHash near-dup: verify a NEW batch against an existing
+   * [[minhashIndex]] and against itself, emitting exactly the pairs the
+   * full pipeline would emit on (corpus ∪ batch) that touch the batch —
+   * equality is structural, not approximate (same seeded signatures, same
+   * banding hash, same exact-Jaccard verify; a spec asserts it). Output:
+   * (id_a = batch doc, id_b = index or batch doc, jaccard, from_index).
+   * Batch ids must be disjoint from index ids (the caller's id scheme).
+   *
+   * Scale shape: the corpus appears ONLY as one scan of the index (banded
+   * bucket rows + a semi-joined shingle fetch for candidate ids) — there is
+   * NO index×index self-join, which is what the full pipeline pays and the
+   * entire point of keeping the index. A daily-sized batch's bucket table
+   * is small, so AQE broadcasts it against the index buckets; candidates,
+   * not the corpus, ship shingles to the verify join.
+   */
+  def incrementalMinhashNearDuplicates(batch: DataFrame, index: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id", k: Int = 3,
+      numHashes: Int = 64, bands: Int = 16, threshold: Double = 0.7): DataFrame = {
+    val batchIdx = minhashIndex(batch, textCol, idCol, k, numHashes)
+    val newB = bandBuckets(batchIdx, "id", "sig", bands)
+    val oldB = bandBuckets(index, "id", "sig", bands).withColumn("is_new", lit(false))
+    // batch buckets probe (index ∪ batch) buckets; within-batch pairs are
+    // oriented a < b so each is emitted once, like the full pipeline
+    val both = oldB.union(newB.withColumn("is_new", lit(true)))
+    val cands = newB.as("a").join(both.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          (!col("b.is_new") || col("a.id") < col("b.id")))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (!col("b.is_new")).as("from_index"))
+      .distinct()
+    // ship shingles for candidate ids only (cf. minhashNearDuplicates: no
+    // broadcast hint — candidate count is corpus-dup-rate-bound)
+    val shA = batchIdx.select(col("id").as("id_a"), col("sh").as("sh_a"))
+      .join(cands.select("id_a").distinct(), Seq("id_a"), "left_semi")
+    val shB = index.select(col("id"), col("sh"))
+      .union(batchIdx.select(col("id"), col("sh")))
+      .select(col("id").as("id_b"), col("sh").as("sh_b"))
+      .join(cands.select("id_b").distinct(), Seq("id_b"), "left_semi")
+    cands.join(shA, "id_a").join(shB, "id_b")
+      .withColumn("jaccard", JaccardSortedLongs.ofColumns(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold && size(col("sh_a")) > 0 && size(col("sh_b")) > 0)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"),
+        col("from_index"))
+  }
+
+  /** Persisted EXACT-dedup index: one (fingerprint, keep_id) row per
+    * distinct content; the md5/canonical twin of [[minhashIndex]]. */
+  def exactIndex(df: DataFrame, textCol: String = "text",
+      idCol: String = "doc_id", canonical: Boolean = false): DataFrame = {
+    val keyExpr = if (canonical) TextFunctions.canonicalFingerprint(col(textCol))
+    else md5(col(textCol).cast("binary"))
+    spread(df).select(keyExpr.as("fp"), col(idCol))
+      .groupBy("fp").agg(min(col(idCol)).as("keep_id"))
+  }
+
+  /**
+   * Incremental exact dedup: flag each batch document whose fingerprint
+   * already exists in an [[exactIndex]] (dup_of = the index keeper) or
+   * earlier in the batch itself (dup_of = the batch's min id for that
+   * fingerprint). Non-dup rows are the index delta: `exactIndex` of the
+   * batch filtered to them appends to the persisted index. One fingerprint
+   * shuffle of the BATCH plus one keyed join against the index — the
+   * corpus is never re-fingerprinted.
+   */
+  def exactIncremental(batch: DataFrame, index: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      canonical: Boolean = false): DataFrame = {
+    val keyExpr = if (canonical) TextFunctions.canonicalFingerprint(col(textCol))
+    else md5(col(textCol).cast("binary"))
+    val bfp = spread(batch).select(col(idCol), keyExpr.as("fp"))
+    val batchMin = bfp.groupBy(col("fp")).agg(min(col(idCol)).as("__batch_min"))
+    bfp.join(index.withColumnRenamed("keep_id", "__index_keep"), Seq("fp"), "left")
+      .join(batchMin, "fp")
+      .withColumn("dup_of", when(col("__index_keep").isNotNull, col("__index_keep"))
+        .otherwise(when(col("__batch_min") < col(idCol), col("__batch_min"))))
+      .select(col(idCol), col("fp"), col("dup_of").isNotNull.as("is_dup"),
+        col("dup_of"))
   }
 
   /**
@@ -329,6 +438,51 @@ object Dedup {
       .select(col(idCol), col("n_spans"), col("n_dup_spans"),
         try_divide(col("n_dup_spans").cast("double"), col("n_spans").cast("double"))
           .as("dup_span_ratio"))
+  }
+
+  /**
+   * Boilerplate span REMOVAL (r18): where [[duplicateSpans]] only reports the
+   * per-doc duplicated-span ratio, this emits each document's CLEANED text
+   * with every word dropped that is covered by any k-shingle appearing in at
+   * least `minDocFreq` distinct documents (the Dolma/RefinedWeb sub-document
+   * cleaning pass; header/footer boilerplate shared across a crawl domain
+   * vanishes from ALL its carriers, unlike [[dedupChunks]]'s keep-first
+   * election on fixed windows). Documents shorter than k words have no spans
+   * and pass through unchanged.
+   *
+   * Shape: positional span hashes are a narrow map (builtin xxhash64 over
+   * the spans — positions matter here, so NOT the distinct-set
+   * [[HashedWordShingles]]); doc-frequency is one aggregate keyed by the
+   * 8-byte hash (count_distinct handles within-doc repeats); only spans
+   * above the threshold survive the filter, so the join back ships the
+   * boilerplate subset, not the corpus; covered starts aggregate per doc
+   * (sorted once); the rebuild is the codegen'd [[UncoveredTokens]] pointer
+   * merge — O(words + covered spans) per doc, not the O(words x spans) an
+   * `exists` higher-order filter would pay on boilerplate-heavy docs.
+   */
+  def removeDuplicatedSpans(df: DataFrame, k: Int = 5, minDocFreq: Int = 2,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(minDocFreq >= 2, "minDocFreq >= 2 (a span always appears in its own doc)")
+    val t = spread(df).select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
+    val spans = t.select(col(idCol), posexplode(
+      when(size(col("__toks")) >= k,
+        transform(sequence(lit(0), size(col("__toks")) - k),
+          i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
+        .otherwise(expr("array()").cast("array<bigint>"))).as(Seq("__start", "__h")))
+    val dup = spans.groupBy(col("__h"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDocFreq)
+      .select("__h")
+    val covered = spans.join(dup, "__h")
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__start"))).as("__starts"))
+    val kept = UncoveredTokens.ofColumns(col("__toks"),
+      coalesce(col("__starts"), expr("array()").cast("array<int>")), k)
+    t.join(covered, Seq(idCol), "left")
+      .select(col(idCol), concat_ws(" ", kept).as("clean_text"),
+        size(col("__toks")).cast("long").as("n_words"),
+        size(kept).cast("long").as("n_kept"))
   }
 
   /**

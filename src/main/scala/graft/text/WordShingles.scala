@@ -196,3 +196,64 @@ object JaccardSortedLongs {
     GraftSqlBridge.column(JaccardSortedLongs(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
 }
+
+/**
+ * Tokens NOT covered by any k-span starting at one of `starts` (r18) — the
+ * rebuild step of [[graft.text.Dedup.removeDuplicatedSpans]]. `starts` must
+ * be SORTED ascending (the caller sorts once in the aggregate); the merge is
+ * then a single pointer pass, O(tokens + starts) per document, instead of
+ * the O(tokens x starts) an `exists(starts, ...)` higher-order filter would
+ * pay on boilerplate-heavy documents. Position p is covered iff some start
+ * s has s <= p < s + k. Order of surviving tokens is preserved.
+ */
+case class UncoveredTokens(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  require(k > 0, "k must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = left.nullable || right.nullable
+  override def prettyName: String = "uncovered_tokens"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(org.apache.spark.sql.types.IntegerType, _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"uncovered_tokens requires (array<string>, array<int>), got $l / $r")
+  }
+
+  override protected def nullSafeEval(toks: Any, starts: Any): Any =
+    UncoveredTokens.compute(toks.asInstanceOf[ArrayData],
+      starts.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, s) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" graft.text.UncoveredTokens.compute($t, $s, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): UncoveredTokens =
+    copy(left = newLeft, right = newRight)
+}
+
+object UncoveredTokens {
+  /** Pointer merge over sorted starts; copies surviving token bytes out of
+    * the (possibly buffer-backed) input array. */
+  def compute(toks: ArrayData, starts: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements()
+    val ns = starts.numElements()
+    val out = new Array[AnyRef](n)
+    var j = 0; var m = 0; var p = 0
+    while (p < n) {
+      while (j < ns && starts.getInt(j).toLong + k <= p) j += 1
+      if (!(j < ns && starts.getInt(j) <= p)) {
+        out(m) = toks.getUTF8String(p).copy(); m += 1
+      }
+      p += 1
+    }
+    new GenericArrayData(if (m == n) out else java.util.Arrays.copyOf(out, m))
+  }
+
+  def ofColumns(toks: Column, starts: Column, k: Int): Column =
+    GraftSqlBridge.column(UncoveredTokens(
+      GraftSqlBridge.expression(toks), GraftSqlBridge.expression(starts), k))
+}

@@ -132,6 +132,19 @@ def main() -> int:
     split = graft.text.leakage_free_split(docs.select("doc_id"), pairs, 5)
     assert (split.groupBy("cluster_id")
             .agg(F.countDistinct("split").alias("k")).filter("k > 1").count() == 0)
+    # r18: boilerplate-span removal through the facade
+    span_docs = spark.createDataFrame(
+        [(0, "a b c d e f g"), (1, "z a b c d e")], ["doc_id", "text"])
+    cleaned = {r["doc_id"]: r["clean_text"]
+               for r in graft.text.remove_duplicated_spans(span_docs).collect()}
+    assert cleaned == {0: "f g", 1: "z"}, cleaned
+    # r18: incremental dedup through the facades
+    fp_index = graft.text.exact_index(spark.createDataFrame(
+        [(0, "aaa bbb")], ["doc_id", "text"]))
+    inc = graft.text.exact_incremental(spark.createDataFrame(
+        [(10, "aaa bbb"), (11, "ccc ddd")], ["doc_id", "text"]), fp_index)
+    got = {r["doc_id"]: r["is_dup"] for r in inc.collect()}
+    assert got == {10: True, 11: False}, got
     rep = graft.text.repetition_signals(docs)
     assert rep.filter(F.col("top_word_ratio") > 1.0).count() == 0
     ngrep = graft.text.ngram_repetition_signals(docs)
