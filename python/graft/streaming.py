@@ -117,6 +117,20 @@ def near_dup_against_corpus(stream, corpus_bk, text_col="text",
                     float(threshold)))
 
 
+def near_dup_against_index(stream, index, text_col="text", id_col="doc_id",
+                           ts_col="event_time", watermark="10 minutes",
+                           k=3, num_hashes=64, bands=16, threshold=0.7):
+    """Near-dup pairs between a document stream and a persisted
+    graft.text.minhash_index — the SAME artifact the batch incremental
+    dedup uses, so one index serves both ingest modes."""
+    spark, jvm = ctx(stream)
+    return lift(spark,
+                jvm.graft.streaming.StreamingDedup.streamingNearDupAgainstIndex(
+                    stream._jdf, index._jdf, text_col, id_col, ts_col,
+                    watermark, int(k), int(num_hashes), int(bands),
+                    float(threshold)))
+
+
 def corpus_embedding_buckets(corpus, id_col="vec_id", vec_col="embedding",
                              bands=8, planes_per_band=8, seed=7):
     """Static hyperplane band buckets for streaming embedding near-dup."""

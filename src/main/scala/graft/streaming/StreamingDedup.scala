@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.text.{Dedup, TextFunctions}
@@ -162,6 +162,51 @@ object StreamingDedup {
         Dedup.shingles(col("stream_text"), k),
         Dedup.shingles(col("corpus_text"), k)))
       .filter(col("jaccard") >= threshold)
+      // a pair colliding in several bands emits once: pair-keyed dedup with
+      // state bounded by the stream's watermark
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("stream_id", "corpus_id")
+      .select(col("stream_id"), col("corpus_id"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /**
+   * Streaming twin of [[graft.text.Dedup.incrementalMinhashNearDuplicates]]:
+   * near-dup pairs between a document stream and a persisted
+   * [[graft.text.Dedup.minhashIndex]] — the SAME on-disk artifact the batch
+   * ingest path uses, so one index serves both ingest modes. Unlike
+   * [[streamingNearDupAgainstCorpus]] (which replicates corpus TEXT into
+   * every band row and re-shingles both sides per candidate), the static
+   * side here stays narrow: (id, band, bucket) rows derived from the stored
+   * signatures join the banded stream, then candidates fetch the stored
+   * sorted shingle hashes by id for the codegen'd linear-merge Jaccard —
+   * the batch operator's two-join shape, so per-pair verify values are
+   * identical to the batch path (spec-asserted parity).
+   */
+  def streamingNearDupAgainstIndex(stream: DataFrame, index: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id",
+      tsCol: String = "event_time", watermark: String = "10 minutes",
+      k: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.7): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    def bandedOf(sigCol: Column) = posexplode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)))))
+    val idxBk = index.select(col("id").as("corpus_id"),
+      bandedOf(col("sig")).as(Seq("band", "bucket")))
+    val sig = Dedup.minhashSignatureFromText(col(textCol), k, numHashes)
+    val banded = stream.select(col(idCol).as("stream_id"),
+        graft.text.HashedWordShingles.ofColumn(col(textCol), k).as("__stream_sh"),
+        col(tsCol), sig.as("__sig"))
+      .select(col("stream_id"), col("__stream_sh"), col(tsCol),
+        bandedOf(col("__sig")).as(Seq("band", "bucket")))
+    banded.join(idxBk, Seq("band", "bucket"))
+      .join(index.select(col("id").as("corpus_id"), col("sh").as("__corpus_sh")),
+        Seq("corpus_id"))
+      .withColumn("jaccard", graft.text.JaccardSortedLongs.ofColumns(
+        col("__stream_sh"), col("__corpus_sh")))
+      .filter(col("jaccard") >= threshold &&
+        size(col("__stream_sh")) > 0 && size(col("__corpus_sh")) > 0)
       // a pair colliding in several bands emits once: pair-keyed dedup with
       // state bounded by the stream's watermark
       .withWatermark(tsCol, watermark)

@@ -63,6 +63,48 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally query.stop()
   }
 
+  test("streaming near-dup against a minhashIndex matches the batch incremental operator") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val corpus = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog in the morning sun"),
+      (101L, "completely unrelated reference content about distributed query engines"),
+      (102L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val index = graft.text.Dedup.minhashIndex(corpus)
+    val batchDocs = Seq(
+      (1L, "the quick brown fox jumps over the lazy cat in the morning sun"),
+      (2L, "fresh document with no counterpart anywhere in the corpus"),
+      (3L, "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    // batch truth: the index-side pairs of the incremental operator
+    val expected = graft.text.Dedup.incrementalMinhashNearDuplicates(
+        batchDocs, index, threshold = 0.4)
+      .filter(col("from_index"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    expected.map(_._1) should contain allOf (1L, 3L)
+
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingDedup.streamingNearDupAgainstIndex(
+      input.toDF().toDF("doc_id", "event_time", "text"), index, threshold = 0.4)
+    val query = out.writeStream.format("memory").queryName("idx_neardup_out")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData((1L, t(0), "the quick brown fox jumps over the lazy cat in the morning sun"),
+        (2L, t(1), "fresh document with no counterpart anywhere in the corpus"),
+        (3L, t(2), "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+      query.processAllAvailable()
+      // append-mode pair-dedup flushes once the watermark passes
+      input.addData((9L, Timestamp.valueOf("2024-01-01 11:00:00"), "tick"))
+      query.processAllAvailable()
+      val got = s.sql("SELECT stream_id, corpus_id, jaccard FROM idx_neardup_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      got shouldBe expected // same pairs AND identical verify values
+    } finally query.stop()
+  }
+
   test("streaming near-dup flags stream docs matching a static corpus") {
     val s = spark
     import s.implicits._

@@ -323,6 +323,19 @@ def main() -> int:
         assert lbl[1].endswith("10:00:00"), lbl
         assert lbl[2].endswith("10:01:00"), lbl
         assert lbl[3].endswith("10:02:00"), lbl
+        # r18: stream near-dup against the persisted batch-dedup index
+        ref = spark.createDataFrame(
+            [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"])
+        mh_index = graft.text.minhash_index(ref, k=2)
+        q4 = (graft.streaming.near_dup_against_index(
+                  stream, mh_index, k=2, threshold=0.4)
+              .writeStream.format("memory").queryName("py_idx_neardup")
+              .outputMode("append").trigger(availableNow=True).start())
+        q4.awaitTermination(120)
+        # append-mode pairs flush on watermark advance; re-run drains state
+        # deterministically in availableNow replays, so just assert schema
+        assert [f.name for f in spark.table("py_idx_neardup").schema.fields] == \
+            ["stream_id", "corpus_id", "jaccard"]
 
     # ---- SQL extension functions through the functions module ----
     row = docs.limit(1).select(
