@@ -117,6 +117,18 @@ def near_dup_against_corpus(stream, corpus_bk, text_col="text",
                     float(threshold)))
 
 
+def exact_dedup_against_index(stream, index, text_col="text",
+                              ts_col="event_time", watermark="10 minutes",
+                              canonical=False):
+    """Drop stream docs whose fingerprint exists in a persisted
+    graft.text.exact_index, then dedup survivors within the watermark."""
+    spark, jvm = ctx(stream)
+    return lift(spark,
+                jvm.graft.streaming.StreamingDedup.streamingExactDedupAgainstIndex(
+                    stream._jdf, index._jdf, text_col, ts_col, watermark,
+                    bool(canonical)))
+
+
 def near_dup_against_index(stream, index, text_col="text", id_col="doc_id",
                            ts_col="event_time", watermark="10 minutes",
                            k=3, num_hashes=64, bands=16, threshold=0.7):

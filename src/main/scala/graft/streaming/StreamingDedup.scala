@@ -32,6 +32,27 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("fingerprint")
 
   /**
+   * Streaming twin of [[graft.text.Dedup.exactIncremental]]: drop every
+   * stream document whose fingerprint already exists in a persisted
+   * [[graft.text.Dedup.exactIndex]], then dedup the survivors within the
+   * watermark window (so two copies arriving in the same window also
+   * collapse). `canonical` must match how the index was built. The
+   * left_anti probe is a stream-static join: the index is never held as
+   * stream state, so state stays bounded by the watermark regardless of
+   * corpus size.
+   */
+  def streamingExactDedupAgainstIndex(stream: DataFrame, index: DataFrame,
+      textCol: String = "text", tsCol: String = "event_time",
+      watermark: String = "10 minutes", canonical: Boolean = false): DataFrame = {
+    val fp = if (canonical) TextFunctions.canonicalFingerprint(col(textCol))
+    else md5(col(textCol).cast("binary"))
+    stream.withColumn("fingerprint", fp)
+      .join(index.withColumnRenamed("fp", "fingerprint"), Seq("fingerprint"), "left_anti")
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+  }
+
+  /**
    * Pre-compute the reference corpus's hyperplane band buckets — the
    * static side of [[streamingEmbeddingNearDup]]. At scale this is written
    * once (ideally bucketed by (band, bucket)) and reused by every stream.

@@ -63,6 +63,29 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally query.stop()
   }
 
+  test("streaming exact dedup against an exactIndex drops indexed and within-window dups") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val index = graft.text.Dedup.exactIndex(
+      Seq(100L -> "already ingested doc").toDF("doc_id", "text"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingDedup.streamingExactDedupAgainstIndex(
+      input.toDF().toDF("doc_id", "event_time", "text"), index)
+    val query = out.writeStream.format("memory").queryName("exact_idx_out")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData(
+        (1L, t(0), "already ingested doc"),  // dropped: in the index
+        (2L, t(1), "fresh doc"),             // kept
+        (3L, t(2), "fresh doc"))             // dropped: dup of 2 in-window
+      query.processAllAvailable()
+      val ids = s.sql("SELECT doc_id FROM exact_idx_out").collect().map(_.getLong(0)).toSet
+      ids shouldBe Set(2L)
+    } finally query.stop()
+  }
+
   test("streaming near-dup against a minhashIndex matches the batch incremental operator") {
     val s = spark
     import s.implicits._

@@ -323,6 +323,15 @@ def main() -> int:
         assert lbl[1].endswith("10:00:00"), lbl
         assert lbl[2].endswith("10:01:00"), lbl
         assert lbl[3].endswith("10:02:00"), lbl
+        # r18: stream exact-dedup against the persisted fingerprint index
+        fpi = graft.text.exact_index(spark.createDataFrame(
+            [(100, "alpha beta")], ["doc_id", "text"]))
+        q5 = (graft.streaming.exact_dedup_against_index(stream, fpi)
+              .writeStream.format("memory").queryName("py_exact_idx")
+              .outputMode("append").trigger(availableNow=True).start())
+        q5.awaitTermination(120)
+        surv = {r["doc_id"] for r in spark.table("py_exact_idx").collect()}
+        assert surv == {3}, surv  # 1,2 dup "alpha beta" (indexed); 3 fresh
         # r18: stream near-dup against the persisted batch-dedup index
         ref = spark.createDataFrame(
             [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"])
