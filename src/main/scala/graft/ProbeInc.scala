@@ -36,6 +36,13 @@ object ProbeInc {
     val t0 = System.nanoTime()
     graft.text.Dedup.minhashIndex(old).write.mode("overwrite").parquet(idxDir)
     println(f"[probeinc] index build+write ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+    // streaming replay fixture: the batch with synthetic event times (2020
+    // base — epoch 0 would fall behind the initial watermark and drop)
+    val replayDir = java.nio.file.Files.createTempDirectory("graft_inc_replay_")
+      .toAbsolutePath.toString
+    val batchTs = batch.withColumn("event_time",
+      timestamp_seconds(lit(1577836800L) + col("doc_id") % 3600))
+    batchTs.write.mode("overwrite").parquet(replayDir)
     try {
       for (r <- 1 to reps) {
         val t1 = System.nanoTime()
@@ -43,13 +50,33 @@ object ProbeInc {
           k = 3, numHashes = 64, bands = 16, threshold = 0.3).count()
         val t2 = System.nanoTime()
         val idx = spark.read.parquet(idxDir)
-        val nInc = graft.text.Dedup.incrementalMinhashNearDuplicates(batch, idx,
-          k = 3, numHashes = 64, bands = 16, threshold = 0.3).count()
+        val incDf = graft.text.Dedup.incrementalMinhashNearDuplicates(batch, idx,
+          k = 3, numHashes = 64, bands = 16, threshold = 0.3)
+        val nInc = incDf.count()
         val t3 = System.nanoTime()
+        val nIncIdx = incDf.filter(col("from_index")).count() // untimed: parity ref
+        val t3b = System.nanoTime()
+        // streaming leg: availableNow replay of the SAME batch against the
+        // SAME index through the stream-static operator; its pair count
+        // must equal inc's from_index pairs (parity invariant at scale)
+        val stream = spark.readStream.schema(batchTs.schema).parquet(replayDir)
+        val sink = s"probeinc_sink_$r"
+        val q = graft.streaming.StreamingDedup.streamingNearDupAgainstIndex(
+            stream, idx, threshold = 0.3)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        val nStream = spark.table(sink).count()
+        val t4 = System.nanoTime()
         println(f"[probeinc] rep$r full=${(t2 - t1) / 1e9}%7.2f s pairs=$nFull" +
-          f"  inc=${(t3 - t2) / 1e9}%7.2f s pairs=$nInc")
+          f"  inc=${(t3 - t2) / 1e9}%7.2f s pairs=$nInc (vs-index $nIncIdx)" +
+          f"  stream=${(t4 - t3b) / 1e9}%7.2f s pairs=$nStream" +
+          (if (nStream == nIncIdx) " PARITY" else " MISMATCH"))
       }
     } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(replayDir)).deleteRecursively()
       import scala.reflect.io.Directory
       new Directory(new java.io.File(idxDir)).deleteRecursively()
     }
