@@ -1354,8 +1354,11 @@ object SparkEntry {
       graft.text.Dedup.duplicateSpans(Tables.documents(s, dir), k = 5)),
     "dd21_remove_dup_spans" -> ((s, dir) =>
       // Dolma/RefinedWeb boilerplate removal: drop every word covered by a
-      // 5-gram that appears in >= 2 distinct docs, emit the cleaned text
-      graft.text.Dedup.removeDuplicatedSpans(Tables.documents(s, dir), k = 5)),
+      // 5-gram that appears in >= 2 distinct docs, emit the cleaned text.
+      // text coalesced to '' on both sides (tx26 precedent): a null text
+      // would emit n_words=-1 here vs NULL in the oracle's left join
+      graft.text.Dedup.removeDuplicatedSpans(Tables.documents(s, dir)
+        .withColumn("text", coalesce(col("text"), lit(""))), k = 5)),
     "tx10_repetition" -> ((s, dir) =>
       // Gopher-style word-repetition signals; int/int ratios, unrounded
       graft.text.TextFunctions.repetitionSignals(Tables.documents(s, dir))),
@@ -4011,7 +4014,8 @@ object SparkEntry {
     // positional 5-gram coverage removal; the O(tokens x starts) lambda scan
     // here is oracle-only — the Spark side merges sorted starts in one pass
     "dd21_remove_dup_spans" ->
-      """WITH toks AS (SELECT doc_id, string_split(text,' ') AS t FROM documents),
+      """WITH toks AS (SELECT doc_id, string_split(coalesce(text,''),' ') AS t
+                       FROM documents),
          sp AS (SELECT doc_id, i AS s,
                   t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5] AS sh
                 FROM toks, unnest(range(greatest(len(t)-4,0))) AS u(i)),
