@@ -136,6 +136,22 @@ def remove_duplicated_spans(df, k=5, min_doc_freq=2, text_col="text",
         df._jdf, int(k), int(min_doc_freq), text_col, id_col))
 
 
+def sequence_packing(df, capacity, text_col="text", id_col="doc_id"):
+    """GPT-style pack-then-chunk layout: per doc its global token offset
+    and the first/last packed sequence at the given capacity."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.sequencePacking(
+        df._jdf, int(capacity), text_col, id_col))
+
+
+def packing_summary(df, capacity, text_col="text", id_col="doc_id"):
+    """Capacity-planner totals for sequence_packing: token total, sequence
+    count, boundary-spanning docs, tail waste."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.packingSummary(
+        df._jdf, int(capacity), text_col, id_col))
+
+
 def minhash_index(df, text_col="text", id_col="doc_id", k=3, num_hashes=64):
     """Persisted near-dup index: (id, sig, sh) rows; write as parquet and
     dedup later batches against it without rescanning corpus text."""

@@ -1324,6 +1324,15 @@ object SparkEntry {
       graft.text.Dedup.leakageFreeSplit(t.select("doc_id"), pairs, nSplits = 10,
         splitOf = Some(c => pmod(c, lit(10))))
     }),
+    "smp13_sequence_packing" -> ((s, dir) =>
+      // GPT-style pack-then-chunk layout: global token offsets + first/last
+      // packed sequence per doc; distributed two-phase cumsum (literal
+      // quantile ranges, per-range window, broadcast base offsets)
+      graft.text.Packing.sequencePacking(Tables.documents(s, dir),
+        capacity = 256)),
+    "smp14_packing_summary" -> ((s, dir) =>
+      graft.text.Packing.packingSummary(Tables.documents(s, dir),
+        capacity = 256)),
     "dd22_incremental_exact" -> ((s, dir) => {
       // daily-ingest exact dedup: docs < 250 are the persisted index, the
       // rest arrive as a batch flagged against index + earlier-in-batch
@@ -3997,6 +4006,41 @@ object SparkEntry {
            count(*) FILTER (WHERE d.df > 1)::DOUBLE / count(*) AS dup_span_ratio
          FROM sh s JOIN dfreq d USING (sh)
          GROUP BY s.doc_id""",
+    "smp13_sequence_packing" ->
+      """WITH t AS (SELECT doc_id,
+             len(string_split(coalesce(text,''),' '))::BIGINT AS n_tokens
+           FROM documents),
+         o AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start_offset
+           FROM t)
+         SELECT doc_id, n_tokens, start_offset,
+           (start_offset // 256)::BIGINT AS seq_start,
+           (CASE WHEN n_tokens = 0 THEN start_offset // 256
+                 ELSE (start_offset + n_tokens - 1) // 256 END)::BIGINT AS seq_end
+         FROM o""",
+    "smp14_packing_summary" ->
+      """WITH t AS (SELECT doc_id,
+             len(string_split(coalesce(text,''),' '))::BIGINT AS n_tokens
+           FROM documents),
+         o AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS start_offset
+           FROM t),
+         p AS (SELECT n_tokens,
+             (start_offset // 256)::BIGINT AS seq_start,
+             (CASE WHEN n_tokens = 0 THEN start_offset // 256
+                   ELSE (start_offset + n_tokens - 1) // 256 END)::BIGINT AS seq_end
+           FROM o)
+         SELECT sum(n_tokens)::BIGINT AS total_tokens,
+           count(*)::BIGINT AS n_docs,
+           (max(seq_end) + 1)::BIGINT AS n_sequences,
+           coalesce(sum(CASE WHEN seq_end > seq_start THEN 1 ELSE 0 END), 0)::BIGINT
+             AS n_boundary_docs,
+           ((max(seq_end) + 1) * 256 - sum(n_tokens))::BIGINT AS tail_waste_tokens
+         FROM p""",
     "dd22_incremental_exact" ->
       """WITH idx AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id
                       FROM documents WHERE doc_id < 250 GROUP BY 1),

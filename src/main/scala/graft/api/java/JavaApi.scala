@@ -316,6 +316,17 @@ object JavaPipelineOps {
       textCol: String, idCol: String): DataFrame =
     graft.text.Dedup.removeDuplicatedSpans(df, k, minDocFreq, textCol, idCol)
 
+  /** GPT-style sequence packing (r18): global token offsets + first/last
+    * packed sequence per doc at the given capacity. */
+  def sequencePacking(df: DataFrame, capacity: Long, textCol: String,
+      idCol: String): DataFrame =
+    graft.text.Packing.sequencePacking(df, capacity, textCol, idCol)
+
+  /** Packing planner summary (r18): totals, sequence count, tail waste. */
+  def packingSummary(df: DataFrame, capacity: Long, textCol: String,
+      idCol: String): DataFrame =
+    graft.text.Packing.packingSummary(df, capacity, textCol, idCol)
+
   /** Persisted near-dup index builder (r18): (id, sig, sh) rows to write
     * as parquet and dedup later batches against. */
   def minhashIndex(df: DataFrame, textCol: String, idCol: String,

@@ -1,0 +1,88 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Sequence packing for LLM pretraining: concatenate documents in a
+ * deterministic order (ascending id) into fixed-capacity token windows
+ * ("sequences" of e.g. 2048 tokens), the GPT-style pack-then-chunk layout
+ * where documents may span a sequence boundary. Per document the operator
+ * emits its global token offset and the first/last sequence it lands in;
+ * training-side chunkers consume exactly this.
+ *
+ * Scale shape — the operator is a GLOBAL running sum, which Spark's
+ * `Window.orderBy` without partitions would execute on ONE task (the
+ * classic single-partition window trap). Instead, the classic two-phase
+ * scan: split the id space into ranges, run the cumsum as a per-range
+ * window (parallel), and shift each range by the total of the ranges
+ * before it (a #ranges-row aggregate, broadcast back — never data-sized).
+ * The range ids are a LITERAL when-chain over quantile boundaries computed
+ * once up front, NOT `repartitionByRange`: RangePartitioner re-samples
+ * with a fresh seed on every re-evaluation of the plan, so two branches
+ * of the same query could disagree about which range a row belongs to;
+ * baking the boundaries into the plan makes the assignment a pure
+ * function of the id. Ids must be unique (they are document ids).
+ */
+object Packing {
+
+  /** Whitespace token counts + global offsets + sequence span per doc.
+    * `capacity` = tokens per packed sequence. Output: (id, n_tokens,
+    * start_offset, seq_start, seq_end), deterministic. */
+  def sequencePacking(df: DataFrame, capacity: Long,
+      textCol: String = "text", idCol: String = "doc_id",
+      numRanges: Int = 0): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val ranges = if (numRanges > 0) numRanges
+    else df.sparkSession.sparkContext.defaultParallelism
+    val counted = df.select(col(idCol),
+      size(TextFunctions.tokens(coalesce(col(textCol), lit("")))).cast("long")
+        .as("n_tokens"))
+    // literal range boundaries: one approximate-quantile pass, then the
+    // range id is a pure function of the id for every later evaluation
+    val probs = (1 until ranges).map(_.toDouble / ranges).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else counted.stat.approxQuantile(idCol, probs, 0.001).distinct.sorted
+    val pidExpr = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+      case ((b, i), acc) => when(col(idCol) < b, lit(i)).otherwise(acc)
+    }
+    val withPid = counted.withColumn("__pid", pidExpr)
+    val w = Window.partitionBy("__pid").orderBy(idCol)
+    val local = withPid.withColumn("__local_end", sum(col("n_tokens")).over(w))
+    // base offset per range: #ranges rows total, so the orderBy window's
+    // single task is bounded by the range COUNT, not the data
+    val bases = local.groupBy("__pid")
+      .agg(max(col("__local_end")).as("__total"))
+      .withColumn("__base", coalesce(
+        sum(col("__total")).over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__base"))
+    local.join(broadcast(bases), "__pid")
+      .withColumn("start_offset", col("__local_end") - col("n_tokens") + col("__base"))
+      .withColumn("seq_start", expr(s"start_offset div ${capacity}L"))
+      .withColumn("seq_end",
+        when(col("n_tokens") === 0, expr(s"start_offset div ${capacity}L"))
+          .otherwise(expr(s"(start_offset + n_tokens - 1) div ${capacity}L")))
+      .select(col(idCol), col("n_tokens"), col("start_offset"),
+        col("seq_start"), col("seq_end"))
+  }
+
+  /** Packing report a capacity planner reads: corpus token total, sequence
+    * count at `capacity`, boundary-spanning docs, tail waste. */
+  def packingSummary(df: DataFrame, capacity: Long,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    sequencePacking(df, capacity, textCol, idCol).agg(
+        sum(col("n_tokens")).as("total_tokens"),
+        max(col("seq_end")).as("max_seq"),
+        count(lit(1)).as("n_docs"),
+        sum(when(col("seq_end") > col("seq_start"), 1L).otherwise(0L))
+          .as("n_boundary_docs"))
+      .withColumn("n_sequences", col("max_seq") + 1)
+      .withColumn("tail_waste_tokens",
+        col("n_sequences") * capacity - col("total_tokens"))
+      .select(col("total_tokens"), col("n_docs"), col("n_sequences"),
+        col("n_boundary_docs"), col("tail_waste_tokens"))
+  }
+}

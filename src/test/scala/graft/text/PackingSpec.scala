@@ -1,0 +1,56 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.matchers.should.Matchers
+
+import graft.SparkTestSession
+
+/** Specs for the r18 sequence-packing operator: hand-computed offsets,
+  * the two-phase == single-range equivalence (the distributed cumsum must
+  * not depend on the range count), and the planner summary. */
+class PackingSpec extends AnyFunSuite with Matchers with SparkTestSession {
+
+  test("sequencePacking: hand-computed offsets and sequence spans") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      0L -> "a b c d",            // 4 tokens, offset 0,  seq 0..0
+      1L -> "e f g h i j k l",    // 8 tokens, offset 4,  tokens 4..11 -> seq 0..1
+      2L -> "m n o p q r"         // 6 tokens, offset 12, tokens 12..17 -> seq 1..1
+    ).toDF("doc_id", "text")
+    val out = Packing.sequencePacking(df, capacity = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    out(0L) shouldBe ((4L, 0L, 0L, 0L))
+    out(1L) shouldBe ((8L, 4L, 0L, 1L))
+    out(2L) shouldBe ((6L, 12L, 1L, 1L))
+  }
+
+  test("sequencePacking: range count does not change the result") {
+    val s = spark
+    import s.implicits._
+    // sparse, shuffled ids so ranges are non-trivial
+    val df = (0 until 200).map(i => ((i * 937) % 100000).toLong ->
+      (("tok " * (1 + i % 17)).trim)).toDF("doc_id", "text")
+    def run(ranges: Int) = Packing.sequencePacking(df, 64, numRanges = ranges)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    run(1) shouldBe run(7)
+    run(7) shouldBe run(32)
+  }
+
+  test("packingSummary: totals, boundary docs, and tail waste") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      0L -> "a b c d",
+      1L -> "e f g h i j k l",
+      2L -> "m n o p q r"
+    ).toDF("doc_id", "text")
+    val r = Packing.packingSummary(df, capacity = 10).head()
+    r.getLong(0) shouldBe 18L // total_tokens
+    r.getLong(1) shouldBe 3L  // n_docs
+    r.getLong(2) shouldBe 2L  // n_sequences
+    r.getLong(3) shouldBe 1L  // n_boundary_docs (doc 1 spans seq 0->1)
+    r.getLong(4) shouldBe 2L  // tail waste: 2*10 - 18
+  }
+}

@@ -132,6 +132,12 @@ def main() -> int:
     split = graft.text.leakage_free_split(docs.select("doc_id"), pairs, 5)
     assert (split.groupBy("cluster_id")
             .agg(F.countDistinct("split").alias("k")).filter("k > 1").count() == 0)
+    # r18: sequence packing through the facade
+    pk = {r["doc_id"]: (r["start_offset"], r["seq_start"], r["seq_end"])
+          for r in graft.text.sequence_packing(spark.createDataFrame(
+              [(0, "a b c d"), (1, "e f g h i j k l")], ["doc_id", "text"]),
+              capacity=10).collect()}
+    assert pk == {0: (0, 0, 0), 1: (4, 0, 1)}, pk
     # r18: boilerplate-span removal through the facade
     span_docs = spark.createDataFrame(
         [(0, "a b c d e f g"), (1, "z a b c d e")], ["doc_id", "text"])
