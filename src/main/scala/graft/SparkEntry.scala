@@ -2159,6 +2159,38 @@ object SparkEntry {
       deleteRecursively(tmp)
       res
     }),
+    "st05_streaming_idx_neardup_digest" -> ((s, dir) => {
+      // r18: the streaming half of the incremental-dedup index story,
+      // driver-visible — docs >= 250 replayed availableNow through
+      // streamingNearDupAgainstIndex against minhashIndex(docs < 250),
+      // reduced to a pair digest whose oracle constant is DERIVED from the
+      // dd03 golden (its 13 pairs with exactly one side < 250), the same
+      // derivation contract as dd23
+      val docs = Tables.documents(s, dir)
+      val index = graft.text.Dedup.minhashIndex(docs.filter(col("doc_id") < 250))
+      val batch = docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("text"),
+          timestamp_micros(lit(1577836800000000L) + col("doc_id") * 1000000L)
+            .as("event_time"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st05_").toString
+      batch.write.mode("overwrite").parquet(s"$tmp/docs")
+      val stream = s.readStream.schema(batch.schema).parquet(s"$tmp/docs")
+      val out = graft.streaming.StreamingDedup.streamingNearDupAgainstIndex(
+        stream, index, watermark = "36500 days",
+        k = 3, numHashes = 64, bands = 16, threshold = 0.3)
+      val sink = s"st05_sink_${System.nanoTime}"
+      val q = out.writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val res = pairDigest(s.table(sink),
+        format_string("%d,%d,%.6f", least(col("stream_id"), col("corpus_id")),
+          greatest(col("stream_id"), col("corpus_id")), col("jaccard")))
+        .localCheckpoint()
+      deleteRecursively(tmp)
+      res
+    }),
     "st04_streaming_late_drop" -> ((s, dir) => {
       // r18 (VERDICT r17 #1): watermark EVICTION and late-data DROPPING on a
       // real two-phase replay — the one streaming semantic st01-st03 never
@@ -4055,6 +4087,10 @@ object SparkEntry {
     // not frozen from a run — see the queries-side comment and the manifest
     "dd23_incremental_minhash_digest" ->
       """SELECT '3746a3a73b0c7f551a5c15eac7a3ab5c' AS digest, 21::BIGINT AS n_pairs""",
+    // derived from the dd03 golden the same way: its 13 pairs with exactly
+    // one side < 250 (the stream operator emits only stream-x-index pairs)
+    "st05_streaming_idx_neardup_digest" ->
+      """SELECT 'd9a0231808340962e80b40f0d7b8ec35' AS digest, 13::BIGINT AS n_pairs""",
     // positional 5-gram coverage removal; the O(tokens x starts) lambda scan
     // here is oracle-only — the Spark side merges sorted starts in one pass
     "dd21_remove_dup_spans" ->
