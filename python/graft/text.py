@@ -152,6 +152,15 @@ def packing_summary(df, capacity, text_col="text", id_col="doc_id"):
         df._jdf, int(capacity), text_col, id_col))
 
 
+def bin_packing(df, capacity, text_col="text", id_col="doc_id",
+                domain_size=0):
+    """No-split next-fit bin packing (SFT-style): docs go whole into bins,
+    packed independently per id-domain (domain_size 0 = one domain)."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.binPacking(
+        df._jdf, int(capacity), text_col, id_col, int(domain_size)))
+
+
 def minhash_index(df, text_col="text", id_col="doc_id", k=3, num_hashes=64):
     """Persisted near-dup index: (id, sig, sh) rows; write as parquet and
     dedup later batches against it without rescanning corpus text."""

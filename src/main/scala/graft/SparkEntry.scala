@@ -1333,6 +1333,11 @@ object SparkEntry {
     "smp14_packing_summary" -> ((s, dir) =>
       graft.text.Packing.packingSummary(Tables.documents(s, dir),
         capacity = 256)),
+    "smp15_bin_packing" -> ((s, dir) =>
+      // no-split next-fit bins, 100-doc id domains as the packing shards;
+      // the oracle replays the same greedy rule as a recursive CTE
+      graft.text.Packing.binPacking(Tables.documents(s, dir),
+        capacity = 256, domainSize = 100)),
     "dd22_incremental_exact" -> ((s, dir) => {
       // daily-ingest exact dedup: docs < 250 are the persisted index, the
       // rest arrive as a batch flagged against index + earlier-in-batch
@@ -4073,6 +4078,26 @@ object SparkEntry {
              AS n_boundary_docs,
            ((max(seq_end) + 1) * 256 - sum(n_tokens))::BIGINT AS tail_waste_tokens
          FROM p""",
+    // next-fit replayed row-by-row: the recursion advances one rn per
+    // domain per step, so depth = docs-per-domain (100 here), and the five
+    // domains progress in parallel through the same CTE
+    "smp15_bin_packing" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+             len(string_split(coalesce(text,''),' '))::BIGINT AS n_tokens,
+             (doc_id // 100)::BIGINT AS domain,
+             row_number() OVER (PARTITION BY doc_id // 100 ORDER BY doc_id) AS rn
+           FROM documents),
+         p AS (
+           SELECT domain, rn, doc_id, n_tokens, 0::BIGINT AS bin,
+             n_tokens AS fill
+           FROM t WHERE rn = 1
+           UNION ALL
+           SELECT t.domain, t.rn, t.doc_id, t.n_tokens,
+             CASE WHEN p.fill + t.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+             CASE WHEN p.fill + t.n_tokens > 256 THEN t.n_tokens
+                  ELSE p.fill + t.n_tokens END
+           FROM p JOIN t ON t.domain = p.domain AND t.rn = p.rn + 1)
+         SELECT doc_id, n_tokens, domain, bin FROM p""",
     "dd22_incremental_exact" ->
       """WITH idx AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id
                       FROM documents WHERE doc_id < 250 GROUP BY 1),

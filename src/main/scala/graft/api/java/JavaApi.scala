@@ -327,6 +327,11 @@ object JavaPipelineOps {
       idCol: String): DataFrame =
     graft.text.Packing.packingSummary(df, capacity, textCol, idCol)
 
+  /** No-split next-fit bin packing per id-domain (r18). */
+  def binPacking(df: DataFrame, capacity: Long, textCol: String,
+      idCol: String, domainSize: Long): DataFrame =
+    graft.text.Packing.binPacking(df, capacity, textCol, idCol, domainSize)
+
   /** Persisted near-dup index builder (r18): (id, sig, sh) rows to write
     * as parquet and dedup later batches against. */
   def minhashIndex(df: DataFrame, textCol: String, idCol: String,

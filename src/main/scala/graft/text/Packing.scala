@@ -69,6 +69,47 @@ object Packing {
         col("seq_start"), col("seq_end"))
   }
 
+  /**
+   * No-split bin packing (r18): the SFT-style companion to
+   * [[sequencePacking]] — documents are never split across a boundary;
+   * each goes whole into the current bin, and a bin closes when the next
+   * doc would overflow `capacity` (next-fit, the deterministic streaming
+   * rule; a doc longer than capacity gets a bin to itself). Packing runs
+   * independently per DOMAIN (`id div domainSize`; domainSize 0 = one
+   * global domain) — domains are the packing shards, so at 100 TB each
+   * domain packs in parallel and the sequential scan inside a domain is
+   * bounded by the domain size the caller picks, never the corpus. The
+   * per-domain kernel is a sorted per-partition pass (SURVEY §7.3 shape);
+   * output: (id, n_tokens, domain, bin), bins numbered within a domain.
+   */
+  def binPacking(df: DataFrame, capacity: Long, textCol: String = "text",
+      idCol: String = "doc_id", domainSize: Long = 0): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val domainExpr = if (domainSize > 0) expr(s"$idCol div ${domainSize}L")
+    else lit(0L)
+    val counted = df.select(col(idCol).cast("long").as("id"),
+      size(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+        .cast("long").as("n_tokens"),
+      domainExpr.cast("long").as("domain"))
+    counted.select("domain", "id", "n_tokens").as[(Long, Long, Long)]
+      .repartition(col("domain"))
+      .sortWithinPartitions("domain", "id")
+      .mapPartitions { it =>
+        var curDomain = Long.MinValue
+        var bin = -1L
+        var fill = 0L
+        it.map { case (d, id, n) =>
+          if (d != curDomain) { curDomain = d; bin = -1L; fill = 0L }
+          if (bin < 0L || fill + n > capacity) { bin += 1L; fill = 0L }
+          fill += n
+          (id, n, d, bin)
+        }
+      }
+      .toDF(idCol, "n_tokens", "domain", "bin")
+  }
+
   /** Packing report a capacity planner reads: corpus token total, sequence
     * count at `capacity`, boundary-spanning docs, tail waste. */
   def packingSummary(df: DataFrame, capacity: Long,

@@ -38,6 +38,41 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     run(7) shouldBe run(32)
   }
 
+  test("binPacking: next-fit closes bins on overflow; oversized doc gets its own") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      0L -> ("w " * 4).trim,   // 4 -> bin 0 (fill 4)
+      1L -> ("w " * 8).trim,   // 4+8 > 10 -> bin 1 (fill 8)
+      2L -> ("w " * 6).trim,   // 8+6 > 10 -> bin 2 (fill 6)
+      3L -> ("w " * 12).trim,  // oversized -> bin 3 alone
+      4L -> ("w " * 3).trim    // 12+3 > 10 -> bin 4
+    ).toDF("doc_id", "text")
+    val out = Packing.binPacking(df, capacity = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    out shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+    // tighter fits share bins; an exact fill (3+3+4 = 10) does NOT overflow
+    val df2 = Seq(0L -> "a b c", 1L -> "d e f", 2L -> "g h i j",
+      3L -> "k l m n m o").toDF("doc_id", "text")
+    val out2 = Packing.binPacking(df2, capacity = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    out2 shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L)
+  }
+
+  test("binPacking: domains pack independently with bins restarting per domain") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 40L).map(i => i -> ("w " * 7).trim).toDF("doc_id", "text")
+    val out = Packing.binPacking(df, capacity = 10, domainSize = 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    // 7 tokens per doc, capacity 10: every doc gets its own bin, numbered
+    // 0..9 within each 10-doc domain
+    out.foreach { case (id, domain, bin) =>
+      domain shouldBe id / 10
+      bin shouldBe id % 10
+    }
+  }
+
   test("packingSummary: totals, boundary docs, and tail waste") {
     val s = spark
     import s.implicits._

@@ -138,6 +138,10 @@ def main() -> int:
               [(0, "a b c d"), (1, "e f g h i j k l")], ["doc_id", "text"]),
               capacity=10).collect()}
     assert pk == {0: (0, 0, 0), 1: (4, 0, 1)}, pk
+    bins = {r["doc_id"]: r["bin"] for r in graft.text.bin_packing(
+        spark.createDataFrame([(0, "a b c"), (1, "d e f"), (2, "g h i j k")],
+                              ["doc_id", "text"]), capacity=10).collect()}
+    assert bins == {0: 0, 1: 0, 2: 1}, bins  # 3+3 fits, +5 overflows
     # r18: boilerplate-span removal through the facade
     span_docs = spark.createDataFrame(
         [(0, "a b c d e f g"), (1, "z a b c d e")], ["doc_id", "text"])
