@@ -77,7 +77,6 @@ object ProbeInc {
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(replayDir)).deleteRecursively()
-      import scala.reflect.io.Directory
       new Directory(new java.io.File(idxDir)).deleteRecursively()
     }
     spark.stop()

@@ -4099,9 +4099,10 @@ object SparkEntry {
            FROM p JOIN t ON t.domain = p.domain AND t.rn = p.rn + 1)
          SELECT doc_id, n_tokens, domain, bin FROM p""",
     "dd22_incremental_exact" ->
-      """WITH idx AS (SELECT md5(text) AS fp, min(doc_id) AS keep_id
+      """WITH idx AS (SELECT md5(coalesce(text,'')) AS fp, min(doc_id) AS keep_id
                       FROM documents WHERE doc_id < 250 GROUP BY 1),
-         b AS (SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id >= 250),
+         b AS (SELECT doc_id, md5(coalesce(text,'')) AS fp
+               FROM documents WHERE doc_id >= 250),
          bm AS (SELECT fp, min(doc_id) AS batch_min FROM b GROUP BY 1)
          SELECT b.doc_id, b.fp,
            (i.keep_id IS NOT NULL OR bm.batch_min < b.doc_id) AS is_dup,

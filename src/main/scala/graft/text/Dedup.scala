@@ -251,13 +251,18 @@ object Dedup {
   }
 
   /** Persisted EXACT-dedup index: one (fingerprint, keep_id) row per
-    * distinct content; the md5/canonical twin of [[minhashIndex]]. */
+    * distinct content; the md5/canonical twin of [[minhashIndex]]. NULL
+    * text fingerprints as the empty string — a NULL fp would silently
+    * drop its batch rows from [[exactIncremental]]'s null-unsafe joins. */
   def exactIndex(df: DataFrame, textCol: String = "text",
-      idCol: String = "doc_id", canonical: Boolean = false): DataFrame = {
-    val keyExpr = if (canonical) TextFunctions.canonicalFingerprint(col(textCol))
-    else md5(col(textCol).cast("binary"))
-    spread(df).select(keyExpr.as("fp"), col(idCol))
+      idCol: String = "doc_id", canonical: Boolean = false): DataFrame =
+    spread(df).select(exactFp(col(textCol), canonical).as("fp"), col(idCol))
       .groupBy("fp").agg(min(col(idCol)).as("keep_id"))
+
+  private def exactFp(text: Column, canonical: Boolean): Column = {
+    val t = coalesce(text, lit(""))
+    if (canonical) TextFunctions.canonicalFingerprint(t)
+    else md5(t.cast("binary"))
   }
 
   /**
@@ -272,9 +277,8 @@ object Dedup {
   def exactIncremental(batch: DataFrame, index: DataFrame,
       textCol: String = "text", idCol: String = "doc_id",
       canonical: Boolean = false): DataFrame = {
-    val keyExpr = if (canonical) TextFunctions.canonicalFingerprint(col(textCol))
-    else md5(col(textCol).cast("binary"))
-    val bfp = spread(batch).select(col(idCol), keyExpr.as("fp"))
+    val bfp = spread(batch).select(col(idCol),
+      exactFp(col(textCol), canonical).as("fp"))
     val batchMin = bfp.groupBy(col("fp")).agg(min(col(idCol)).as("__batch_min"))
     bfp.join(index.withColumnRenamed("keep_id", "__index_keep"), Seq("fp"), "left")
       .join(batchMin, "fp")

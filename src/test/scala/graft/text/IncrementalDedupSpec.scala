@@ -79,6 +79,22 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkTestSessi
     delta.count() shouldBe 2L
   }
 
+  test("exactIncremental: null text fingerprints as '' and still emits a row") {
+    val s = spark
+    import s.implicits._
+    val index = Dedup.exactIndex(Seq((0L, null: String), (1L, "real doc"))
+      .toDF("doc_id", "text"))
+    val batch = Seq((10L, null: String), (11L, ""), (12L, "fresh"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, index).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), Option(r.get(3))))).toMap
+    // no batch row vanishes; null and '' share the empty-string fingerprint
+    out.keySet shouldBe Set(10L, 11L, 12L)
+    out(10L) shouldBe ((true, Some(0L)))
+    out(11L) shouldBe ((true, Some(0L)))
+    out(12L) shouldBe ((false, None))
+  }
+
   test("exactIncremental: a batch fingerprint present in the index dups ALL its batch rows") {
     val s = spark
     import s.implicits._
