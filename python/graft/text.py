@@ -237,6 +237,31 @@ def mix_weights(df, target_shares, budget_tokens, strata="source",
         df._jdf, jmap, int(budget_tokens), strata, text))
 
 
+def mixture_plan(df, weights, token_budget, max_epochs=10.0, strata="source",
+                 text_col="text"):
+    """Per-source token allocation + EPOCHS under a budget (the upsampling
+    complement of mix_weights' keep-rates)."""
+    spark, jvm = ctx(df)
+    jmap = jvm.java.util.HashMap()
+    for k, v in weights.items():
+        jmap.put(str(k), float(v))
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.mixturePlan(
+        df._jdf, jmap, int(token_budget), float(max_epochs), strata, text_col))
+
+
+def mixture_upsample(df, weights, token_budget, max_epochs=10.0,
+                     strata="source", text_col="text", id_col="doc_id"):
+    """Materialize the mixture deterministically: floor(epochs) copies per
+    doc plus a positional-rule fractional copy; one row per copy."""
+    spark, jvm = ctx(df)
+    jmap = jvm.java.util.HashMap()
+    for k, v in weights.items():
+        jmap.put(str(k), float(v))
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.mixtureUpsample(
+        df._jdf, jmap, int(token_budget), float(max_epochs), strata,
+        text_col, id_col))
+
+
 def chunk_docs(df, window, overlap, id_col="doc_id", text="text"):
     """Split documents into `window`-token chunks advancing by
     window - overlap; every token position covered."""

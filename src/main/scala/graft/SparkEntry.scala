@@ -1338,6 +1338,18 @@ object SparkEntry {
       // the oracle replays the same greedy rule as a recursive CTE
       graft.text.Packing.binPacking(Tables.documents(s, dir),
         capacity = 256, domainSize = 100)),
+    "smp16_mixture_plan" -> ((s, dir) =>
+      // per-source token allocation under a budget with an epoch cap;
+      // src4 is deliberately unweighted (weight 0 -> alloc 0)
+      graft.text.TextFunctions.mixturePlan(Tables.documents(s, dir),
+        Map("src0" -> 0.4, "src1" -> 0.35, "src2" -> 0.15, "src3" -> 0.1),
+        tokenBudget = 100000L, maxEpochs = 4.0)),
+    "smp17_mixture_upsample" -> ((s, dir) =>
+      // deterministic materialization of the same plan: floor(epochs)
+      // copies per doc + a positional-rule fractional copy, no RNG
+      graft.text.TextFunctions.mixtureUpsample(Tables.documents(s, dir),
+        Map("src0" -> 0.4, "src1" -> 0.35, "src2" -> 0.15, "src3" -> 0.1),
+        tokenBudget = 100000L, maxEpochs = 4.0)),
     "dd22_incremental_exact" -> ((s, dir) => {
       // daily-ingest exact dedup: docs < 250 are the persisted index, the
       // rest arrive as a batch flagged against index + earlier-in-batch
@@ -4078,6 +4090,40 @@ object SparkEntry {
              AS n_boundary_docs,
            ((max(seq_end) + 1) * 256 - sum(n_tokens))::BIGINT AS tail_waste_tokens
          FROM p""",
+    // double arithmetic mirrored op-for-op (budget*w, tokens*cap, least,
+    // divide) so the unrounded epochs column is bit-identical cross-engine
+    "smp16_mixture_plan" ->
+      """WITH t AS (SELECT source,
+             len(string_split(coalesce(text,''),' '))::BIGINT AS n_tokens,
+             CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.35
+                         WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.1
+                         ELSE 0.0 END AS w
+           FROM documents)
+         SELECT source, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens, max(w) AS target_weight,
+           least(100000.0 * max(w), sum(n_tokens)::DOUBLE * 4.0) AS alloc_tokens,
+           least(100000.0 * max(w), sum(n_tokens)::DOUBLE * 4.0)
+             / sum(n_tokens) AS epochs
+         FROM t GROUP BY source""",
+    "smp17_mixture_upsample" ->
+      """WITH t AS (SELECT doc_id, source,
+             len(string_split(coalesce(text,''),' '))::BIGINT AS n_tokens,
+             CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.35
+                         WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.1
+                         ELSE 0.0 END AS w
+           FROM documents),
+         e AS (SELECT source,
+             least(100000.0 * max(w), sum(n_tokens)::DOUBLE * 4.0)
+               / sum(n_tokens) AS epochs
+           FROM t GROUP BY source),
+         j AS (SELECT t.doc_id, t.source, t.n_tokens,
+             (floor(e.epochs)::BIGINT + CASE
+               WHEN (t.doc_id % 10000)::DOUBLE / 10000.0
+                    < e.epochs - floor(e.epochs) THEN 1 ELSE 0 END) AS n
+           FROM t JOIN e USING (source))
+         SELECT doc_id, source, i AS copy, n_tokens
+         FROM j, unnest(range(1, n + 1)) AS u(i)
+         WHERE n >= 1""",
     // next-fit replayed row-by-row: the recursion advances one rn per
     // domain per step, so depth = docs-per-domain (100 here), and the five
     // domains progress in parallel through the same CTE

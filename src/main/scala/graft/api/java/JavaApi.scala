@@ -327,6 +327,25 @@ object JavaPipelineOps {
       idCol: String): DataFrame =
     graft.text.Packing.packingSummary(df, capacity, textCol, idCol)
 
+  /** Per-source mixture plan under a token budget with an epoch cap (r18). */
+  def mixturePlan(df: DataFrame, weights: java.util.Map[String, java.lang.Double],
+      tokenBudget: Long, maxEpochs: Double, strata: String, text: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.text.TextFunctions.mixturePlan(df,
+      weights.asScala.map { case (k, v) => k -> v.doubleValue }.toMap,
+      tokenBudget, maxEpochs, strata, text)
+  }
+
+  /** Deterministic epoch-upsampled mixture materialization (r18). */
+  def mixtureUpsample(df: DataFrame, weights: java.util.Map[String, java.lang.Double],
+      tokenBudget: Long, maxEpochs: Double, strata: String, text: String,
+      idCol: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.text.TextFunctions.mixtureUpsample(df,
+      weights.asScala.map { case (k, v) => k -> v.doubleValue }.toMap,
+      tokenBudget, maxEpochs, strata, text, idCol)
+  }
+
   /** No-split next-fit bin packing per id-domain (r18). */
   def binPacking(df: DataFrame, capacity: Long, textCol: String,
       idCol: String, domainSize: Long): DataFrame =

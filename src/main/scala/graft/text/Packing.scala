@@ -29,7 +29,11 @@ object Packing {
 
   /** Whitespace token counts + global offsets + sequence span per doc.
     * `capacity` = tokens per packed sequence. Output: (id, n_tokens,
-    * start_offset, seq_start, seq_end), deterministic. */
+    * start_offset, seq_start, seq_end), deterministic. The GLOBAL-order
+    * counterpart of [[TextFunctions.packingPlan]], whose cumsum is
+    * per-STRATUM (parallel across strata but serial inside one, and bins
+    * never cross strata); here there is one corpus-wide token order and
+    * the two-phase range cumsum keeps it parallel anyway. */
   def sequencePacking(df: DataFrame, capacity: Long,
       textCol: String = "text", idCol: String = "doc_id",
       numRanges: Int = 0): DataFrame = {

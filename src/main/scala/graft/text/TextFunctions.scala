@@ -296,6 +296,62 @@ object TextFunctions {
   }
 
   /**
+   * Per-source mixture plan (r18): the table every pretraining run computes
+   * before sampling — given target weights and a total token budget, how
+   * many tokens each source contributes and at how many EPOCHS (upsampling
+   * factor), capped at `maxEpochs` so a tiny source can't be repeated
+   * unboundedly. alloc = min(budget × weight, tokens × maxEpochs);
+   * epochs = alloc / tokens. One aggregation; weights are a literal
+   * when-chain (sources the map omits get weight 0). The UPsampling
+   * complement of [[mixWeights]], whose keep-rates are ≤ 1 (downsample to
+   * shares); here epochs exceed 1 when the budget demands repetition, and
+   * [[mixtureUpsample]] materializes the copies.
+   */
+  def mixturePlan(df: DataFrame, weights: Map[String, Double],
+      tokenBudget: Long, maxEpochs: Double = 10.0, strata: String = "source",
+      text: String = "text"): DataFrame = {
+    val w = weights.toSeq.sortBy(_._1).foldLeft(lit(0.0)) {
+      case (acc, (s, r)) => when(col(strata) === s, lit(r)).otherwise(acc)
+    }
+    df.select(col(strata), size(tokens(coalesce(col(text), lit("")))).cast("long")
+        .as("__t"), w.as("__w"))
+      .groupBy(col(strata))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("n_tokens"),
+        max(col("__w")).as("target_weight"))
+      .withColumn("alloc_tokens", least(lit(tokenBudget.toDouble) * col("target_weight"),
+        col("n_tokens").cast("double") * maxEpochs))
+      .withColumn("epochs", col("alloc_tokens") / col("n_tokens"))
+  }
+
+  /**
+   * Deterministic mixture materialization (r18): emit each document
+   * `floor(epochs)` times plus one extra copy for the fractional remainder,
+   * selected by the positional rule `(id mod 10000)/10000 < frac(epochs)`
+   * — reproducible across runs and engines, no RNG. Epochs come from
+   * [[mixturePlan]] over the same corpus; output one row per COPY
+   * (id, source, copy, n_tokens), the upsampled stream a trainer consumes.
+   * Scale shape: the per-source plan is a #sources-row broadcast join;
+   * the explode is narrow (sequence over a per-row count).
+   */
+  def mixtureUpsample(df: DataFrame, weights: Map[String, Double],
+      tokenBudget: Long, maxEpochs: Double = 10.0, strata: String = "source",
+      text: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val plan = mixturePlan(df, weights, tokenBudget, maxEpochs, strata, text)
+      .select(col(strata), col("epochs"))
+    val base = df.select(col(idCol), col(strata),
+      size(tokens(coalesce(col(text), lit("")))).cast("long").as("n_tokens"))
+    base.join(broadcast(plan), strata)
+      .withColumn("__whole", floor(col("epochs")).cast("long"))
+      .withColumn("__extra",
+        when(pmod(col(idCol), lit(10000L)).cast("double") / 10000.0 <
+          col("epochs") - floor(col("epochs")), 1L).otherwise(0L))
+      .withColumn("__n", col("__whole") + col("__extra"))
+      .withColumn("copy", explode(when(col("__n") >= 1,
+        sequence(lit(1L), col("__n"))).otherwise(expr("array()").cast("array<bigint>"))))
+      .select(col(idCol), col(strata), col("copy"), col("n_tokens"))
+  }
+
+  /**
    * Corpus unigram language-model score per document: the mean negative log
    * probability of the document's tokens under the corpus' own unigram
    * distribution (CCNet-style perplexity proxy — unusually improbable token

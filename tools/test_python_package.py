@@ -142,6 +142,10 @@ def main() -> int:
         spark.createDataFrame([(0, "a b c"), (1, "d e f"), (2, "g h i j k")],
                               ["doc_id", "text"]), capacity=10).collect()}
     assert bins == {0: 0, 1: 0, 2: 1}, bins  # 3+3 fits, +5 overflows
+    mx = graft.text.mixture_upsample(
+        spark.createDataFrame([(0, "s", "a b c d e")], ["doc_id", "source", "text"]),
+        {"s": 1.0}, token_budget=10, max_epochs=4.0)
+    assert mx.count() == 2, mx.count()  # 10/5 = 2.0 epochs, frac 0
     # r18: boilerplate-span removal through the facade
     span_docs = spark.createDataFrame(
         [(0, "a b c d e f g"), (1, "z a b c d e")], ["doc_id", "text"])
