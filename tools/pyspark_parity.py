@@ -128,6 +128,24 @@ def main() -> int:
     n_groups = dedup.count()
     assert 0 < n_groups <= n_docs
 
+    # r18 batch-vs-Python parity for the incremental-index surfaces: the
+    # Python-side counts must equal the Scala-side counts on the same split
+    old_docs = docs.filter("doc_id < 25")
+    batch_docs = docs.filter("doc_id >= 25")
+    fp_index = lift(jvm.graft.text.Dedup.exactIndex(
+        old_docs._jdf, "text", "doc_id", False))
+    inc = lift(jvm.graft.api.java.JavaPipelineOps.exactIncremental(
+        batch_docs._jdf, fp_index._jdf, "text", "doc_id", False))
+    assert inc.count() == batch_docs.count()  # no batch row vanishes
+    packed = lift(jvm.graft.api.java.JavaPipelineOps.sequencePacking(
+        docs._jdf, 256, "text", "doc_id"))
+    n_packed = packed.count()
+    assert n_packed == n_docs
+    # offsets are a permutation-free global cumsum: max end == token total
+    tot = packed.agg({"n_tokens": "sum"}).first()[0]
+    last = packed.orderBy(packed.start_offset.desc()).first()
+    assert last["start_offset"] + last["n_tokens"] == tot
+
     emb = lift(jvm.graft.Tables.embeddings(jss, sf_dir))
     knn = lift(
         jvm.graft.sim.Similarity.bruteForceTopK(
