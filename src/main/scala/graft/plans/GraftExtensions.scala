@@ -68,10 +68,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WinnowingMins(children.head, intLit(kExpr, "k"), intLit(wExpr, "w"))
       }))
+    // r18: the hashed-shingle near-dup verify primitives as SQL functions
+    // (sorted 64-bit shingle hashes + linear-merge Jaccard + span rebuild)
+    e.injectFunction((
+      new FunctionIdentifier("hashed_word_shingles"),
+      new ExpressionInfo(classOf[graft.text.HashedWordShingles].getName,
+        "hashed_word_shingles"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "hashed_word_shingles takes (text, k); k must be an int literal")
+        graft.text.HashedWordShingles(children.head,
+          intLit(children(1), "hashed_word_shingles k"))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("jaccard_sorted_longs"),
+      new ExpressionInfo(classOf[graft.text.JaccardSortedLongs].getName,
+        "jaccard_sorted_longs"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "jaccard_sorted_longs takes two sorted arrays")
+        graft.text.JaccardSortedLongs(children(0), children(1))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("uncovered_tokens"),
+      new ExpressionInfo(classOf[graft.text.UncoveredTokens].getName,
+        "uncovered_tokens"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3,
+          "uncovered_tokens takes (tokens, sorted_starts, k); k must be an int literal")
+        graft.text.UncoveredTokens(children(0), children(1),
+          intLit(children(2), "uncovered_tokens k"))
+      }))
     inject(e, "canonical_fingerprint", 1)(c => TextFunctions.canonicalFingerprint(c.head))
     inject(e, "bpeish_token_count", 1)(c => TextFunctions.bpeishTokenCount(c.head))
     inject(e, "simhash64", 1)(c => Dedup.simhash(c.head))
     inject(e, "hamming64", 2)(c => Dedup.hamming(c(0), c(1)))
     inject(e, "cosine_similarity", 2)(c => graft.sim.Similarity.cosine(c(0), c(1)))
+  }
+
+  private def intLit(ex: Expression, what: String): Int = ex match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
   }
 }

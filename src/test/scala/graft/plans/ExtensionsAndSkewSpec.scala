@@ -51,6 +51,21 @@ class ExtensionsAndSkewSpec extends AnyFunSuite with Matchers
     row.getAs[Double]("cos") shouldBe (1.0 / math.sqrt(2)) +- 1e-12
   }
 
+  test("SQL function surface: hashed shingles / sorted-longs jaccard / uncovered tokens (r18)") {
+    val spark = this.spark
+    import spark.implicits._
+    Seq(("a b c d", "a b c x")).toDF("ta", "tb").createOrReplaceTempView("fx18")
+    val row = spark.sql(
+      """SELECT jaccard_sorted_longs(hashed_word_shingles(ta, 2),
+                                     hashed_word_shingles(tb, 2)) AS j,
+                uncovered_tokens(split(ta, ' '), array(1), 2) AS kept
+         FROM fx18""").collect()(0)
+    // shingles(ta)={ab,bc,cd}, shingles(tb)={ab,bc,cx}: |∩|=2, |∪|=4
+    row.getAs[Double]("j") shouldBe 0.5
+    // start 1, k 2 covers positions 1..2 of [a,b,c,d] -> keep a and d
+    row.getSeq[String](1) shouldBe Seq("a", "d")
+  }
+
   test("bucketed tables join without an exchange") {
     val spark = this.spark
     import spark.implicits._
