@@ -18,6 +18,9 @@ import graft.text.{Dedup, RollingHash, TextFunctions, WinnowingMins}
  *   simhash64(text)               — 64-bit SimHash
  *   hamming64(a, b)               — Hamming distance of two 64-bit signatures
  *   cosine_similarity(a, b)       — cosine of two double arrays
+ *   hashed_word_shingles(text, k) — sorted 64-bit k-shingle hashes (r18)
+ *   jaccard_sorted_longs(a, b)    — linear-merge Jaccard of sorted arrays (r18)
+ *   uncovered_tokens(toks, st, k) — span-removal rebuild (r18)
  *
  * All but rolling_hash are composed from the Column API and rewritten to
  * expressions through GraftSqlBridge — no parallel SQL implementations to
