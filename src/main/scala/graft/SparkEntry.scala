@@ -4102,8 +4102,9 @@ object SparkEntry {
          SELECT source, count(*)::BIGINT AS n_docs,
            sum(n_tokens)::BIGINT AS n_tokens, max(w) AS target_weight,
            least(100000.0 * max(w), sum(n_tokens)::DOUBLE * 4.0) AS alloc_tokens,
-           least(100000.0 * max(w), sum(n_tokens)::DOUBLE * 4.0)
-             / sum(n_tokens) AS epochs
+           CASE WHEN sum(n_tokens) = 0 THEN 0.0 ELSE
+             least(100000.0 * max(w), sum(n_tokens)::DOUBLE * 4.0)
+               / sum(n_tokens) END AS epochs
          FROM t GROUP BY source""",
     "smp17_mixture_upsample" ->
       """WITH t AS (SELECT doc_id, source,
@@ -4113,12 +4114,16 @@ object SparkEntry {
                          ELSE 0.0 END AS w
            FROM documents),
          e AS (SELECT source,
-             least(100000.0 * max(w), sum(n_tokens)::DOUBLE * 4.0)
-               / sum(n_tokens) AS epochs
+             CASE WHEN sum(n_tokens) = 0 THEN 0.0 ELSE
+               least(100000.0 * max(w), sum(n_tokens)::DOUBLE * 4.0)
+                 / sum(n_tokens) END AS epochs
            FROM t GROUP BY source),
          j AS (SELECT t.doc_id, t.source, t.n_tokens,
              (floor(e.epochs)::BIGINT + CASE
-               WHEN (t.doc_id % 10000)::DOUBLE / 10000.0
+               WHEN list_sum(list_transform(range(8),
+                   i -> (strpos('0123456789abcdef',
+                     substr(md5(t.doc_id::VARCHAR), i + 1, 1)) - 1)
+                     * 16.0^(7 - i))) / 16.0^8
                     < e.epochs - floor(e.epochs) THEN 1 ELSE 0 END) AS n
            FROM t JOIN e USING (source))
          SELECT doc_id, source, i AS copy, n_tokens

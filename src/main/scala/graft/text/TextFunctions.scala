@@ -320,15 +320,21 @@ object TextFunctions {
         max(col("__w")).as("target_weight"))
       .withColumn("alloc_tokens", least(lit(tokenBudget.toDouble) * col("target_weight"),
         col("n_tokens").cast("double") * maxEpochs))
-      .withColumn("epochs", col("alloc_tokens") / col("n_tokens"))
+      // a zero-token source would make alloc/n_tokens = 0/0 = NaN; emit an
+      // explicit 0.0 so downstream upsampling yields zero copies, not NaN rows
+      .withColumn("epochs", when(col("n_tokens") === 0L, lit(0.0))
+        .otherwise(col("alloc_tokens") / col("n_tokens")))
   }
 
   /**
    * Deterministic mixture materialization (r18): emit each document
    * `floor(epochs)` times plus one extra copy for the fractional remainder,
-   * selected by the positional rule `(id mod 10000)/10000 < frac(epochs)`
-   * — reproducible across runs and engines, no RNG. Epochs come from
-   * [[mixturePlan]] over the same corpus; output one row per COPY
+   * selected by the content-hash rule `md5(id)[0,8) / 16^8 < frac(epochs)`
+   * — reproducible across runs and engines, no RNG, and unbiased for ANY id
+   * scheme. (The r18 positional rule `(id mod 10000)/10000` was only
+   * unbiased under uniform id residues; snowflake/block-allocated ids
+   * silently skewed the realized fraction — r19 verdict item #1.) Epochs
+   * come from [[mixturePlan]] over the same corpus; output one row per COPY
    * (id, source, copy, n_tokens), the upsampled stream a trainer consumes.
    * Scale shape: the per-source plan is a #sources-row broadcast join;
    * the explode is narrow (sequence over a per-row count).
@@ -340,11 +346,15 @@ object TextFunctions {
       .select(col(strata), col("epochs"))
     val base = df.select(col(idCol), col(strata),
       size(tokens(coalesce(col(text), lit("")))).cast("long").as("n_tokens"))
+    // uniform (0,1) key from the id's md5 prefix — same content-hash family
+    // as [[stratifiedSample]]; 8 hex digits are exact in a double and the
+    // divisor is a power of two, so the compare is bit-identical cross-engine
+    val u = conv(substring(md5(col(idCol).cast("string").cast("binary")), 1, 8),
+      16, 10).cast("double") / lit(math.pow(16.0, 8))
     base.join(broadcast(plan), strata)
       .withColumn("__whole", floor(col("epochs")).cast("long"))
       .withColumn("__extra",
-        when(pmod(col(idCol), lit(10000L)).cast("double") / 10000.0 <
-          col("epochs") - floor(col("epochs")), 1L).otherwise(0L))
+        when(u < col("epochs") - floor(col("epochs")), 1L).otherwise(0L))
       .withColumn("__n", col("__whole") + col("__extra"))
       .withColumn("copy", explode(when(col("__n") >= 1,
         sequence(lit(1L), col("__n"))).otherwise(expr("array()").cast("array<bigint>"))))
