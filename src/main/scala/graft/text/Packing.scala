@@ -79,25 +79,40 @@ object Packing {
    * each goes whole into the current bin, and a bin closes when the next
    * doc would overflow `capacity` (next-fit, the deterministic streaming
    * rule; a doc longer than capacity gets a bin to itself). Packing runs
-   * independently per DOMAIN (`id div domainSize`; domainSize 0 = one
-   * global domain) — domains are the packing shards, so at 100 TB each
-   * domain packs in parallel and the sequential scan inside a domain is
-   * bounded by the domain size the caller picks, never the corpus. The
-   * per-domain kernel is a sorted per-partition pass (SURVEY §7.3 shape);
-   * output: (id, n_tokens, domain, bin), bins numbered within a domain.
+   * independently per DOMAIN — domains are the packing shards, so at
+   * 100 TB each domain packs in parallel and the sequential scan inside a
+   * domain is bounded by the domain size, never the corpus.
+   * `domainSize > 0` shards by `id div domainSize` (reproducible across
+   * corpora, the certified path). `domainSize = 0` (default, r20)
+   * auto-derives ~`defaultParallelism` equal-population id-range domains
+   * from one approximate-quantile pass, boundaries baked as literals —
+   * the same machinery as [[sequencePacking]]'s range cumsum. (Until r20
+   * the default was ONE global domain, i.e. a single sequential scan of
+   * the corpus — the r19 verdict's scale-killer.) The per-domain kernel
+   * is a sorted per-partition pass (SURVEY §7.3 shape); output:
+   * (id, n_tokens, domain, bin), bins numbered within a domain.
    */
   def binPacking(df: DataFrame, capacity: Long, textCol: String = "text",
       idCol: String = "doc_id", domainSize: Long = 0): DataFrame = {
     require(capacity > 0, "capacity must be positive")
     val spark = df.sparkSession
     import spark.implicits._
-    val domainExpr = if (domainSize > 0) expr(s"$idCol div ${domainSize}L")
-    else lit(0L)
     val counted = df.select(col(idCol).cast("long").as("id"),
       size(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
-        .cast("long").as("n_tokens"),
-      domainExpr.cast("long").as("domain"))
-    counted.select("domain", "id", "n_tokens").as[(Long, Long, Long)]
+        .cast("long").as("n_tokens"))
+    val domainExpr: Column = if (domainSize > 0) expr(s"id div ${domainSize}L")
+    else {
+      val ranges = math.max(spark.sparkContext.defaultParallelism, 1)
+      val probs = (1 until ranges).map(_.toDouble / ranges).toArray
+      val bounds =
+        if (probs.isEmpty) Array.empty[Double]
+        else counted.stat.approxQuantile("id", probs, 0.001).distinct.sorted
+      bounds.zipWithIndex.foldRight(lit(bounds.length.toLong): Column) {
+        case ((b, i), acc) => when(col("id") < b, lit(i.toLong)).otherwise(acc)
+      }
+    }
+    counted.withColumn("domain", domainExpr.cast("long"))
+      .select("domain", "id", "n_tokens").as[(Long, Long, Long)]
       .repartition(col("domain"))
       .sortWithinPartitions("domain", "id")
       .mapPartitions { it =>

@@ -1,5 +1,6 @@
 package graft.text
 
+import org.apache.spark.sql.functions.{col, sum}
 import org.scalatest.funsuite.AnyFunSuite
 import org.scalatest.matchers.should.Matchers
 
@@ -48,15 +49,41 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkTestSession {
       3L -> ("w " * 12).trim,  // oversized -> bin 3 alone
       4L -> ("w " * 3).trim    // 12+3 > 10 -> bin 4
     ).toDF("doc_id", "text")
-    val out = Packing.binPacking(df, capacity = 10).collect()
+    // explicit whole-corpus domain: the next-fit rule itself is under test
+    val out = Packing.binPacking(df, capacity = 10, domainSize = 1000).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     out shouldBe Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
     // tighter fits share bins; an exact fill (3+3+4 = 10) does NOT overflow
     val df2 = Seq(0L -> "a b c", 1L -> "d e f", 2L -> "g h i j",
       3L -> "k l m n m o").toDF("doc_id", "text")
-    val out2 = Packing.binPacking(df2, capacity = 10).collect()
+    val out2 = Packing.binPacking(df2, capacity = 10, domainSize = 1000).collect()
       .map(r => r.getLong(0) -> r.getLong(3)).toMap
     out2 shouldBe Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 1L)
+  }
+
+  test("binPacking: domainSize 0 auto-derives multiple parallel domains") {
+    val s = spark
+    import s.implicits._
+    // 2000 docs; until r20 the default was ONE global sequential domain
+    val df = (0L until 2000L).map(i => i -> ("w " * (1 + (i % 5)).toInt).trim)
+      .toDF("doc_id", "text")
+    val out = Packing.binPacking(df, capacity = 10)
+    val nDomains = out.select("domain").distinct().count()
+    nDomains should be > 1L
+    // ~rows/defaultParallelism per domain: population is near-balanced
+    val sizes = out.groupBy("domain").count().collect().map(_.getLong(1))
+    sizes.max.toDouble / sizes.min should be < 3.0
+    // each domain still obeys next-fit: no bin exceeds capacity (every
+    // doc here is <= capacity, so no single-doc overflow bins exist)
+    out.groupBy("domain", "bin").agg(sum("n_tokens").as("fill"))
+      .filter(col("fill") > 10).count() shouldBe 0L
+    // and the id->domain assignment is monotone (range sharding)
+    val byDomain = out.collect().map(r => (r.getLong(2), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(v => (v.map(_._2).min, v.map(_._2).max))
+    byDomain.toSeq.sortBy(_._1).map(_._2).sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => hi should be < lo
+      case _ =>
+    }
   }
 
   test("binPacking: domains pack independently with bins restarting per domain") {
