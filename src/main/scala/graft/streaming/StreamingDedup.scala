@@ -44,8 +44,11 @@ object StreamingDedup {
   def streamingExactDedupAgainstIndex(stream: DataFrame, index: DataFrame,
       textCol: String = "text", tsCol: String = "event_time",
       watermark: String = "10 minutes", canonical: Boolean = false): DataFrame = {
-    val fp = if (canonical) TextFunctions.canonicalFingerprint(col(textCol))
-    else md5(col(textCol).cast("binary"))
+    // the batch index's exact fingerprint rule, including its NULL→''
+    // coalesce — a NULL-text stream doc must match the index's '' row
+    // (r19 verdict item #3: the old md5(text) gave NULL a NULL
+    // fingerprint, which never equi-joins, so it survived the left_anti)
+    val fp = Dedup.exactFp(col(textCol), canonical)
     stream.withColumn("fingerprint", fp)
       .join(index.withColumnRenamed("fp", "fingerprint"), Seq("fingerprint"), "left_anti")
       .withWatermark(tsCol, watermark)

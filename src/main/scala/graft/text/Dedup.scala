@@ -259,7 +259,11 @@ object Dedup {
     spread(df).select(exactFp(col(textCol), canonical).as("fp"), col(idCol))
       .groupBy("fp").agg(min(col(idCol)).as("keep_id"))
 
-  private def exactFp(text: Column, canonical: Boolean): Column = {
+  /** The exact-dedup fingerprint contract: NULL text ≡ '' (one shared
+    * fingerprint), md5 raw or canonicalized. Shared by the batch index
+    * builders and the streaming twin — the two ingest modes must agree
+    * byte-for-byte or a null-text doc silently survives stream dedup. */
+  private[graft] def exactFp(text: Column, canonical: Boolean): Column = {
     val t = coalesce(text, lit(""))
     if (canonical) TextFunctions.canonicalFingerprint(t)
     else md5(t.cast("binary"))

@@ -86,6 +86,33 @@ class StreamingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     } finally query.stop()
   }
 
+  test("streaming exact dedup against an index shares the batch NULL-text contract") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the index's '' row comes from a NULL-text doc: batch coalesces NULL->''
+    val index = graft.text.Dedup.exactIndex(
+      Seq((100L, null: String), (101L, "kept reference"))
+        .toDF("doc_id", "text"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamingDedup.streamingExactDedupAgainstIndex(
+      input.toDF().toDF("doc_id", "event_time", "text"), index)
+    val query = out.writeStream.format("memory").queryName("null_idx_out")
+      .outputMode("append").start()
+    try {
+      def t(min: Int) = Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      input.addData(
+        (1L, t(0), null: String),  // dropped: NULL ≡ '' is in the index
+        (2L, t(1), ""),            // dropped: same fingerprint family
+        (3L, t(2), "fresh doc"))   // kept
+      query.processAllAvailable()
+      val ids = s.sql("SELECT doc_id FROM null_idx_out").collect().map(_.getLong(0)).toSet
+      // pre-r20 the NULL-text doc got a NULL fingerprint, never matched the
+      // left_anti, and survived — the batch/stream contract divergence
+      ids shouldBe Set(3L)
+    } finally query.stop()
+  }
+
   test("streaming near-dup against a minhashIndex matches the batch incremental operator") {
     val s = spark
     import s.implicits._
