@@ -2262,6 +2262,53 @@ object SparkEntry {
         .localCheckpoint()
       deleteRecursively(tmp)
       res
+    }),
+    "st06_streaming_lateness_replay" -> ((s, dir) => {
+      // r20 (VERDICT r19 #4): the same two-phase checkpointed drop/evict
+      // probe as st04, driven through tumblingModesLateness — lateness is
+      // stated on RAW event times ("1 day") and the operator widens the
+      // bucket-label watermark by one width internally. 2-day buckets, so
+      // the recovered watermark is maxBucket - (1 day + 2 days); buckets
+      // are 2-day multiples and the threshold sits strictly inside one, so
+      // no bucket can land exactly ON it — the check is insensitive to the
+      // drop filter's < vs <= strictness by construction. The watermark
+      // base is the ON-TIME subset's max bucket (what phase 1 actually
+      // saw), mirrored in the oracle. A hash mismatch means the lateness
+      // compensation diverged from the documented raw-lateness contract.
+      val widthUs = 2 * dayUsTick
+      val ev = Tables.events(s, dir)
+        .withColumn("bucket", col("ts_us") - pmod(col("ts_us"), lit(widthUs)))
+      val lateCond = pmod(col("user_id"), lit(5)) === 3
+      val feed = ev.select(col("user_id"),
+        timestamp_micros(col("ts_us")).as("ts"), col("value"), lateCond.as("late"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_st06_").toString
+      feed.filter(!col("late")).drop("late").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in")
+      val inSchema = feed.drop("late").schema
+      def replay(): Unit = {
+        val stream = s.readStream.schema(inSchema).parquet(s"$tmp/in")
+        val out = graft.streaming.StreamingResample.tumblingModesLateness(
+          stream, widthUs, count(_), closedRight = false, stampRight = false,
+          lateness = "1 day", key = "user_id")
+        val q = out.writeStream
+          .outputMode("update")
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            df.write.mode("append").parquet(s"$tmp/out")
+          }
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      replay() // phase 1: on-time rows advance the watermark
+      feed.filter(col("late")).drop("late").coalesce(1)
+        .write.mode("append").parquet(s"$tmp/in")
+      replay() // phase 2: late rows against the recovered widened watermark
+      val res = s.read.parquet(s"$tmp/out")
+        .groupBy(col("user_id"), unix_micros(col("bucket_ts")).as("bucket_us"))
+        .agg(max(col("value")).as("n_events"))
+        .localCheckpoint()
+      deleteRecursively(tmp)
+      res
     })
   )
 
@@ -5758,6 +5805,21 @@ object SparkEntry {
            SELECT e.user_id, e.bucket FROM ev e, wm w
            WHERE e.user_id % 5 <> 2 OR e.bucket >= w.thresh)
          SELECT user_id, bucket AS day_us, count(*) AS n_events
+         FROM kept GROUP BY 1, 2""",
+    // st06: the lateness-API twin — 2-day buckets, raw lateness 1 day, so
+    // the compensated watermark threshold is (on-time max bucket) - 3 days;
+    // held-back (user_id%5==3) rows are kept only at or above it
+    "st06_streaming_lateness_replay" ->
+      """WITH ev AS (
+           SELECT user_id,
+                  epoch_us(ts) - (epoch_us(ts) % 172800000000) AS bucket
+           FROM events),
+         wm AS (SELECT max(bucket) - 3*86400000000 AS thresh FROM ev
+                WHERE user_id % 5 <> 3),
+         kept AS (
+           SELECT e.user_id, e.bucket FROM ev e, wm w
+           WHERE e.user_id % 5 <> 3 OR e.bucket >= w.thresh)
+         SELECT user_id, bucket AS bucket_us, count(*) AS n_events
          FROM kept GROUP BY 1, 2""",
     "ts51_io_parquet_roundtrip" ->
       s"""WITH $dailyCte
