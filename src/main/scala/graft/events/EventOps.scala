@@ -310,7 +310,10 @@ object EventOps {
       else {
         val row = intervals.filter(col(end) > col(start))
           .agg(max(col(end) - col(start))).head()
-        if (row.isNullAt(0)) 1L else math.max(1L, row.getLong(0))
+        // the agg's type follows the interval columns (Int columns give an
+        // Int max) — read it numerically, don't assume LongType
+        if (row.isNullAt(0)) 1L
+        else math.max(1L, row.getAs[Number](0).longValue)
       }
     val iv = intervals.filter(col(end) > col(start))
       .withColumn("__b",
