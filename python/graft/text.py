@@ -155,10 +155,22 @@ def packing_summary(df, capacity, text_col="text", id_col="doc_id"):
 def bin_packing(df, capacity, text_col="text", id_col="doc_id",
                 domain_size=0):
     """No-split next-fit bin packing (SFT-style): docs go whole into bins,
-    packed independently per id-domain (domain_size 0 = one domain)."""
+    packed independently per id-domain (domain_size 0 auto-derives
+    ~parallelism equal-population id-range domains)."""
     spark, jvm = ctx(df)
     return lift(spark, jvm.graft.api.java.JavaPipelineOps.binPacking(
         df._jdf, int(capacity), text_col, id_col, int(domain_size)))
+
+
+def corpus_shuffle(df, key_cols=("doc_id",)):
+    """Deterministic md5-ordered corpus shuffle: every row gets a
+    reproducible global training position (dense 0..n-1), no RNG."""
+    spark, jvm = ctx(df)
+    jlist = jvm.java.util.ArrayList()
+    for c in key_cols:
+        jlist.add(str(c))
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.corpusShuffle(
+        df._jdf, jlist))
 
 
 def minhash_index(df, text_col="text", id_col="doc_id", k=3, num_hashes=64):

@@ -1346,10 +1346,20 @@ object SparkEntry {
         tokenBudget = 100000L, maxEpochs = 4.0)),
     "smp17_mixture_upsample" -> ((s, dir) =>
       // deterministic materialization of the same plan: floor(epochs)
-      // copies per doc + a positional-rule fractional copy, no RNG
+      // copies per doc + an md5-selected fractional copy, no RNG
       graft.text.TextFunctions.mixtureUpsample(Tables.documents(s, dir),
         Map("src0" -> 0.4, "src1" -> 0.35, "src2" -> 0.15, "src3" -> 0.1),
         tokenBudget = 100000L, maxEpochs = 4.0)),
+    "smp18_corpus_shuffle" -> ((s, dir) => {
+      // r20: deterministic global training order over the upsampled stream
+      // — every (doc, copy) gets a reproducible md5-ordered position; the
+      // oracle replays it as row_number() over the same md5 ordering
+      val up = graft.text.TextFunctions.mixtureUpsample(Tables.documents(s, dir),
+        Map("src0" -> 0.4, "src1" -> 0.35, "src2" -> 0.15, "src3" -> 0.1),
+        tokenBudget = 100000L, maxEpochs = 4.0)
+      graft.text.Packing.corpusShuffle(up, Seq("doc_id", "copy"))
+        .select(col("doc_id"), col("copy"), col("shuffle_key"), col("position"))
+    }),
     "dd22_incremental_exact" -> ((s, dir) => {
       // daily-ingest exact dedup: docs < 250 are the persisted index, the
       // rest arrive as a batch flagged against index + earlier-in-batch
@@ -4176,6 +4186,35 @@ object SparkEntry {
          SELECT doc_id, source, i AS copy, n_tokens
          FROM j, unnest(range(1, n + 1)) AS u(i)
          WHERE n >= 1""",
+    // smp18: the same upsampled stream, given its deterministic global
+    // training order — row_number over the md5(id:copy) ordering
+    "smp18_corpus_shuffle" ->
+      """WITH t AS (SELECT doc_id, source,
+             len(string_split(coalesce(text,''),' '))::BIGINT AS n_tokens,
+             CASE source WHEN 'src0' THEN 0.4 WHEN 'src1' THEN 0.35
+                         WHEN 'src2' THEN 0.15 WHEN 'src3' THEN 0.1
+                         ELSE 0.0 END AS w
+           FROM documents),
+         e AS (SELECT source,
+             CASE WHEN sum(n_tokens) = 0 THEN 0.0 ELSE
+               least(100000.0 * max(w), sum(n_tokens)::DOUBLE * 4.0)
+                 / sum(n_tokens) END AS epochs
+           FROM t GROUP BY source),
+         j AS (SELECT t.doc_id, t.source, t.n_tokens,
+             (floor(e.epochs)::BIGINT + CASE
+               WHEN list_sum(list_transform(range(8),
+                   i -> (strpos('0123456789abcdef',
+                     substr(md5(t.doc_id::VARCHAR), i + 1, 1)) - 1)
+                     * 16.0^(7 - i))) / 16.0^8
+                    < e.epochs - floor(e.epochs) THEN 1 ELSE 0 END) AS n
+           FROM t JOIN e USING (source)),
+         up AS (SELECT doc_id, i AS copy
+           FROM j, unnest(range(1, n + 1)) AS u(i)
+           WHERE n >= 1)
+         SELECT doc_id, copy, md5(doc_id || ':' || copy) AS shuffle_key,
+           (row_number() OVER (ORDER BY md5(doc_id || ':' || copy),
+             doc_id, copy) - 1)::BIGINT AS position
+         FROM up""",
     // next-fit replayed row-by-row: the recursion advances one rn per
     // domain per step, so depth = docs-per-domain (100 here), and the five
     // domains progress in parallel through the same CTE

@@ -346,10 +346,18 @@ object JavaPipelineOps {
       tokenBudget, maxEpochs, strata, text, idCol)
   }
 
-  /** No-split next-fit bin packing per id-domain (r18). */
+  /** No-split next-fit bin packing per id-domain (r18; domainSize 0 =
+    * auto quantile-range domains since r20). */
   def binPacking(df: DataFrame, capacity: Long, textCol: String,
       idCol: String, domainSize: Long): DataFrame =
     graft.text.Packing.binPacking(df, capacity, textCol, idCol, domainSize)
+
+  /** Deterministic md5-ordered corpus shuffle (r20): reproducible global
+    * training position per key tuple. */
+  def corpusShuffle(df: DataFrame, keyCols: java.util.List[String]): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    graft.text.Packing.corpusShuffle(df, keyCols.asScala.toSeq)
+  }
 
   /** Persisted near-dup index builder (r18): (id, sig, sh) rows to write
     * as parquet and dedup later batches against. */

@@ -33,11 +33,29 @@ object Packing {
     * counterpart of [[TextFunctions.packingPlan]], whose cumsum is
     * per-STRATUM (parallel across strata but serial inside one, and bins
     * never cross strata); here there is one corpus-wide token order and
-    * the two-phase range cumsum keeps it parallel anyway. */
+    * the two-phase range cumsum keeps it parallel anyway.
+    *
+    * ==Id contract (r20, VERDICT r19 #6)==
+    * `idCol` must be NUMERIC: it is both the packing order and the range-
+    * partitioning key (`approxQuantile` cannot rank strings, and a string
+    * sort order would not match the numeric range boundaries anyway).
+    * Non-numeric ids fail fast here with this contract in the message —
+    * give string-keyed corpora a numeric position first
+    * ([[corpusShuffle]] assigns a deterministic md5-ordered one) or cast
+    * digit-string ids explicitly. Note also that CALLING this method runs
+    * one small Spark job up front (the `approxQuantile` pass that bakes
+    * the literal range boundaries) — plan construction is not free; cache
+    * the returned DataFrame rather than re-calling in a loop. */
   def sequencePacking(df: DataFrame, capacity: Long,
       textCol: String = "text", idCol: String = "doc_id",
       numRanges: Int = 0): DataFrame = {
     require(capacity > 0, "capacity must be positive")
+    require(df.schema(idCol).dataType
+        .isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"sequencePacking orders and range-partitions by '$idCol', which must " +
+        s"be a numeric column (got ${df.schema(idCol).dataType.simpleString}" +
+        "); for string ids assign a numeric position first (e.g. " +
+        "Packing.corpusShuffle's md5-ordered position) or cast the id")
     val ranges = if (numRanges > 0) numRanges
     else df.sparkSession.sparkContext.defaultParallelism
     val counted = df.select(col(idCol),
@@ -127,6 +145,60 @@ object Packing {
         }
       }
       .toDF(idCol, "n_tokens", "domain", "bin")
+  }
+
+  /**
+   * Deterministic corpus shuffle (r20): assign every row a reproducible
+   * global training position by ordering on the md5 of its key columns —
+   * the "shuffle once, then stream in order" step of a training pipeline,
+   * reproducible across runs, engines and partitionings (no RNG, no
+   * `rand(seed)` whose draw order depends on the physical plan). Keys are
+   * typically (doc_id) for a raw corpus or (doc_id, copy) on
+   * [[TextFunctions.mixtureUpsample]] output, so the epochs of one
+   * document land at scattered, deterministic positions; feeding the
+   * result to [[sequencePacking]] by `position` packs the shuffled order.
+   *
+   * Output: input columns + `shuffle_key` (md5 hex) + `position` (dense
+   * 0..n-1 ascending by key). Scale shape: the same two-phase literal-
+   * boundary machinery as [[sequencePacking]] — a per-range window
+   * (parallel) shifted by broadcast per-range counts; ranges come from one
+   * `approxQuantile` pass over the key's numeric 13-hex-char prefix
+   * (52 bits, exact in a double), whose ordering is a prefix of the full
+   * hex-string ordering, so the range boundaries and the window's string
+   * order always agree. Like [[sequencePacking]], calling this runs the
+   * small quantile job eagerly at plan-construction time.
+   */
+  def corpusShuffle(df: DataFrame, keyCols: Seq[String] = Seq("doc_id"),
+      numRanges: Int = 0): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column")
+    val ranges = if (numRanges > 0) numRanges
+    else df.sparkSession.sparkContext.defaultParallelism
+    val skey = md5(concat_ws(":", keyCols.map(c => col(c).cast("string")): _*))
+    val keyed = df.withColumn("shuffle_key", skey)
+      .withColumn("__snum",
+        conv(substring(col("shuffle_key"), 1, 13), 16, 10).cast("double"))
+    val probs = (1 until ranges).map(_.toDouble / ranges).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else keyed.stat.approxQuantile("__snum", probs, 0.001).distinct.sorted
+    val pidExpr = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+      case ((b, i), acc) => when(col("__snum") < b, lit(i)).otherwise(acc)
+    }
+    val withPid = keyed.withColumn("__pid", pidExpr)
+    // md5 collisions across distinct keys are 2^-128 events; the key
+    // columns still ride as explicit tiebreakers so the order is total
+    val w = Window.partitionBy("__pid")
+      .orderBy(col("shuffle_key") +: keyCols.map(col): _*)
+    val local = withPid.withColumn("__local_rank", row_number().over(w).cast("long"))
+    val bases = local.groupBy("__pid")
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__base", coalesce(
+        sum(col("__n")).over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__base"))
+    local.join(broadcast(bases), "__pid")
+      .withColumn("position", col("__base") + col("__local_rank") - 1L)
+      .drop("__pid", "__snum", "__local_rank")
   }
 
   /** Packing report a capacity planner reads: corpus token total, sequence

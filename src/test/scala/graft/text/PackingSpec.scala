@@ -100,6 +100,46 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     }
   }
 
+  test("sequencePacking: non-numeric ids fail fast with the contract message") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("doc-a" -> "x y z", "doc-b" -> "w").toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Packing.sequencePacking(df, capacity = 10)
+    }
+    e.getMessage should include("must be a numeric column")
+    e.getMessage should include("corpusShuffle")
+  }
+
+  test("corpusShuffle: positions are a dense md5-ordered permutation, range-invariant") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 500).map(i => (((i * 937) % 100000).toLong, s"doc $i"))
+      .toDF("doc_id", "text")
+    def run(ranges: Int) = Packing.corpusShuffle(df, Seq("doc_id"), ranges)
+      .select("doc_id", "shuffle_key", "position").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val out = run(0)
+    // dense 0..n-1
+    out.map(_._3).sorted shouldBe (0L until 500L).toArray
+    // ascending by shuffle key
+    out.sortBy(_._3).map(_._2).sliding(2).foreach {
+      case Array(a, b) => a should be < b
+      case _ =>
+    }
+    // the local driver-side truth: rank of md5(doc_id)
+    val expected = out.map { case (id, _, _) =>
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      id -> d.map("%02x".format(_)).mkString
+    }.sortBy(_._2).map(_._1).zipWithIndex
+      .map { case (id, i) => id -> i.toLong }.toMap
+    out.foreach { case (id, _, pos) => pos shouldBe expected(id) }
+    // two-phase machinery is range-count-invariant
+    run(1).toSet shouldBe out.toSet
+    run(7).toSet shouldBe out.toSet
+  }
+
   test("packingSummary: totals, boundary docs, and tail waste") {
     val s = spark
     import s.implicits._

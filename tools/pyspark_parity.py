@@ -145,6 +145,19 @@ def main() -> int:
     tot = packed.agg({"n_tokens": "sum"}).first()[0]
     last = packed.orderBy(packed.start_offset.desc()).first()
     assert last["start_offset"] + last["n_tokens"] == tot
+    # r20: deterministic corpus shuffle — positions are dense 0..n-1 and
+    # the md5 ordering matches an independent hashlib recomputation
+    import hashlib
+    key_cols = jvm.java.util.ArrayList()
+    key_cols.add("doc_id")
+    shuffled = lift(jvm.graft.api.java.JavaPipelineOps.corpusShuffle(
+        docs._jdf, key_cols))
+    got = {r["doc_id"]: r["position"]
+           for r in shuffled.select("doc_id", "position").collect()}
+    assert sorted(got.values()) == list(range(n_docs))
+    expect = {i: p for p, i in enumerate(sorted(
+        got, key=lambda i: hashlib.md5(str(i).encode()).hexdigest()))}
+    assert got == expect, "corpus_shuffle order diverged from hashlib md5"
 
     emb = lift(jvm.graft.Tables.embeddings(jss, sf_dir))
     knn = lift(

@@ -140,8 +140,16 @@ def main() -> int:
     assert pk == {0: (0, 0, 0), 1: (4, 0, 1)}, pk
     bins = {r["doc_id"]: r["bin"] for r in graft.text.bin_packing(
         spark.createDataFrame([(0, "a b c"), (1, "d e f"), (2, "g h i j k")],
-                              ["doc_id", "text"]), capacity=10).collect()}
+                              ["doc_id", "text"]), capacity=10,
+        domain_size=100).collect()}
     assert bins == {0: 0, 1: 0, 2: 1}, bins  # 3+3 fits, +5 overflows
+    # r20: deterministic corpus shuffle through the facade — md5("0") >
+    # md5("1") on the first hex digit (cf cd... vs c4 ca...), so doc 1
+    # must precede doc 0 in training order
+    shuf = {r["doc_id"]: r["position"] for r in graft.text.corpus_shuffle(
+        spark.createDataFrame([(0, "x"), (1, "y")], ["doc_id", "text"]))
+        .collect()}
+    assert shuf == {1: 0, 0: 1}, shuf
     mx = graft.text.mixture_upsample(
         spark.createDataFrame([(0, "s", "a b c d e")], ["doc_id", "source", "text"]),
         {"s": 1.0}, token_budget=10, max_epochs=4.0)
