@@ -54,4 +54,28 @@ class PythonGateSpec extends AnyFunSuite with Matchers {
       }
     }
   }
+
+  test("refreeze dry-run: the cheapest manifested twin regenerates byte-identically") {
+    // r20 (VERDICT r19 #7): digest drift — or a refreeze tool that would
+    // rewrite an unchanged manifest row differently — must be red inside
+    // `sbt test`, not discovered at the next sanctioned re-freeze.
+    val py = pythonWithPyspark
+    assume(py.isDefined, "python3 with pyspark not available — gate cancelled, not passed")
+    val hasDuck =
+      try Process(Seq(py.get, "-c", "import duckdb"), repo).!(ProcessLogger(_ => ())) == 0
+      catch { case _: Exception => false }
+    assume(hasDuck, "duckdb not available — gate cancelled, not passed")
+    val buf = new StringBuilder
+    val logger = ProcessLogger(l => buf.append(l).append('\n'), l => buf.append(l).append('\n'))
+    val proc = Process(Seq(py.get, "tools/refreeze.py", "--check",
+      "m44_ewma_fit_digest", "/root/testdata/sf0.01"), repo).run(logger)
+    val exit = concurrent.Future(proc.exitValue())(concurrent.ExecutionContext.global)
+    val code = try concurrent.Await.result(exit,
+      concurrent.duration.Duration(10, TimeUnit.MINUTES))
+    catch { case _: concurrent.TimeoutException => proc.destroy(); -1 }
+    withClue(s"refreeze --check (tail):\n${buf.toString.linesIterator.toSeq.takeRight(15).mkString("\n")}\n") {
+      code shouldBe 0
+      buf.toString should include("REFREEZE CHECK OK")
+    }
+  }
 }
