@@ -38,6 +38,18 @@ def embedding_near_duplicates(df, id_col="vec_id", vec_col="embedding",
         int(planes_per_band), int(seed)))
 
 
+def explain_embedding_lsh_config(df, id_col="vec_id", threshold=0.95,
+                                 bands=0, planes_per_band=0):
+    """One-row explain of the LSH shape embedding_near_duplicates will
+    resolve for this corpus: (n_vectors, planes_per_band, bands,
+    buckets_per_band, effective_recall, baseline_recall). Read it before
+    paying for the join; a pinned `bands` under auto-raised planes shows
+    its recall loss here as a number."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.explainEmbeddingLshConfig(
+        df._jdf, id_col, float(threshold), int(bands), int(planes_per_band)))
+
+
 def semantic_decontaminate(corpus, holdout, id_col="vec_id",
                            vec_col="embedding", threshold=0.9):
     """Drop corpus rows whose exact cosine to any holdout vector reaches

@@ -239,6 +239,13 @@ object JavaPipelineOps {
     graft.text.Dedup.embeddingNearDuplicates(df, idCol, vecCol, threshold,
       bands, planesPerBand)
 
+  /** One-row explain of the embedding LSH auto shape + recall budget
+    * (r20): what embeddingNearDuplicates will resolve for this corpus. */
+  def explainEmbeddingLshConfig(df: DataFrame, idCol: String,
+      threshold: Double, bands: Int, planesPerBand: Int): DataFrame =
+    graft.text.Dedup.explainEmbeddingLshConfig(df, idCol, threshold,
+      bands, planesPerBand)
+
   def semanticDecontaminate(corpus: DataFrame, holdout: DataFrame,
       idCol: String, vecCol: String, threshold: Double): DataFrame =
     graft.text.Dedup.semanticDecontaminate(corpus, holdout, idCol, vecCol,

@@ -636,6 +636,37 @@ object Dedup {
     (planes, resolvedBands)
   }
 
+  /**
+   * Inspectable resolution of [[embeddingNearDuplicates]]'s LSH shape
+   * (r20, VERDICT r19 #10): the same [[embeddingLshConfig]] the operator
+   * calls, surfaced as a one-row DataFrame a Python or SQL caller can
+   * read BEFORE paying for the join — (n_vectors, planes_per_band,
+   * bands, buckets_per_band, effective_recall, baseline_recall).
+   * `effective_recall` is the probability that a true pair at exactly
+   * `threshold` cosine collides in ≥ 1 band under the resolved shape;
+   * `baseline_recall` is the fixed (8 planes, 8 bands) reference the
+   * auto-budget preserves. A pinned `bands` under auto-raised planes
+   * shows its recall loss here as a number instead of only a stderr
+   * warning at operator run time.
+   */
+  def explainEmbeddingLshConfig(df: DataFrame, idCol: String = "vec_id",
+      threshold: Double = 0.95, bands: Int = 0,
+      planesPerBand: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = math.max(1L, spread(df).count())
+    val (planes, resolvedBands) =
+      embeddingLshConfig(n, threshold, bands, planesPerBand)
+    val sPrime = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    def recallAt(p: Int, b: Int): Double =
+      1.0 - math.pow(1.0 - math.pow(sPrime, p), b)
+    Seq((n, planes, resolvedBands, 1L << planes,
+        recallAt(planes, resolvedBands),
+        recallAt(8, if (bands > 0) bands else 8)))
+      .toDF("n_vectors", "planes_per_band", "bands", "buckets_per_band",
+        "effective_recall", "baseline_recall")
+  }
+
   def embeddingNearDuplicates(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", threshold: Double = 0.95,
       bands: Int = 0, planesPerBand: Int = 0, seed: Int = 7): DataFrame = {

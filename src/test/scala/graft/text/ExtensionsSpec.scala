@@ -275,6 +275,25 @@ class ExtensionsSpec extends AnyFunSuite with Matchers with SparkTestSession {
     recall(p2, b2) should be >= recall(8, 8) - 1e-9
   }
 
+  test("explainEmbeddingLshConfig surfaces the resolved shape and recall budget") {
+    val s = spark
+    import s.implicits._
+    val emb = (0 until 20).map(i => (i.toLong, Array(i.toDouble, 1.0)))
+      .toDF("vec_id", "embedding")
+    val r = Dedup.explainEmbeddingLshConfig(emb).head()
+    r.getLong(0) shouldBe 20L                        // n_vectors
+    (r.getInt(1), r.getInt(2)) shouldBe ((8, 8))     // cert-scale shape
+    r.getLong(3) shouldBe 256L                       // buckets_per_band
+    r.getDouble(4) shouldBe r.getDouble(5) +- 1e-12  // recall == baseline
+    // pinned bands under auto planes: the recall LOSS is visible as data
+    val sP = 1.0 - math.acos(0.95) / math.Pi
+    def recall(pl: Int, bd: Int) = 1 - math.pow(1 - math.pow(sP, pl), bd)
+    val pinned = Dedup.explainEmbeddingLshConfig(emb, bands = 8,
+      planesPerBand = 15).head()
+    pinned.getDouble(4) shouldBe recall(15, 8) +- 1e-12
+    pinned.getDouble(4) should be < pinned.getDouble(5)
+  }
+
   test("language id picks the right stopword profile") {
     val out = TextFunctions.langId(docs).select("doc_id", "lang_pred")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap

@@ -168,6 +168,17 @@ def main() -> int:
     n_knn = knn.count()
     assert n_knn == 3 * 2, f"expected 6 knn rows, got {n_knn}"
 
+    # r20: the LSH recall budget is inspectable from Python BEFORE the
+    # operator runs — the explain row mirrors embeddingLshConfig exactly
+    cfg = lift(jvm.graft.api.java.JavaPipelineOps.explainEmbeddingLshConfig(
+        emb._jdf, "vec_id", 0.95, 0, 0)).first()
+    assert cfg["n_vectors"] == emb.count()
+    assert cfg["planes_per_band"] >= 8 and cfg["bands"] >= 8
+    assert cfg["buckets_per_band"] == 2 ** cfg["planes_per_band"]
+    assert 0.0 < cfg["effective_recall"] <= 1.0
+    # the auto budget preserves the (8, 8) baseline recall
+    assert cfg["effective_recall"] >= cfg["baseline_recall"] - 0.01, cfg
+
     print(
         f"PYSPARK PARITY OK: events={n_events} daily={n_daily} "
         f"aligned={n_keys * index.size()} roll={n_roll} forecast={n_fc} "

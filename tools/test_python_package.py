@@ -154,6 +154,13 @@ def main() -> int:
         spark.createDataFrame([(0, "s", "a b c d e")], ["doc_id", "source", "text"]),
         {"s": 1.0}, token_budget=10, max_epochs=4.0)
     assert mx.count() == 2, mx.count()  # 10/5 = 2.0 epochs, frac 0
+    # r20: LSH recall budget explain through the facade — a tiny corpus
+    # resolves to the (8, 8) baseline shape with recall == baseline
+    cfg = graft.text.explain_embedding_lsh_config(
+        spark.createDataFrame([(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+                              ["vec_id", "embedding"])).first()
+    assert (cfg["planes_per_band"], cfg["bands"]) == (8, 8), cfg
+    assert abs(cfg["effective_recall"] - cfg["baseline_recall"]) < 1e-12
     # r18: boilerplate-span removal through the facade
     span_docs = spark.createDataFrame(
         [(0, "a b c d e f g"), (1, "z a b c d e")], ["doc_id", "text"])
