@@ -104,4 +104,37 @@ class IncrementalDedupSpec extends AnyFunSuite with Matchers with SparkTestSessi
       .map(r => r.getLong(0) -> r.get(3)).toMap
     out shouldBe Map(10L -> 0L, 11L -> 0L)
   }
+
+  test("exact-index append round-trip: index + delta == full rebuild (r19 carry-over)") {
+    val s = spark
+    import s.implicits._
+    // the documented ingest loop: flag a batch against the index, then
+    // append exactIndex() of the batch's NON-dup rows — after N days of
+    // that, the accumulated index must equal a from-scratch rebuild over
+    // everything ingested (ids ascend across batches, the ingest reality)
+    val day0 = Seq((0L, "alpha"), (1L, "beta"), (2L, null: String))
+      .toDF("doc_id", "text")
+    val day1 = Seq((10L, "alpha"), (11L, "gamma"), (12L, "gamma"), (13L, ""))
+      .toDF("doc_id", "text")
+    val day2 = Seq((20L, "gamma"), (21L, "delta")).toDF("doc_id", "text")
+    var index = Dedup.exactIndex(day0)
+    for (batch <- Seq(day1, day2)) {
+      val flagged = Dedup.exactIncremental(batch, index)
+      val freshIds = flagged.filter(!col("is_dup")).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      val delta = Dedup.exactIndex(
+        batch.filter(col("doc_id").isin(freshIds.toSeq: _*)))
+      index = index.union(delta)
+    }
+    val rebuilt = Dedup.exactIndex(day0.union(day1).union(day2))
+    val got = index.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = rebuilt.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    got shouldBe want
+    // and the appended index flags a day-3 replay of every keeper as dup
+    val day3 = Seq((30L, "alpha"), (31L, "gamma"), (32L, "brand new"))
+      .toDF("doc_id", "text")
+    val d3 = Dedup.exactIncremental(day3, index).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    d3 shouldBe Map(30L -> true, 31L -> true, 32L -> false)
+  }
 }
