@@ -167,6 +167,10 @@ object Packing {
    * hex-string ordering, so the range boundaries and the window's string
    * order always agree. Like [[sequencePacking]], calling this runs the
    * small quantile job eagerly at plan-construction time.
+   *
+   * The key tuple must be UNIQUE per row (doc ids; (doc, copy) pairs):
+   * rows sharing the full tuple share the hash AND every tiebreaker, so
+   * their relative positions would be partition-order-dependent.
    */
   def corpusShuffle(df: DataFrame, keyCols: Seq[String] = Seq("doc_id"),
       numRanges: Int = 0): DataFrame = {
