@@ -174,6 +174,17 @@ def bin_packing(df, capacity, text_col="text", id_col="doc_id",
         df._jdf, int(capacity), text_col, id_col, int(domain_size)))
 
 
+def token_budget_sample(df, budget, text_col="text", id_col="doc_id"):
+    """Reproducible token-budget sample: the prefix of the deterministic
+    md5 shuffle order whose running token total reaches `budget` — the
+    same documents every run, on any cluster. The boundary-straddling doc
+    is included; `sample_offset` (tokens before the doc) lets a chunker
+    trim the tail exactly."""
+    spark, jvm = ctx(df)
+    return lift(spark, jvm.graft.api.java.JavaPipelineOps.tokenBudgetSample(
+        df._jdf, int(budget), text_col, id_col))
+
+
 def corpus_shuffle(df, key_cols=("doc_id",)):
     """Deterministic md5-ordered corpus shuffle: every row gets a
     reproducible global training position (dense 0..n-1), no RNG."""

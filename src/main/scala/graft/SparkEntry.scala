@@ -1360,6 +1360,11 @@ object SparkEntry {
       graft.text.Packing.corpusShuffle(up, Seq("doc_id", "copy"))
         .select(col("doc_id"), col("copy"), col("shuffle_key"), col("position"))
     }),
+    "smp19_token_budget_sample" -> ((s, dir) =>
+      // r20: reproducible ~20k-token prefix of the md5 shuffle order;
+      // the boundary-straddling doc is included (offset-before < budget)
+      graft.text.Packing.tokenBudgetSample(Tables.documents(s, dir),
+        budget = 20000L)),
     "dd22_incremental_exact" -> ((s, dir) => {
       // daily-ingest exact dedup: docs < 250 are the persisted index, the
       // rest arrive as a batch flagged against index + earlier-in-batch
@@ -4215,6 +4220,20 @@ object SparkEntry {
            (row_number() OVER (ORDER BY md5(doc_id || ':' || copy),
              doc_id, copy) - 1)::BIGINT AS position
          FROM up""",
+    // smp19: running token total in md5 order, kept while the tokens
+    // BEFORE the doc are under the budget (sum OVER is HUGEINT -> BIGINT)
+    "smp19_token_budget_sample" ->
+      """WITH t AS (SELECT doc_id,
+             len(string_split(coalesce(text,''),' '))::BIGINT AS n_tokens,
+             md5(doc_id::VARCHAR) AS k
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+             coalesce(sum(n_tokens) OVER (ORDER BY k, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+               AS sample_offset
+           FROM t)
+         SELECT doc_id, n_tokens, sample_offset
+         FROM c WHERE sample_offset < 20000""",
     // next-fit replayed row-by-row: the recursion advances one rn per
     // domain per step, so depth = docs-per-domain (100 here), and the five
     // domains progress in parallel through the same CTE

@@ -366,6 +366,12 @@ object JavaPipelineOps {
     graft.text.Packing.corpusShuffle(df, keyCols.asScala.toSeq)
   }
 
+  /** Reproducible token-budget prefix sample of the md5 shuffle order
+    * (r20): same documents every run, total >= budget. */
+  def tokenBudgetSample(df: DataFrame, budget: Long, textCol: String,
+      idCol: String): DataFrame =
+    graft.text.Packing.tokenBudgetSample(df, budget, textCol, idCol)
+
   /** Persisted near-dup index builder (r18): (id, sig, sh) rows to write
     * as parquet and dedup later batches against. */
   def minhashIndex(df: DataFrame, textCol: String, idCol: String,

@@ -205,6 +205,56 @@ object Packing {
       .drop("__pid", "__snum", "__local_rank")
   }
 
+  /**
+   * Reproducible token-budget sample (r20): the PREFIX of the
+   * deterministic md5 shuffle order whose running token total reaches
+   * `budget` — "give me ~1B tokens, the same documents every time, on
+   * any cluster/partitioning". A document is kept iff the total tokens
+   * BEFORE it (in [[corpusShuffle]] order) is `< budget`, so the one
+   * document straddling the boundary is included and the sample total
+   * lands in [budget, budget + maxDocTokens). Output: (id, n_tokens,
+   * sample_offset) for kept docs, where sample_offset is the tokens
+   * before the doc — feed it to a chunker to trim the tail exactly.
+   *
+   * Scale shape: the same two-phase machinery as [[corpusShuffle]] /
+   * [[sequencePacking]] — per-range token cumsum ordered by the md5 key,
+   * broadcast base offsets, then a narrow filter. No data-sized serial
+   * pass; the eager quantile job at plan time applies here too.
+   */
+  def tokenBudgetSample(df: DataFrame, budget: Long, textCol: String = "text",
+      idCol: String = "doc_id", numRanges: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val ranges = if (numRanges > 0) numRanges
+    else df.sparkSession.sparkContext.defaultParallelism
+    val counted = df.select(col(idCol),
+      size(TextFunctions.tokens(coalesce(col(textCol), lit(""))))
+        .cast("long").as("n_tokens"),
+      md5(col(idCol).cast("string").cast("binary")).as("__skey"))
+      .withColumn("__snum",
+        conv(substring(col("__skey"), 1, 13), 16, 10).cast("double"))
+    val probs = (1 until ranges).map(_.toDouble / ranges).toArray
+    val bounds =
+      if (probs.isEmpty) Array.empty[Double]
+      else counted.stat.approxQuantile("__snum", probs, 0.001).distinct.sorted
+    val pidExpr = bounds.zipWithIndex.foldRight(lit(bounds.length): Column) {
+      case ((b, i), acc) => when(col("__snum") < b, lit(i)).otherwise(acc)
+    }
+    val withPid = counted.withColumn("__pid", pidExpr)
+    val w = Window.partitionBy("__pid").orderBy(col("__skey"), col(idCol))
+    val local = withPid.withColumn("__local_end", sum(col("n_tokens")).over(w))
+    val bases = local.groupBy("__pid")
+      .agg(max(col("__local_end")).as("__total"))
+      .withColumn("__base", coalesce(
+        sum(col("__total")).over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__base"))
+    local.join(broadcast(bases), "__pid")
+      .withColumn("sample_offset",
+        col("__base") + col("__local_end") - col("n_tokens"))
+      .filter(col("sample_offset") < budget)
+      .select(col(idCol), col("n_tokens"), col("sample_offset"))
+  }
+
   /** Packing report a capacity planner reads: corpus token total, sequence
     * count at `capacity`, boundary-spanning docs, tail waste. */
   def packingSummary(df: DataFrame, capacity: Long,

@@ -140,6 +140,34 @@ class PackingSpec extends AnyFunSuite with Matchers with SparkTestSession {
     run(7).toSet shouldBe out.toSet
   }
 
+  test("tokenBudgetSample: md5-order prefix, boundary doc included, range-invariant") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 100).map(i => (i.toLong, ("w " * (5 + i % 11)).trim))
+      .toDF("doc_id", "text")
+    def run(ranges: Int) = Packing.tokenBudgetSample(df, budget = 200L,
+        numRanges = ranges).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val out = run(0)
+    // driver-side truth: hashlib-equivalent md5 order, greedy prefix
+    val md = (id: Long) => java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    var acc = 0L
+    val want = (0L until 100L).map(i => (i, 5L + i % 11)).sortBy(t => md(t._1))
+      .flatMap { case (id, n) =>
+        val keep = acc < 200L; val off = acc; acc += n
+        if (keep) Some((id, n, off)) else None
+      }.toSet
+    out.toSet shouldBe want
+    // the crossing doc is INCLUDED: total reaches at least the budget
+    out.map(_._2).sum should be >= 200L
+    // and no kept doc starts at/after the budget
+    out.foreach(_._3 should be < 200L)
+    // two-phase machinery is range-count-invariant
+    run(1).toSet shouldBe out.toSet
+    run(7).toSet shouldBe out.toSet
+  }
+
   test("packingSummary: totals, boundary docs, and tail waste") {
     val s = spark
     import s.implicits._

@@ -154,6 +154,13 @@ def main() -> int:
         spark.createDataFrame([(0, "s", "a b c d e")], ["doc_id", "source", "text"]),
         {"s": 1.0}, token_budget=10, max_epochs=4.0)
     assert mx.count() == 2, mx.count()  # 10/5 = 2.0 epochs, frac 0
+    # r20: token-budget sample through the facade — 3 docs x 2 tokens,
+    # budget 3: the md5-order prefix keeps exactly the first two docs
+    tb = graft.text.token_budget_sample(
+        spark.createDataFrame([(0, "a b"), (1, "c d"), (2, "e f")],
+                              ["doc_id", "text"]), budget=3)
+    assert tb.count() == 2, tb.count()
+    assert sum(r["n_tokens"] for r in tb.collect()) == 4
     # r20: LSH recall budget explain through the facade — a tiny corpus
     # resolves to the (8, 8) baseline shape with recall == baseline
     cfg = graft.text.explain_embedding_lsh_config(
