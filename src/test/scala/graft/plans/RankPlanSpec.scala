@@ -81,4 +81,14 @@ class RankPlanSpec extends AnyFunSuite with Matchers with SparkTestSession {
     out.collect()
     assertTwoPhaseRank(out)
   }
+
+  test("tokenBudgetSample cumsums per range; the serial pass is bounded by the range count") {
+    val s = spark
+    import s.implicits._
+    val df = (0 until 500).map(i => (i.toLong, ("tok " * (1 + i % 9)).trim))
+      .toDF("doc_id", "text")
+    val out = graft.text.Packing.tokenBudgetSample(df, budget = 300L)
+    out.collect()
+    assertTwoPhaseRank(out)
+  }
 }
