@@ -18,10 +18,20 @@ case class HoltWintersModel(period: Int, alpha: Double, beta: Double, gamma: Dou
 
   /** Run the R-style filter. Returns (SSE, finalLevel, finalTrend, finalSeason). */
   private[models] def run(ts: Array[Double]): (Double, Double, Double, Array[Double]) = {
+    val L = period
+    require(ts.length >= 2 * L, s"need at least 2 periods ($L) of data, got ${ts.length}")
+    val (l0, b0, s0) = HoltWinters.initialState(ts, L, additive)
+    runFrom(ts, l0, b0, s0)
+  }
+
+  /** The filter with a PRECOMPUTED initial state. `initialState` depends only
+    * on (ts, period, additive) — never on (α,β,γ) — so [[HoltWinters.fitModel]]
+    * hoists it out of its ~10³-evaluation SSE loop and calls this directly
+    * (same arithmetic in the same order: bit-identical to [[run]]). */
+  private[models] def runFrom(ts: Array[Double], l0: Double, b0: Double,
+      s0: Array[Double]): (Double, Double, Double, Array[Double]) = {
     val n = ts.length
     val L = period
-    require(n >= 2 * L, s"need at least 2 periods ($L) of data, got $n")
-    val (l0, b0, s0) = HoltWinters.initialState(ts, L, additive)
     var level = l0
     var trend = b0
     // season(i) holds the seasonal estimate used at forecast step i; the
@@ -53,6 +63,39 @@ case class HoltWintersModel(period: Int, alpha: Double, beta: Double, gamma: Dou
   }
 
   def sse(ts: Array[Double]): Double = run(ts)._1
+
+  /** SSE only, from a precomputed initial state (the [[HoltWinters.fitModel]]
+    * objective): the same accumulation as [[runFrom]] without materializing
+    * the final-season copy each evaluation. */
+  private[models] def sseFrom(ts: Array[Double], l0: Double, b0: Double,
+      s0: Array[Double]): Double = {
+    val n = ts.length
+    val L = period
+    var level = l0
+    var trend = b0
+    val nSteps = n - L
+    val season = new Array[Double](nSteps + L)
+    System.arraycopy(s0, 0, season, 0, L)
+    var sse = 0.0
+    var i = 0
+    while (i < nSteps) {
+      val x = ts(L + i)
+      val xhat = if (additive) level + trend + season(i) else (level + trend) * season(i)
+      val err = x - xhat
+      sse += err * err
+      val newLevel =
+        if (additive) alpha * (x - season(i)) + (1 - alpha) * (level + trend)
+        else alpha * (x / season(i)) + (1 - alpha) * (level + trend)
+      val newTrend = beta * (newLevel - level) + (1 - beta) * trend
+      season(i + L) =
+        if (additive) gamma * (x - newLevel) + (1 - gamma) * season(i)
+        else gamma * (x / newLevel) + (1 - gamma) * season(i)
+      level = newLevel
+      trend = newTrend
+      i += 1
+    }
+    sse
+  }
 
   /** h-step-ahead forecasts from the end of the series. */
   def forecast(ts: Array[Double], h: Int): Array[Double] = {
@@ -216,9 +259,17 @@ object HoltWinters {
   def fitModel(ts: Array[Double], period: Int, modelType: String = "additive",
       method: String = "grid-nm"): HoltWintersModel = {
     val additive = modelType.toLowerCase.startsWith("add")
+    // the initial state depends only on (ts, period, additive) — compute it
+    // ONCE instead of inside every one of the ~1.3k grid + Nelder-Mead SSE
+    // evaluations below (it was the per-evaluation hot spot: allocation-heavy
+    // vs the ~n-step filter loop). Same require message run() raises, so a
+    // too-short series still fails identically from the caller's view.
+    require(ts.length >= 2 * period,
+      s"need at least 2 periods ($period) of data, got ${ts.length}")
+    val (l0, b0, s0) = initialState(ts, period, additive)
     def sseOf(a: Double, b: Double, g: Double): Double = {
       if (a < 1e-8 || a > 1.0 || b < 0.0 || b > 1.0 || g < 0.0 || g > 1.0) return 1e18
-      val s = HoltWintersModel(period, a, b, g, additive).sse(ts)
+      val s = HoltWintersModel(period, a, b, g, additive).sseFrom(ts, l0, b0, s0)
       if (s.isNaN || s.isInfinite) 1e18 else s
     }
     // coarse grid: 0.1 steps (plus the boundary-hugging 0.999/0.001 corners)

@@ -795,7 +795,18 @@ object Recovery {
       }
     }
     val df = rows.toDF("key", "i", "x1", "x2", "y")
-    val out = seeds3.flatMap { case (k, _) =>
+    // The three seeds' fit→score→metric pipelines are independent, and each
+    // is a chain of many TINY Spark jobs (≤25 Newton collects + 3 metric
+    // actions over 4k rows) — driver-sequential they leave the cluster idle
+    // between jobs. Run them on a 3-thread pool so the jobs overlap
+    // (guide §2.6); each fit is bit-deterministic (partition-order-sorted
+    // combine) and results are gathered in seed order, so the output rows
+    // are identical to the sequential loop.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(seeds3.size)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val perSeed = seeds3.map { case (k, _) => Future {
       val sub = df.filter(col("key") === k)
       val fit = Logistic.logisticFit(sub, "y", Seq("x1", "x2"))
       val coefs = fit.collect().map(r => r.getString(0) ->
@@ -816,7 +827,9 @@ object Recovery {
         (k, "score_calibrated", math.abs(stats.getDouble(0) - stats.getDouble(1)) < 1e-6),
         (k, "separates", stats.getDouble(2) > stats.getDouble(3) + 0.1),
         (k, "auc_discriminates", auc > 0.75))
-    }
+    } }
+    val out = try perSeed.flatMap(Await.result(_, Duration.Inf))
+      finally pool.shutdown()
     out.toDF("key", "check_name", "ok")
   }
 

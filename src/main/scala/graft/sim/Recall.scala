@@ -51,18 +51,6 @@ object Recall {
     try body finally dfs.foreach(_.unpersist(false))
   }
 
-  /** recall of `approx` vs `truth` on their (query_id, neighbor_id) pairs;
-    * a truth-empty slice certifies vacuously (bound still meaningful at the
-    * SFs the driver runs). */
-  private def pairRecall(truth: DataFrame, approx: DataFrame): (Long, Long) = {
-    val t = truth.count()
-    val hit = truth.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
-    if (sys.env.contains("GRAFT_RECALL_DEBUG"))
-      System.err.println(f"[recall] hit=$hit%4d total=$t%4d  r=${
-        if (t == 0) 1.0 else hit.toDouble / t}%.3f")
-    (hit, t)
-  }
-
   private def recallOk(hit: Long, total: Long, bound: Double): Boolean =
     total == 0 || hit.toDouble / total >= bound
 
@@ -76,15 +64,36 @@ object Recall {
   // ANN top-k (certify sm02 / sm03 / sm04 against sm01's exact answer)
   // ------------------------------------------------------------------
 
+  /** Count of rows where the flag predicate holds — coalesced to 0 so an
+    * EMPTY universe (a vacuous truth slice at small SFs) aggregates to 0,
+    * matching the counts the counted-join formulation returned. */
+  private def one(c: Column) = coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+
   private def annChecks(s: SparkSession, key: String, emb: DataFrame,
       approx: DataFrame, k: Int, bound: Double): DataFrame = {
     val truth = Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k)
-    cached(truth, approx) {
-      val (hit, total) = pairRecall(pairs(truth), pairs(approx))
+    // r21 (the rc07 job-count treatment generalized): recall came from
+    // THREE counted jobs over two persisted frames (truth.count, a
+    // left-semi count, ranksBounded) — the booleans' cost was job count,
+    // not bytes. Tag-union the two pair sets (both emit DISTINCT pairs by
+    // construction: row_number top-k) and aggregate once; only `approx`
+    // still persists, for the separate rank-shape job.
+    approx.persist()
+    try {
+      val t = pairs(truth).select(col("query_id"), col("neighbor_id"),
+        lit(1).as("__t"), lit(0).as("__a"))
+      val a = pairs(approx).select(col("query_id"), col("neighbor_id"),
+        lit(0).as("__t"), lit(1).as("__a"))
+      val p = t.unionByName(a)
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("__t")).as("__t"), max(col("__a")).as("__a"))
+        .agg(one(col("__t") === 1).as("total"),
+          one(col("__t") === 1 && col("__a") === 1).as("hit")).head()
+      val (total, hit) = (p.getLong(0), p.getLong(1))
       checks(s, Seq(
         (key, "recall_ok", recallOk(hit, total, bound)),
         (key, "ranks_bounded", ranksBounded(approx, k))))
-    }
+    } finally approx.unpersist(false)
   }
 
   /** rc01 — hyperplane-LSH top-k (sm02 params) recall vs brute force. */
@@ -116,19 +125,35 @@ object Recall {
     val k = 5
     val truth = Similarity.bruteForceTopK(emb, q, k)
     val approx = Similarity.pqTopK(emb, q, k, m = 8, codebookSize = 16, rerank = 50)
-    cached(truth, approx) {
-      val (hit, total) = pairRecall(pairs(truth), pairs(approx))
-      val scoreDrift = truth.select(col("query_id"), col("neighbor_id"),
-          col("cosine").as("c_exact"))
-        .join(approx.select(col("query_id"), col("neighbor_id"),
-          col("cosine").as("c_pq")), Seq("query_id", "neighbor_id"))
-        .filter(abs(col("c_exact") - col("c_pq")) > 1e-5).count()
+    // r21: recall + score-drift came from FOUR counted jobs over two
+    // persisted frames; tag-union the pair sets carrying each side's
+    // cosine (pairs are DISTINCT per side: row_number top-k), aggregate
+    // once — identical booleans (drift = inner-join pairs whose rounded
+    // cosines differ > 1e-5, here `both flags set ∧ |max_ce − max_cp| >
+    // 1e-5`, the same pairs since max over one row is the value).
+    approx.persist()
+    try {
+      val t = truth.select(col("query_id"), col("neighbor_id"),
+        lit(1).as("__t"), lit(0).as("__a"),
+        col("cosine").as("__ce"), lit(null).cast("double").as("__cp"))
+      val a = approx.select(col("query_id"), col("neighbor_id"),
+        lit(0).as("__t"), lit(1).as("__a"),
+        lit(null).cast("double").as("__ce"), col("cosine").as("__cp"))
+      val p = t.unionByName(a)
+        .groupBy(col("query_id"), col("neighbor_id"))
+        .agg(max(col("__t")).as("__t"), max(col("__a")).as("__a"),
+          max(col("__ce")).as("__ce"), max(col("__cp")).as("__cp"))
+        .agg(one(col("__t") === 1).as("total"),
+          one(col("__t") === 1 && col("__a") === 1).as("hit"),
+          one(col("__t") === 1 && col("__a") === 1 &&
+            abs(col("__ce") - col("__cp")) > 1e-5).as("drift")).head()
+      val (total, hit, scoreDrift) = (p.getLong(0), p.getLong(1), p.getLong(2))
       // measured recall 0.54-0.82 across sf0.001/0.01/0.1
       checks(s, Seq(
         ("sm04", "recall_ok", recallOk(hit, total, 0.3)),
         ("sm04", "rerank_scores_exact", scoreDrift == 0L),
         ("sm04", "ranks_bounded", ranksBounded(approx, k))))
-    }
+    } finally approx.unpersist(false)
   }
 
   // ------------------------------------------------------------------
@@ -154,20 +179,32 @@ object Recall {
       .select("id_a", "id_b", "j")
     val approx = Dedup.minhashNearDuplicates(docs, k = 3, numHashes = 64,
       bands = 16, threshold = 0.3)
-    cached(exact, approx) {
-      val (hit, total) = pairRecall(pairKey(exact), pairKey(approx))
-      val (hiHit, hiTotal) = pairRecall(pairKey(exact.filter(col("j") >= 0.9)),
-        pairKey(approx))
-      val falsePos = pairKey(approx)
-        .join(pairKey(exact), Seq("query_id", "neighbor_id"), "left_anti").count()
-      // measured recall 1.0 at every sf (truth pairs sit at high jaccard,
-      // where 16x4 banding is effectively complete); 0.1 certifies the
-      // pipeline wiring survives a dataset regeneration with weaker pairs
-      checks(s, Seq(
-        ("dd03", "recall_ok", recallOk(hit, total, 0.1)),
-        ("dd03", "high_sim_complete", hiHit == hiTotal),
-        ("dd03", "precision_exact", falsePos == 0L)))
-    }
+    // r21 (the rc07 treatment): FIVE counted jobs over two persisted frames
+    // (recall count+semi, high-sim count+semi, false-positive anti) become
+    // ONE tag-union aggregate — both pair sets are DISTINCT by construction
+    // (exact: id_a < id_b join over unique doc ids; approx: banding
+    // .distinct() before verify), so flag sums equal the join counts.
+    val tt = exact.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"),
+      lit(1).as("__t"), lit(0).as("__a"), col("j").as("__j"))
+    val aa = pairKey(approx).select(col("query_id"), col("neighbor_id"),
+      lit(0).as("__t"), lit(1).as("__a"), lit(null).cast("double").as("__j"))
+    val p = tt.unionByName(aa)
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("__t")).as("__t"), max(col("__a")).as("__a"),
+        max(col("__j")).as("__j"))
+      .agg(one(col("__t") === 1).as("total"),
+        one(col("__t") === 1 && col("__a") === 1).as("hit"),
+        one(col("__t") === 1 && col("__j") >= 0.9).as("hi_total"),
+        one(col("__t") === 1 && col("__j") >= 0.9 && col("__a") === 1).as("hi_hit"),
+        one(col("__a") === 1 && col("__t") === 0).as("fp")).head()
+    val (total, hit) = (p.getLong(0), p.getLong(1))
+    // measured recall 1.0 at every sf (truth pairs sit at high jaccard,
+    // where 16x4 banding is effectively complete); 0.1 certifies the
+    // pipeline wiring survives a dataset regeneration with weaker pairs
+    checks(s, Seq(
+      ("dd03", "recall_ok", recallOk(hit, total, 0.1)),
+      ("dd03", "high_sim_complete", p.getLong(3) == p.getLong(2)),
+      ("dd03", "precision_exact", p.getLong(4) == 0L)))
   }
 
   /** rc05 — SimHash near-dup (dd04 params): recall vs exact all-pairs
@@ -184,18 +221,27 @@ object Recall {
       .filter(col("h") <= 6)
       .select("id_a", "id_b", "h")
     val approx = Dedup.simhashNearDuplicates(docs, maxHamming = 6)
-    cached(exact, approx) {
-      val (hit, total) = pairRecall(pairKey(exact), pairKey(approx))
-      val (h3Hit, h3Total) = pairRecall(pairKey(exact.filter(col("h") <= 3)),
-        pairKey(approx))
-      val falsePos = pairKey(approx)
-        .join(pairKey(exact), Seq("query_id", "neighbor_id"), "left_anti").count()
-      // measured recall 0.68-0.76 across sf0.001/0.01/0.1
-      checks(s, Seq(
-        ("dd04", "recall_ok", recallOk(hit, total, 0.3)),
-        ("dd04", "h3_pigeonhole_complete", h3Hit == h3Total),
-        ("dd04", "precision_exact", falsePos == 0L)))
-    }
+    // r21: same ONE-job tag-union shape as rc04 (five counted jobs folded
+    // into one aggregate; both pair sets distinct by construction)
+    val tt = exact.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"),
+      lit(1).as("__t"), lit(0).as("__a"), col("h").cast("double").as("__h"))
+    val aa = pairKey(approx).select(col("query_id"), col("neighbor_id"),
+      lit(0).as("__t"), lit(1).as("__a"), lit(null).cast("double").as("__h"))
+    val p = tt.unionByName(aa)
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("__t")).as("__t"), max(col("__a")).as("__a"),
+        max(col("__h")).as("__h"))
+      .agg(one(col("__t") === 1).as("total"),
+        one(col("__t") === 1 && col("__a") === 1).as("hit"),
+        one(col("__t") === 1 && col("__h") <= 3).as("h3_total"),
+        one(col("__t") === 1 && col("__h") <= 3 && col("__a") === 1).as("h3_hit"),
+        one(col("__a") === 1 && col("__t") === 0).as("fp")).head()
+    val (total, hit) = (p.getLong(0), p.getLong(1))
+    // measured recall 0.68-0.76 across sf0.001/0.01/0.1
+    checks(s, Seq(
+      ("dd04", "recall_ok", recallOk(hit, total, 0.3)),
+      ("dd04", "h3_pigeonhole_complete", p.getLong(3) == p.getLong(2)),
+      ("dd04", "precision_exact", p.getLong(4) == 0L)))
   }
 
   /** rc06 — banded hyperplane-LSH embedding near-dup (dd06 params): recall
@@ -218,16 +264,24 @@ object Recall {
       .filter(col("c") >= 0.2)
       .select("id_a", "id_b", "c")
     val approx = Dedup.embeddingNearDuplicates(emb, threshold = 0.2)
-    cached(exact, approx) {
-      val (hit, total) = pairRecall(pairKey(exact), pairKey(approx))
-      val falsePos = pairKey(approx)
-        .join(pairKey(exact), Seq("query_id", "neighbor_id"), "left_anti").count()
-      // measured recall 0.097-0.110 across sf0.001/0.01/0.1 — the ~8-11%
-      // the 8-band x 8-bit collision probability predicts at cosine 0.2
-      checks(s, Seq(
-        ("dd06", "recall_ok", recallOk(hit, total, 0.03)),
-        ("dd06", "precision_exact", falsePos == 0L)))
-    }
+    // r21: THREE counted jobs (count, semi, anti) over two persisted frames
+    // become ONE tag-union aggregate (pair sets distinct by construction)
+    val tt = pairKey(exact).select(col("query_id"), col("neighbor_id"),
+      lit(1).as("__t"), lit(0).as("__a"))
+    val aa = pairKey(approx).select(col("query_id"), col("neighbor_id"),
+      lit(0).as("__t"), lit(1).as("__a"))
+    val p = tt.unionByName(aa)
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("__t")).as("__t"), max(col("__a")).as("__a"))
+      .agg(one(col("__t") === 1).as("total"),
+        one(col("__t") === 1 && col("__a") === 1).as("hit"),
+        one(col("__a") === 1 && col("__t") === 0).as("fp")).head()
+    val (total, hit) = (p.getLong(0), p.getLong(1))
+    // measured recall 0.097-0.110 across sf0.001/0.01/0.1 — the ~8-11%
+    // the 8-band x 8-bit collision probability predicts at cosine 0.2
+    checks(s, Seq(
+      ("dd06", "recall_ok", recallOk(hit, total, 0.03)),
+      ("dd06", "precision_exact", p.getLong(2) == 0L)))
   }
 
   /** rc07 — SemDeDup cluster-then-compare semantic dedup (sd01 params):
@@ -364,25 +418,45 @@ object Recall {
       threshold = 0.2).select(col("vec_id"))
     val dropped = corpus.select(col("vec_id"))
       .join(survivors, Seq("vec_id"), "left_anti")
-    cached(exact, survivors, dropped) {
-      val nCorpus = corpus.count()
-      val partitionOk =
-        survivors.count() + dropped.count() == nCorpus &&
-        survivors.join(dropped, Seq("vec_id"), "left_semi").count() == 0L
-      val falseDrops = dropped
-        .join(exact.withColumnRenamed("cid", "vec_id"), Seq("vec_id"), "left_anti")
-        .count()
-      val total = exact.count()
-      val hit = exact.withColumnRenamed("cid", "vec_id")
-        .join(dropped, Seq("vec_id"), "left_semi").count()
+    // r21 (the rc07 treatment): SEVEN counted jobs over three persisted
+    // frames become a priming count (materializes the cached operator
+    // output, which the id-universe reads twice: as survivor rows and
+    // inside dropped's anti-join) plus ONE tag-union aggregate over the
+    // id universe. Per-row sums preserve the original counts exactly —
+    // including duplicate-row counting, so the partition check certifies
+    // the same anti-join wiring it did as separate counts.
+    survivors.persist()
+    try {
+      val nSurv = survivors.count()
+      val tagged = corpus.select(col("vec_id"),
+          lit(1L).as("__c"), lit(0L).as("__s"), lit(0L).as("__d"), lit(0).as("__e"))
+        .unionByName(survivors.select(col("vec_id"),
+          lit(0L).as("__c"), lit(1L).as("__s"), lit(0L).as("__d"), lit(0).as("__e")))
+        .unionByName(dropped.select(col("vec_id"),
+          lit(0L).as("__c"), lit(0L).as("__s"), lit(1L).as("__d"), lit(0).as("__e")))
+        .unionByName(exact.select(col("cid").as("vec_id"),
+          lit(0L).as("__c"), lit(0L).as("__s"), lit(0L).as("__d"), lit(1).as("__e")))
+      val p = tagged.groupBy(col("vec_id"))
+        .agg(sum(col("__c")).as("__c"), sum(col("__s")).as("__s"),
+          sum(col("__d")).as("__d"), max(col("__e")).as("__e"))
+        .agg(coalesce(sum(col("__c")), lit(0L)).as("n_corpus"),
+          coalesce(sum(col("__d")), lit(0L)).as("n_drop"),
+          one(col("__s") > 0 && col("__d") > 0).as("overlap"),
+          coalesce(sum(when(col("__e") === 0, col("__d")).otherwise(0L)), lit(0L))
+            .as("false_drops"),
+          one(col("__e") === 1).as("total"),
+          one(col("__e") === 1 && col("__d") > 0).as("hit")).head()
+      val nCorpus = p.getLong(0)
+      val partitionOk = nSurv + p.getLong(1) == nCorpus && p.getLong(2) == 0L
+      val (total, hit) = (p.getLong(4), p.getLong(5))
       if (sys.env.contains("GRAFT_RECALL_DEBUG"))
         System.err.println(f"[recall] rc08 hit=$hit%4d total=$total%4d  r=${
           if (total == 0) 1.0 else hit.toDouble / total}%.3f")
       checks(s, Seq(
         ("dd13", "recall_ok", recallOk(hit, total, RC08_BOUND)),
-        ("dd13", "precision_exact", falseDrops == 0L),
+        ("dd13", "precision_exact", p.getLong(3) == 0L),
         ("dd13", "partition_exact", partitionOk)))
-    }
+    } finally survivors.unpersist(false)
   }
 
   // CONTAMINATED-ID recall (any one witness bucket-collides -> the id

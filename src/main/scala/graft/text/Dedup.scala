@@ -644,10 +644,15 @@ object Dedup {
    * bands, buckets_per_band, effective_recall, baseline_recall).
    * `effective_recall` is the probability that a true pair at exactly
    * `threshold` cosine collides in ≥ 1 band under the resolved shape;
-   * `baseline_recall` is the fixed (8 planes, 8 bands) reference the
-   * auto-budget preserves. A pinned `bands` under auto-raised planes
-   * shows its recall loss here as a number instead of only a stderr
-   * warning at operator run time.
+   * `baseline_recall` is the 8-plane baseline at the RESOLVED band count
+   * (8 bands when `bands` is auto — ADVICE r20: for pinned-bands callers
+   * the column holds the 8-plane recall at the pinned count, mirroring
+   * the operator's warn logic, not the fixed 8×8 reference). A pinned
+   * `bands` under auto-raised planes shows its recall loss here as a
+   * number instead of only a stderr warning at operator run time.
+   * Note (same convention as the Packing operators' eager-quantile note):
+   * CALLING this helper runs one small Spark job eagerly — the corpus
+   * count() that feeds the occupancy-scaled plane budget.
    */
   def explainEmbeddingLshConfig(df: DataFrame, idCol: String = "vec_id",
       threshold: Double = 0.95, bands: Int = 0,

@@ -125,8 +125,13 @@ object Packing {
       val bounds =
         if (probs.isEmpty) Array.empty[Double]
         else counted.stat.approxQuantile("id", probs, 0.001).distinct.sorted
+      // boundaries rounded to Long (ADVICE r20): approxQuantile returns
+      // doubles, and a double-vs-long compare on ids above 2^53 would lose
+      // precision; ids here are already cast("long"), so comparing against
+      // Long literals keeps domain assignment in exact integer arithmetic
+      // (identical below 2^53, where b.toLong == b for integer-valued ids)
       bounds.zipWithIndex.foldRight(lit(bounds.length.toLong): Column) {
-        case ((b, i), acc) => when(col("id") < b, lit(i.toLong)).otherwise(acc)
+        case ((b, i), acc) => when(col("id") < lit(b.toLong), lit(i.toLong)).otherwise(acc)
       }
     }
     counted.withColumn("domain", domainExpr.cast("long"))
@@ -168,9 +173,14 @@ object Packing {
    * order always agree. Like [[sequencePacking]], calling this runs the
    * small quantile job eagerly at plan-construction time.
    *
-   * The key tuple must be UNIQUE per row (doc ids; (doc, copy) pairs):
-   * rows sharing the full tuple share the hash AND every tiebreaker, so
-   * their relative positions would be partition-order-dependent.
+   * The key tuple must be UNIQUE per row (doc ids; (doc, copy) pairs) and
+   * must contain NO NULL values (ADVICE r20): `concat_ws` silently skips
+   * NULLs, so distinct tuples like ("a", NULL) and (NULL, "a") would
+   * collide on `shuffle_key` — order then stays total only through the
+   * key-column tiebreakers, with NULL-bearing tuples clustered at one
+   * hash. Rows sharing the full tuple share the hash AND every
+   * tiebreaker, so their relative positions would be
+   * partition-order-dependent.
    */
   def corpusShuffle(df: DataFrame, keyCols: Seq[String] = Seq("doc_id"),
       numRanges: Int = 0): DataFrame = {
@@ -240,7 +250,14 @@ object Packing {
       case ((b, i), acc) => when(col("__snum") < b, lit(i)).otherwise(acc)
     }
     val withPid = counted.withColumn("__pid", pidExpr)
+    // explicit ROWS frame (ADVICE r20): the default RANGE frame treats rows
+    // with equal (__skey, id) as peers — duplicate ids would each see a
+    // cumsum INCLUDING the other, inflating sample_offset for both. Like
+    // corpusShuffle, `idCol` must be unique per row (document ids); the
+    // ROWS frame keeps the prefix sum well-defined row-by-row regardless,
+    // and is the cheaper frame processor (no peer-group detection).
     val w = Window.partitionBy("__pid").orderBy(col("__skey"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = withPid.withColumn("__local_end", sum(col("n_tokens")).over(w))
     val bases = local.groupBy("__pid")
       .agg(max(col("__local_end")).as("__total"))
