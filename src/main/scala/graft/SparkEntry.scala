@@ -1119,9 +1119,17 @@ object SparkEntry {
     }),
     "fh01_feature_hash" -> ((s, dir) =>
       // hashing-trick doc embeddings (64 power-of-two buckets, rolling-hash
-      // tokens, L2-normalized), exploded to long form for the exact compare
-      graft.text.TextFunctions.featureHashEmbedding(Tables.documents(s, dir))
-        .select(col("doc_id"), posexplode(col("embedding")).as(Seq("bucket", "weight")))
+      // tokens, L2-normalized), exploded to long form for the exact compare.
+      // r21: posexplode the FUSED feature_hash_embedding expression directly —
+      // the generator (outer = false) emits nothing for a NULL vector, which
+      // IS the old `__norm > 0` drop, so the expensive kernel runs exactly
+      // ONCE per row instead of the ~5 evaluations the pushed-down filter
+      // chain paid (plans/r21/fh01_feature_hash_{before,after}.txt); rows
+      // and values are identical by construction (bit-identical norm fold)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(graft.text.FeatureHashEmbedding.ofColumn(col("text"), 64))
+            .as(Seq("bucket", "weight")))
         .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
           round(col("weight"), 6).as("weight"))),
     "m31_var_fit" -> ((s, dir) =>

@@ -189,6 +189,78 @@ case class FeatureHashCounts(child: Expression, dim: Int)
     copy(child = newChild)
 }
 
+/**
+ * [[FeatureHashCounts]] fused with the L2 normalization (r21): counts, the
+ * norm fold and the divide all in ONE compiled kernel, returning NULL for a
+ * token-less document (zero vector). Why fusion matters: the unfused chain
+ * (`counts` → `sqrt(aggregate(...))` norm → `transform(...)` divide →
+ * `filter(norm > 0)`) let Catalyst push the filter below the projection and
+ * substitute the alias, so the EXPENSIVE counts kernel was re-evaluated up
+ * to 5× per row — inside an interpreted Filter, because the `aggregate` /
+ * `transform` higher-order lambdas are CodegenFallback (fh01's measured
+ * cost lived there, not in the hashing). Arithmetic is kept bit-identical
+ * to the old chain: norm = sqrt of the left fold 0.0 + x·x in bucket
+ * order, then per-bucket x / norm.
+ */
+case class FeatureHashEmbedding(child: Expression, dim: Int)
+    extends UnaryExpression {
+  require(dim > 0 && (dim & (dim - 1)) == 0, "dim must be a power of two")
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.DoubleType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "feature_hash_embedding"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"feature_hash_embedding requires a string column, got ${child.dataType}")
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = FeatureHashEmbedding.compute(
+      input.asInstanceOf[UTF8String].getBytes, dim)
+    if (v == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val v = ev.value
+      s"""
+         |byte[] ${v}_b = $c.getBytes();
+         |double[] ${v}_e = graft.text.FeatureHashEmbedding.compute(${v}_b, $dim);
+         |if (${v}_e == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  $v = new org.apache.spark.sql.catalyst.util.GenericArrayData(${v}_e);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FeatureHashEmbedding =
+    copy(child = newChild)
+}
+
+object FeatureHashEmbedding {
+  /** Static kernel shared by eval and codegen: [[FeatureHashCounts.compute]]
+    * then the EXACT normalization fold the unfused column chain performed —
+    * acc = 0.0; acc += x·x in bucket order; norm = sqrt(acc); x / norm —
+    * so fused and unfused vectors are bit-identical. Null = zero vector. */
+  def compute(b: Array[Byte], dim: Int): Array[Double] = {
+    val cnt = FeatureHashCounts.compute(b, dim)
+    var acc = 0.0
+    var i = 0
+    while (i < dim) { acc += cnt(i) * cnt(i); i += 1 }
+    val norm = math.sqrt(acc)
+    if (!(norm > 0.0)) return null
+    i = 0
+    while (i < dim) { cnt(i) = cnt(i) / norm; i += 1 }
+    cnt
+  }
+
+  def ofColumn(c: Column, dim: Int): Column =
+    GraftSqlBridge.column(FeatureHashEmbedding(GraftSqlBridge.expression(c), dim))
+}
+
 object FeatureHashCounts {
   /** Static kernel shared by eval and codegen (called from generated Java). */
   def compute(b: Array[Byte], dim: Int): Array[Double] = {

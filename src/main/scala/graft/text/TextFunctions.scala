@@ -992,16 +992,21 @@ object TextFunctions {
       .select(col(idCol), explode(tokens(col(text))).as("tok"))
       .filter(col("tok") =!= "")
       .withColumn("__b", pmod(RollingHash.ofColumn(col("tok")), lit(dim.toLong)))
+    if (dim <= largeDimThreshold) {
+      // small dim — ONE compiled partition-local pass per doc, now with the
+      // L2 normalization FUSED into the expression (r21): the unfused
+      // counts → HOF-norm → HOF-divide → filter chain let the pushed-down
+      // norm filter re-evaluate the counts kernel up to 5× per row inside
+      // an interpreted Filter (see FeatureHashEmbedding's doc); the fused
+      // kernel runs once per row, emits NULL for token-less docs (the same
+      // rows the __norm > 0 filter dropped), and the vectors are
+      // bit-identical by construction. Plan still has NO exchange.
+      return df.select(col(idCol),
+          FeatureHashEmbedding.ofColumn(col(text), dim).as("embedding"))
+        .filter(col("embedding").isNotNull)
+    }
     val raw =
-      if (dim <= largeDimThreshold) {
-        // small dim — ONE compiled partition-local pass per doc
-        // (FeatureHashCounts expression): the previous explode → pmod →
-        // groupBy(doc) plan shuffled every token only to reassemble what
-        // was one row per doc; this plan has NO exchange at all
-        // (matched A/B: 1.3x warm, 2.4x cold — see SCALE.md)
-        df.select(col(idCol),
-          FeatureHashCounts.ofColumn(col(text), dim).as("__raw"))
-      } else {
+      {
         // large dim — `dim` generated agg expressions exceed the codegen
         // method/constant-pool limits (interpreted fallback or minutes of
         // janino compilation at dim ≳ 1k). Sparse (doc, bucket) pre-agg +
