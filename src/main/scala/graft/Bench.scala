@@ -143,14 +143,20 @@ object Bench {
       // warm-up already blew the budget (>30 s) or crashed is not repeated.
       val gc0 = gcMillis()
       val (s1, err) = once()
-      val secs =
-        if (err.isDefined || s1 > 30.0) s1
-        else Seq(once()._1, once()._1, once()._1).sorted.apply(1)
+      // r21 (VERDICT r20 #4): keep the warm-rep SPREAD, not just the median —
+      // every round burned an adjudication cycle re-probing in-suite movers
+      // (m12 r17, mm06 r18, m12+m46 r20); a wide min..max in the artifact
+      // makes position noise self-evident without a judge re-run. Timing
+      // methodology is UNCHANGED: same warm-up rep, same median of 3.
+      val warm =
+        if (err.isDefined || s1 > 30.0) Seq(s1)
+        else Seq(once()._1, once()._1, once()._1).sorted
+      val secs = warm(warm.size / 2)
       val gcDelta = gcMillis() - gc0
       val ccMb = codeCacheMb()
       val tag = if (err.isDefined) " FAILED" else ""
-      System.err.println(f"[bench] $name%-28s $secs%8.2f s (first $s1%.2f, gc ${gcDelta}ms, cc ${ccMb}%.0fMB)$tag")
-      (name, secs, s1, err, pos, gcDelta, ccMb)
+      System.err.println(f"[bench] $name%-28s $secs%8.2f s (first $s1%.2f, spread ${warm.head}%.2f..${warm.last}%.2f, gc ${gcDelta}ms, cc ${ccMb}%.0fMB)$tag")
+      (name, secs, s1, err, pos, gcDelta, ccMb, warm.head, warm.last)
     }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
@@ -184,8 +190,9 @@ object Bench {
         if (p1 == p0) c0 else c0 + (c1 - c0) * (pos - p0).toDouble / (p1 - p0)
       }
     }
-    val detail = results.map { case (k, med, first, e, pos, gcMs, ccMb) =>
+    val detail = results.map { case (k, med, first, e, pos, gcMs, ccMb, mn, mx) =>
       s"${jstr(k)}:{\"median\":${fmt(med, 3)},\"first\":${fmt(first, 3)}" +
+        s",\"min\":${fmt(mn, 3)},\"max\":${fmt(mx, 3)}" +
         s",\"norm\":${fmt(med / calAt(pos), 3)}" +
         s",\"pos\":$pos,\"gc_ms\":$gcMs,\"code_cache_mb\":${fmt(ccMb, 1)}" +
         e.map(m => s",\"error\":${jstr(m)}").getOrElse("") + "}"
@@ -221,21 +228,21 @@ object Bench {
     // typically) with the dropped count in "n_other". Full per-query data
     // lives in bench_detail.json and on stderr.
     val header = s""""metric":"total","value":${fmt(total, 2)},"unit":"sec","n_queries":${results.size},"cal":${fmt(calStart, 2)}"""
-    val short = results.map { case (k, v, _, _, _, _, _) => (k.takeWhile(_ != '_'), v) }
+    val short = results.map { case (k, v, _, _, _, _, _, _, _) => (k.takeWhile(_ != '_'), v) }
     val useShort = short.map(_._1).distinct.size == results.size
     // errors keyed the same way as the timings: under a prefix collision
     // the fallback to full names must apply here too, or two failing
     // same-prefix queries would emit duplicate JSON keys and one message
     // would be silently dropped by the parser
     def outKey(k: String): String = if (useShort) k.takeWhile(_ != '_') else k
-    val errs = results.collect { case (k, _, _, Some(e), _, _, _) =>
+    val errs = results.collect { case (k, _, _, Some(e), _, _, _, _, _) =>
       s"${jstr(outKey(k))}:${jstr(e.take(60))}" }.mkString("{", ",", "}")
     val footer = s""""failed":$failed""" +
       (if (failed > 0) s""","errors":$errs""" else "") +
       splitOverride.map(v => s""","split_override":${jstr(v)}""").getOrElse("") +
       s""","sf":${jstr(sfDir.split('/').last)}"""
     val keyed = if (useShort) short
-                else results.map { case (k, v, _, _, _, _, _) => (k, v) }
+                else results.map { case (k, v, _, _, _, _, _, _, _) => (k, v) }
     val budget = 1800 - header.length - footer.length - 40 // slack for braces/other
     val bySize = keyed.sortBy(-_._2)
     val entries = scala.collection.mutable.ArrayBuffer.empty[String]

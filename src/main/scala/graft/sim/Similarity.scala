@@ -26,12 +26,12 @@ object Similarity {
   def norm(a: Column): Column = sqrt(DotProduct.ofColumns(a, a))
 
   /** Cast float array to double and scale to unit norm (cosine ≡ dot).
-    * A zero-norm vector stays all-zero (no ANSI divide-by-zero throw). */
-  def normalized(a: Column): Column = {
-    val d = transform(a, x => x.cast("double"))
-    val n = sqrt(aggregate(transform(d, x => x * x), lit(0.0), (acc, x) => acc + x))
-    when(n === 0.0, d).otherwise(transform(d, x => x / n))
-  }
+    * A zero-norm vector stays all-zero (no ANSI divide-by-zero throw).
+    * r21: the native codegen'd [[NormalizedVector]] — the previous
+    * higher-order-function chain was CodegenFallback (interpreted, boxed
+    * per element) and dominated the embedding family's corpus passes at
+    * scale; the expression replicates its arithmetic bit-exactly. */
+  def normalized(a: Column): Column = NormalizedVector.ofColumn(a)
 
   /** Cosine similarity; null (not an ANSI throw) when either norm is zero. */
   def cosine(a: Column, b: Column): Column = try_divide(dot(a, b), norm(a) * norm(b))
@@ -432,25 +432,61 @@ object Similarity {
       }
       lut
     }
-    val adc = udf { (codes: Seq[Int], lut: Seq[Double]) =>
-      var s = 0.0; var b = 0
-      while (b < mLocal) { s += lut(b * cbLocal + codes(b)); b += 1 }
-      s
-    }
     val coded = c.withColumn("codes", encode(col("nv")))
     val q = queries.select(col(idCol).as("query_id"), normalized(col(vecCol)).as("qv"))
     val qLut = q.withColumn("lut", lutUdf(col("qv"))).select("query_id", "lut")
+    // r21 (guide §8: ship a lightweight proxy, not payloads): the ADC scan
+    // used to crossJoin the corpus against broadcast(query, lut) rows — the
+    // joined row MATERIALIZED the m×codebookSize-double LUT (~1 KB) per
+    // candidate pair, and the UDF re-boxed it per pair (measured ~60 µs/row,
+    // the sm04 wall at the 10× fixture). Now the bounded per-query LUT table
+    // is collected ONCE (queries are the small broadcast side by the
+    // operator's contract; one more bounded eager job, same class as the
+    // training collect) and ships as ONE jvm broadcast; each corpus row
+    // emits its per-query score array (m unboxed lookups per query) and
+    // posexplode yields (qidx, approx) — 24-byte rows into the rank stage,
+    // no per-pair LUT copies, no cross join. query ids ride a tiny
+    // broadcast-joined (qidx, query_id) frame, so arithmetic, pair
+    // universe, self-exclusion, ranking and ties are IDENTICAL.
+    val qRows = qLut.collect()
+    val bcLuts = spark.sparkContext.broadcast(
+      qRows.map(_.getSeq[Double](1).toArray))
+    val scoresUdf = udf { (codes: Seq[Int]) =>
+      val ls = bcLuts.value
+      Array.tabulate(ls.length) { qi =>
+        val lut = ls(qi)
+        var s = 0.0; var b = 0
+        while (b < mLocal) { s += lut(b * cbLocal + codes(b)); b += 1 }
+        s
+      }
+    }
+    val skinnySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__qidx",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      qLut.schema("query_id")))
+    val skinny = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(qRows.zipWithIndex.map { case (r, i) =>
+          org.apache.spark.sql.Row(i, r.get(0)) }: _*)), skinnySchema)
     val wApprox = Window.partitionBy(col("query_id"))
       .orderBy(col("approx").desc, col("neighbor_id"))
-    val cand = coded.select("neighbor_id", "codes").crossJoin(broadcast(qLut))
+    val cand = coded.select("neighbor_id", "codes")
+      .select(col("neighbor_id"),
+        posexplode(scoresUdf(col("codes"))).as(Seq("__qidx", "approx")))
+      .join(broadcast(skinny), Seq("__qidx"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx", adc(col("codes"), col("lut")))
       .withColumn("arank", row_number().over(wApprox))
       .filter(col("arank") <= rerank)
       .select("query_id", "neighbor_id")
     val wExact = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.join(c, Seq("neighbor_id"))
+    // r21: pin the BOUNDED side (cand: ≤ rerank × queries rows) as the
+    // broadcast build of the re-rank join. Unhinted, the planner broadcast
+    // the CORPUS side at bench scale (fine at 2k vectors, impossible at
+    // 100 TB, where it would fall back to shuffling the corpus by
+    // neighbor_id); with the hint the corpus is always the streamed side —
+    // scan + broadcast join, no corpus exchange at any scale.
+    broadcast(cand).join(c, Seq("neighbor_id"))
       .join(broadcast(q), Seq("query_id"))
       .withColumn("cosine", dot(col("nv"), col("qv")))
       .withColumn("rank", row_number().over(wExact))
