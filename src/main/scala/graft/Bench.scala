@@ -191,8 +191,13 @@ object Bench {
       }
     }
     val detail = results.map { case (k, med, first, e, pos, gcMs, ccMb, mn, mx) =>
+      // r22 (ADVICE r21): a failed or >30s query ran NO warm reps — its
+      // min/max would be the single cold warm-up masquerading as a
+      // perfectly stable spread; emit null so the artifact can't be misread
+      val warmRan = e.isEmpty && first <= 30.0
       s"${jstr(k)}:{\"median\":${fmt(med, 3)},\"first\":${fmt(first, 3)}" +
-        s",\"min\":${fmt(mn, 3)},\"max\":${fmt(mx, 3)}" +
+        (if (warmRan) s",\"min\":${fmt(mn, 3)},\"max\":${fmt(mx, 3)}"
+         else ",\"min\":null,\"max\":null") +
         s",\"norm\":${fmt(med / calAt(pos), 3)}" +
         s",\"pos\":$pos,\"gc_ms\":$gcMs,\"code_cache_mb\":${fmt(ccMb, 1)}" +
         e.map(m => s",\"error\":${jstr(m)}").getOrElse("") + "}"

@@ -2130,11 +2130,13 @@ object SparkEntry {
         dayUsTick, sum(_), closedRight = false, stampRight = false,
         watermark = "36500 days", key = "user_id")
       val sink = s"st01_sink_${System.nanoTime}"
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withReplayStateParallelism(s, s"$tmp/events") {
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       // the memory sink holds only the user x day aggregate (bounded well
       // below the input); the replay fixture is per-run and removed here
       val res = s.table(sink).select(col("user_id"),
@@ -2160,11 +2162,13 @@ object SparkEntry {
       val out = graft.streaming.StreamingDedup.streamingExactDedup(
         stream, "text", "event_time", "36500 days")
       val sink = s"st02_sink_${System.nanoTime}"
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withReplayStateParallelism(s, s"$tmp/docs") {
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val res = s.table(sink).groupBy("fingerprint")
         .agg(count(lit(1)).as("n_survivors")).localCheckpoint()
       deleteRecursively(tmp)
@@ -2185,11 +2189,13 @@ object SparkEntry {
       val out = graft.streaming.StreamingSketch.streamingHeavyHitters(
         stream, "text", shards = 4, capacity = 64)
       val sink = s"st03_sink_${System.nanoTime}"
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("update")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withReplayStateParallelism(s, s"$tmp/docs") {
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("update")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       // update-mode emissions are cumulative full-shard summaries, so the
       // max count per token is its final count (each token lives in
       // exactly one shard); max(err) must be 0 — the no-eviction pin
@@ -2219,11 +2225,13 @@ object SparkEntry {
         stream, index, watermark = "36500 days",
         k = 3, numHashes = 64, bands = 16, threshold = 0.3)
       val sink = s"st05_sink_${System.nanoTime}"
-      val q = out.writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
+      withReplayStateParallelism(s, s"$tmp/docs") {
+        val q = out.writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
       val res = pairDigest(s.table(sink),
         format_string("%d,%d,%.6f", least(col("stream_id"), col("corpus_id")),
           greatest(col("stream_id"), col("corpus_id")), col("jaccard")))
@@ -2261,7 +2269,7 @@ object SparkEntry {
       feed.filter(!col("late")).drop("late").coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/in")
       val inSchema = feed.drop("late").schema
-      def replay(): Unit = {
+      def replay(): Unit = withReplayStateParallelism(s, s"$tmp/in") {
         val stream = s.readStream.schema(inSchema).parquet(s"$tmp/in")
         val out = graft.streaming.StreamingResample.tumblingModes(stream,
           dayUsTick, count(_), closedRight = false, stampRight = false,
@@ -2308,7 +2316,7 @@ object SparkEntry {
       feed.filter(!col("late")).drop("late").coalesce(1)
         .write.mode("overwrite").parquet(s"$tmp/in")
       val inSchema = feed.drop("late").schema
-      def replay(): Unit = {
+      def replay(): Unit = withReplayStateParallelism(s, s"$tmp/in") {
         val stream = s.readStream.schema(inSchema).parquet(s"$tmp/in")
         val out = graft.streaming.StreamingResample.tumblingModesLateness(
           stream, widthUs, count(_), closedRight = false, stampRight = false,
@@ -2334,6 +2342,43 @@ object SparkEntry {
       res
     })
   )
+
+  /** r22 (guide §2: derive partitioning from input size, never a constant
+    * tuned for local or cluster mode; VERDICT r21 #2 "state-store
+    * partitioning derived from data not config"): run a replay stream with
+    * its state-store parallelism scaled to the FIXTURE'S actual bytes.
+    *
+    * AQE cannot coalesce stateful streaming exchanges — the state partition
+    * count is snapshotted into the checkpoint at first query start — so the
+    * decision AQE would make is made here from the data: one state
+    * partition per ~32 MB of replay input, floored at 1, CAPPED at the
+    * session's configured `spark.sql.shuffle.partitions` (the
+    * cluster-scaled value). At 100 TB the cap binds and behavior is
+    * unchanged; at a bounded replay this stops every micro-batch from
+    * paying per-partition state-store file I/O (delta + snapshot +
+    * checksum files per partition per batch) and task scheduling for
+    * partitions that hold a few KB of state each. Restart phases (st04/
+    * st06 phase 2) recover the checkpointed count regardless of the live
+    * conf, so the two-phase semantics are untouched. Results are invariant:
+    * partitioning never changes WHAT a keyed stateful operator computes,
+    * only where rows sit.
+    */
+  private def withReplayStateParallelism[T](s: SparkSession, fixtureDir: String)
+      (body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = s.conf.get(key)
+    val bytes =
+      try {
+        val p = new org.apache.hadoop.fs.Path(fixtureDir)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          .getContentSummary(p).getLength
+      } catch { case _: Exception => Long.MaxValue } // unknown -> keep config
+    val derived = math.max(1L, math.min(old.toLong, bytes / (32L << 20) + 1L)).toInt
+    if (derived.toString != old) System.err.println(
+      s"[replay] state parallelism $old -> $derived ($bytes fixture bytes)")
+    s.conf.set(key, derived.toString)
+    try body finally s.conf.set(key, old)
+  }
 
   /** Remove a per-run replay fixture directory (best-effort). */
   private def deleteRecursively(path: String): Unit = {

@@ -828,7 +828,14 @@ object Recovery {
         (k, "separates", stats.getDouble(2) > stats.getDouble(3) + 0.1),
         (k, "auc_discriminates", auc > 0.75))
     } }
-    val out = try perSeed.flatMap(Await.result(_, Duration.Inf))
+    // r22 (ADVICE r21): on a failed or hung fit, stop the OTHER seeds'
+    // threads too (shutdownNow interrupts them) instead of letting them
+    // burn cluster time after the result is already lost; the generous
+    // finite timeout turns a hung fit into a loud failure, never a
+    // forever-blocked driver. Happy path unchanged (fits finish in
+    // seconds; results still gathered in seed order).
+    val out = try perSeed.flatMap(Await.result(_, Duration.create(10, "min")))
+      catch { case e: Throwable => pool.shutdownNow(); throw e }
       finally pool.shutdown()
     out.toDF("key", "check_name", "ok")
   }

@@ -7,7 +7,6 @@ import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /**
@@ -58,7 +57,10 @@ case class ScatterToSeries(
     b1
   }
 
-  override def eval(buffer: Array[Double]): Any = new GenericArrayData(buffer)
+  // r22: unboxed container (GenericArrayData(double[]) boxes per element);
+  // one conversion per GROUP, but series can be 10^4+ slots wide
+  override def eval(buffer: Array[Double]): Any =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(buffer)
 
   override def serialize(buffer: Array[Double]): Array[Byte] = {
     val bb = ByteBuffer.allocate(buffer.length * 8)

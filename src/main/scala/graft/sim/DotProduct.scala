@@ -125,13 +125,20 @@ case class NormalizedVector(child: Expression)
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
 
+  // r22: the double[] branch returns UnsafeArrayData.fromPrimitiveArray —
+  // the GenericArrayData(double[]) ctor boxes every element into Object[]
+  // (one boxed Double per dimension per corpus row on the engine's hottest
+  // path; VERDICT r21 #2). Values are bit-identical; only the container
+  // representation changes. The all-null branch (NULL element poisoned the
+  // fold) keeps GenericArrayData — unsafe arrays can't carry null slots.
   override protected def nullSafeEval(input: Any): Any = {
     val a = input.asInstanceOf[ArrayData]
     val out = NormalizedVector.compute(a, isFloat)
     if (out == null)
       new org.apache.spark.sql.catalyst.util.GenericArrayData(
         new Array[Any](a.numElements()))
-    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -143,7 +150,8 @@ case class NormalizedVector(child: Expression)
          |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
          |    new Object[$a.numElements()]);
          |} else {
-         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray($out);
          |}
        """.stripMargin
     })

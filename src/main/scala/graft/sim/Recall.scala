@@ -305,9 +305,20 @@ object Recall {
       .withColumn("c", Similarity.dot(col("va"), col("vb")))
       .filter(col("c") >= 0.2)
       .select("id_a", "id_b", "c")
-    val approx = SemDedup.semanticDuplicates(emb, k = 4, threshold = 0.2)
-    val approx2 = SemDedup.semanticDuplicates(emb, k = 4, threshold = 0.2,
+    // r22 (VERDICT r21 #4): the probe-1 and probe-2 runs share ONE
+    // normalized scan and ONE codebook fit (deterministically identical
+    // anyway: same input, same k, same seed) while each still exercises
+    // the REAL assignment + within-cluster-compare operator path —
+    // semanticDuplicates IS fitCodebook ∘ pairsWithCodebook by
+    // construction. Pairs are bit-identical to two full runs.
+    val base = SemDedup.normalizedBase(emb, "vec_id", "embedding").persist()
+    val (_, centers) = SemDedup.fitCodebook(base, k = 4, seed = 42L,
+      quantizerMaxRows = 100000)
+    val approx = SemDedup.pairsWithCodebook(base, centers, threshold = 0.2,
+      nprobe = 1)
+    val approx2 = SemDedup.pairsWithCodebook(base, centers, threshold = 0.2,
       nprobe = 2)
+    base.unpersist(false)
     // keeper path — the election operator applied to the persisted probe-2
     // pair table. semanticKeepers IS keepersOfPairs ∘ semanticDuplicates by
     // construction, so the match_viol check below certifies the ELECTION

@@ -1,6 +1,6 @@
 package graft.sim
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /**
@@ -60,15 +60,39 @@ object SemDedup {
       idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L, quantizerMaxRows: Int = 100000,
       nprobe: Int = 1): DataFrame = {
-    val toD = (c: Column) => transform(c, x => x.cast("double"))
     // persisted across its four consumers (count, dim probe, quantizer
     // sample, assignment): without it each one re-runs the source scan +
     // normalize — one corpus pass instead of four
-    val base = df.select(col(idCol).as("id"),
-      Similarity.normalized(toD(col(vecCol))).as("v")).persist()
-    // bounded uniform sample -> driver-local deterministic Lloyd, exactly
-    // the IVF coarse-quantizer design (clusters live on the unit sphere:
-    // SemDeDup clusters the NORMALIZED embeddings)
+    val base = normalizedBase(df, idCol, vecCol).persist()
+    val (kEff, centers) = fitCodebook(base, k, seed, quantizerMaxRows)
+    require(nprobe >= 1 && nprobe <= kEff, "1 <= nprobe <= k")
+    val out = pairsWithCodebook(base, centers, threshold, nprobe)
+    // pairsWithCodebook materialized the assigned table (localCheckpoint),
+    // so nothing downstream re-reads base
+    base.unpersist(false)
+    out
+  }
+
+  /** The normalize projection of [[semanticDuplicates]] — r22: split out so
+    * a caller running the operator at several nprobe settings (the rc07
+    * certification) shares ONE normalized scan. The explicit cast-to-double
+    * transform is gone: NormalizedVector widens FLOAT elements itself,
+    * bit-identically, in the same compiled loop (the HOF cast was an
+    * interpreted extra pass per row). */
+  private[graft] def normalizedBase(df: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), Similarity.normalized(col(vecCol)).as("v"))
+
+  /** The codebook fit of [[semanticDuplicates]] over a [[normalizedBase]]
+    * frame: bounded uniform sample → driver-local deterministic Lloyd,
+    * exactly the IVF coarse-quantizer design (clusters live on the unit
+    * sphere: SemDeDup clusters the NORMALIZED embeddings). Returns
+    * (effective k, centers). r22: split out so the rc07 certification's
+    * nprobe=1 and nprobe=2 runs fit the (identical — same input, same seed)
+    * codebook ONCE while still exercising the real assignment + join path
+    * per run. */
+  private[graft] def fitCodebook(base: DataFrame, k: Int, seed: Long,
+      quantizerMaxRows: Int): (Int, Array[Array[Double]]) = {
     val feats = base.select("v")
     // n and dim from ONE job (count + head used to cost two driver round
     // trips; this operator's cost at bounded SFs is job count, not bytes)
@@ -76,35 +100,31 @@ object SemDedup {
     val n = stats.getLong(0)
     require(n > 0, "SemDeDup needs a non-empty corpus")
     val kEff = if (k > 0) k else suggestedK(n)
-    require(nprobe >= 1 && nprobe <= kEff, "1 <= nprobe <= k")
     val dim = stats.getInt(1)
     val cap = Similarity.boundedSampleRows(quantizerMaxRows, dim)
     val fitInput =
       if (n <= cap) feats
       else feats.sample(withReplacement = false,
         math.min(1.0, cap * 1.2 / n), seed).limit(cap)
-    val centers = Similarity.localKMeans(
-      fitInput.collect().map(_.getSeq[Double](0).toArray), kEff, seed)
-    val bc = df.sparkSession.sparkContext.broadcast(centers)
-    val assignClusters = udf { (v: Seq[Double]) =>
-      val cs = bc.value
-      val ds = new Array[Double](cs.length)
-      var j = 0
-      while (j < cs.length) {
-        var d = 0.0; var i = 0
-        while (i < v.length) { val t = v(i) - cs(j)(i); d += t * t; i += 1 }
-        ds(j) = d
-        j += 1
-      }
-      // nprobe nearest, ties to the lowest index (stable sort on (d, j))
-      ds.zipWithIndex.sortBy(_._1).take(nprobe).map(_._2)
-    }
+    (kEff, Similarity.localKMeans(
+      fitInput.collect().map(_.getSeq[Double](0).toArray), kEff, seed))
+  }
+
+  /** The assignment + within-cluster-compare path of [[semanticDuplicates]]
+    * given a fitted codebook — THE certified operator surface. r22: the
+    * assignment runs through the native codegen'd [[NearestCentroids]]
+    * expression (same stable (distance, index) top-nprobe semantics as the
+    * scalar UDF it replaces — bit-identical clusters). */
+  private[graft] def pairsWithCodebook(base: DataFrame,
+      centers: Array[Array[Double]], threshold: Double,
+      nprobe: Int): DataFrame = {
+    val bc = base.sparkSession.sparkContext.broadcast(centers)
     // materialized once: the assigned table is both sides of the self-join
     // (the dd06 lesson — without it the normalize + assign scan runs twice)
     val assigned = base
-      .withColumn("cluster", explode(assignClusters(col("v"))))
+      .withColumn("cluster",
+        explode(NearestCentroids.ofColumn(col("v"), bc, nprobe)))
       .localCheckpoint()
-    base.unpersist(false)
     val a = assigned.select(col("cluster"), col("id").as("id_a"), col("v").as("v_a"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"), col("v").as("v_b"))
     val joined = a.join(b, Seq("cluster")).filter(col("id_a") < col("id_b"))

@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import scala.util.hashing.MurmurHash3
-
 /**
  * Similarity search over an embedding column (`ARRAY<FLOAT>`): brute-force
  * cosine top-k as the exact baseline, random-hyperplane LSH buckets as the
@@ -43,8 +41,11 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     // cosine = dot/(|a||b|) on double-cast arrays — the exact formula the
-    // DuckDB oracle uses on ::DOUBLE[] lists, so results are bit-comparable
-    val toD = (c: Column) => transform(c, x => x.cast("double"))
+    // DuckDB oracle uses on ::DOUBLE[] lists, so results are bit-comparable.
+    // r22: a plain array Cast (codegen'd) replaces the transform HOF
+    // (CodegenFallback — interpreted lambda per element); float→double
+    // widening is exact either way, values bit-identical.
+    val toD = (c: Column) => c.cast("array<double>")
     val c = corpus.select(col(idCol).as("neighbor_id"), toD(col(vecCol)).as("nv"))
       .withColumn("nn", norm(col("nv")))
     val q = queries.select(col(idCol).as("query_id"), toD(col(vecCol)).as("qv"))
@@ -72,7 +73,8 @@ object Similarity {
   def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       labelCol: String = "label"): DataFrame = {
-    val toD = (c: Column) => transform(c, x => x.cast("double"))
+    // r22: codegen'd Cast, not the interpreted transform HOF (bit-identical)
+    val toD = (c: Column) => c.cast("array<double>")
     val c = corpus.select(col(idCol).as("neighbor_id"),
       col(labelCol).as("neighbor_label"), toD(col(vecCol)).as("nv"))
       .withColumn("nn", norm(col("nv")))
@@ -90,47 +92,14 @@ object Similarity {
         col("neighbor_label"), round(col("cosine"), 6).as("cosine"))
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim). */
-  private def planeComponent(plane: Int, dim: Int, seed: Int): Double = {
-    val h = MurmurHash3.productHash((plane, dim, seed))
-    // uniform in [-1, 1) from the 32-bit hash — adequate for sign tests
-    h.toDouble / Int.MaxValue.toDouble
-  }
-
-  /** Lazily-built (planes × dims) component matrix, cached per closure
-    * instance: planeComponent hashes per element would otherwise dominate
-    * the signature stage (a murmur per multiply — profiled at ~20M calls
-    * per 5k×64-dim corpus). */
-  private class PlaneMatrix(planes: Int, seed: Int) extends Serializable {
-    @transient private var mat: Array[Array[Double]] = _
-    def get(dims: Int): Array[Array[Double]] = {
-      if (mat == null || mat(0).length < dims)
-        mat = Array.tabulate(planes, dims)((p, i) => planeComponent(p, i, seed))
-      mat
-    }
-  }
-
   /** Random-hyperplane signature: one sign bit per plane, packed in a LONG.
-    * Vectors with equal signatures land in the same LSH bucket. */
-  def hyperplaneSignature(vec: Column, planes: Int, seed: Int = 7): Column = {
-    require(planes <= 63)
-    val pm = new PlaneMatrix(planes, seed)
-    val f = udf { (v: Seq[Double]) =>
-      val mat = pm.get(v.length)
-      var sig = 0L
-      var p = 0
-      while (p < planes) {
-        val row = mat(p)
-        var s = 0.0
-        var i = 0
-        while (i < v.length) { s += v(i) * row(i); i += 1 }
-        if (s > 0) sig |= (1L << p)
-        p += 1
-      }
-      sig
-    }
-    f(vec)
-  }
+    * Vectors with equal signatures land in the same LSH bucket.
+    * r22: the native codegen'd [[HyperplaneSignature]] expression — the
+    * scalar-UDF formulation boxed the vector into a Seq[Double] per corpus
+    * row; the expression replicates its arithmetic (and the shared
+    * [[PlaneMatrix]] values) bit-exactly. */
+  def hyperplaneSignature(vec: Column, planes: Int, seed: Int = 7): Column =
+    HyperplaneSignature.ofColumn(vec, planes, seed)
 
   /**
    * Banded hyperplane signatures: `bands` independent signatures of
@@ -139,30 +108,12 @@ object Similarity {
    * band matches, so per-band buckets stay small (2^planesPerBand per band)
    * while recall for high-cosine pairs compounds across bands — the
    * all-pairs-within-one-bucket blowup of a single wide bucket never forms.
-   * One UDF pass computes every band (single scan over the vector per plane).
+   * One compiled pass computes every band (r22: native
+   * [[HyperplaneBandSignatures]] expression, bit-identical to the UDF).
    */
   def hyperplaneBandSignatures(vec: Column, bands: Int, planesPerBand: Int,
-      seed: Int = 7): Column = {
-    require(planesPerBand <= 63)
-    val pm = new PlaneMatrix(bands * planesPerBand, seed)
-    val f = udf { (v: Seq[Double]) =>
-      val mat = pm.get(v.length)
-      Array.tabulate(bands) { b =>
-        var sig = 0L
-        var p = 0
-        while (p < planesPerBand) {
-          val row = mat(b * planesPerBand + p)
-          var s = 0.0
-          var i = 0
-          while (i < v.length) { s += v(i) * row(i); i += 1 }
-          if (s > 0) sig |= (1L << p)
-          p += 1
-        }
-        sig
-      }
-    }
-    f(vec)
-  }
+      seed: Int = 7): Column =
+    HyperplaneBandSignatures.ofColumn(vec, bands, planesPerBand, seed)
 
   /**
    * Deterministic Lloyd's k-means on a DRIVER-LOCAL bounded sample —
@@ -276,6 +227,24 @@ object Similarity {
   private[graft] def boundedSampleRows(maxRows: Int, dim: Int): Int =
     math.max(1L, math.min(maxRows.toLong, quantizerByteBudget / (dim.toLong * 8L))).toInt
 
+  /** r22 (VERDICT r21 #3): largest query count whose per-query ADC LUTs
+    * (m·codebookSize doubles each) fit the driver byte budget. */
+  private[graft] def pqMaxBroadcastQueries(m: Int, codebookSize: Int,
+      budget: Long = quantizerByteBudget): Int =
+    math.max(1L, budget / (m.toLong * codebookSize.toLong * 8L)).toInt
+
+  /** The loud guard on pqTopK's query-LUT collect (split out so the error
+    * path is spec-testable without a multi-GB query fixture). */
+  private[graft] def requireBoundedQueries(n: Int, m: Int, codebookSize: Int,
+      budget: Long = quantizerByteBudget): Unit = {
+    val maxQ = pqMaxBroadcastQueries(m, codebookSize, budget)
+    require(n <= maxQ,
+      s"pqTopK requires a bounded query set: got more than $maxQ queries " +
+        s"(the per-query LUT broadcast budget of $budget bytes at m=$m, " +
+        s"codebookSize=$codebookSize); queries are the operator's small " +
+        "broadcast side by contract — split the query set or raise the budget")
+  }
+
   /**
    * IVF (inverted-file) approximate top-k: a coarse k-means quantizer
    * ([[localKMeans]] on a bounded uniform sample) assigns every corpus
@@ -292,7 +261,8 @@ object Similarity {
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nlist: Int = 0,
       nprobe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
       seed: Long = 42L, quantizerMaxRows: Int = 100000): DataFrame = {
-    val toD = (c: Column) => transform(c, x => x.cast("double"))
+    // r22: codegen'd Cast, not the interpreted transform HOF (bit-identical)
+    val toD = (c: Column) => c.cast("array<double>")
     val c = corpus.select(col(idCol).as("neighbor_id"), toD(col(vecCol)).as("nv"))
       .withColumn("nn", norm(col("nv")))
     // the coarse quantizer only needs a bounded input, but a UNIFORM one:
@@ -317,31 +287,20 @@ object Similarity {
     val trainPts = fitInput.collect().map(_.getSeq[Double](0).toArray)
     val nlistEff = if (nlist > 0) nlist else SemDedup.suggestedK(nCorpus)
     val centers = localKMeans(trainPts, nlistEff, seed)
-    val centroids = centers.zipWithIndex
     val spark = corpus.sparkSession
-    val bcCentroids = spark.sparkContext.broadcast(centroids)
-    val assignCell = udf { (v: Seq[Double]) =>
-      var best = 0; var bestD = Double.MaxValue
-      for ((ctr, cell) <- bcCentroids.value) {
-        var d = 0.0; var i = 0
-        while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
-        if (d < bestD) { bestD = d; best = cell }
-      }
-      best
-    }
-    val assigned = c.withColumn("cell", assignCell(col("nv")))
+    val bcCentroids = spark.sparkContext.broadcast(centers)
+    // r22: the corpus cell assignment and the query probes run through the
+    // native codegen'd NearestCentroid/NearestCentroids expressions — the
+    // scalar UDFs boxed every vector into a Seq[Double] per row (and left
+    // opaque UDF nodes in the plan). Same strict-< argmin / stable
+    // (distance, index) top-nprobe semantics, bit-identical cells.
+    val assigned = c.withColumn("cell",
+        NearestCentroid.ofColumn(col("nv"), bcCentroids))
       .select("neighbor_id", "nv", "nn", "cell")
-    val probeCells = udf { (v: Seq[Double]) =>
-      bcCentroids.value.map { case (ctr, cell) =>
-        var d = 0.0
-        var i = 0
-        while (i < v.length) { val t = v(i) - ctr(i); d += t * t; i += 1 }
-        (d, cell)
-      }.sortBy(_._1).take(nprobe).map(_._2)
-    }
     val q = queries.select(col(idCol).as("query_id"), toD(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("cell", explode(probeCells(col("qv"))))
+      .withColumn("cell",
+        explode(NearestCentroids.ofColumn(col("qv"), bcCentroids, nprobe)))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     assigned.join(broadcast(q), "cell")
@@ -400,41 +359,16 @@ object Similarity {
         localKMeans(subPts, codebookSize, seed + b)
       }
     val bc = spark.sparkContext.broadcast(codebooks)
-    val mLocal = m; val subLocal = sub; val cbLocal = codebookSize
-    val encode = udf { (v: Seq[Double]) =>
-      val cbs = bc.value
-      Array.tabulate(mLocal) { b =>
-        val cb = cbs(b)
-        var best = 0; var bestD = Double.MaxValue
-        var j = 0
-        while (j < cb.length) {
-          var d = 0.0; var i = 0
-          while (i < subLocal) { val t = v(b * subLocal + i) - cb(j)(i); d += t * t; i += 1 }
-          if (d < bestD) { bestD = d; best = j } // ties: lowest code wins (stable)
-          j += 1
-        }
-        best
-      }
-    }
-    val lutUdf = udf { (v: Seq[Double]) =>
-      val cbs = bc.value
-      val lut = new Array[Double](mLocal * cbLocal)
-      var b = 0
-      while (b < mLocal) {
-        var j = 0
-        while (j < cbLocal) {
-          var s = 0.0; var i = 0
-          while (i < subLocal) { s += v(b * subLocal + i) * cbs(b)(j)(i); i += 1 }
-          lut(b * cbLocal + j) = s
-          j += 1
-        }
-        b += 1
-      }
-      lut
-    }
-    val coded = c.withColumn("codes", encode(col("nv")))
+    val mLocal = m; val cbLocal = codebookSize
+    // r22: encode / LUT / ADC-score run through the native codegen'd
+    // PqEncode / PqLut / PqScores expressions — the scalar UDFs boxed every
+    // vector (Seq[Double]) and code array (Seq[Int]) per corpus row. Same
+    // strict-< sub-argmin ties, same fold order: codes, LUTs and scores are
+    // bit-identical.
+    val coded = c.withColumn("codes", PqEncode.ofColumn(col("nv"), bc, sub))
     val q = queries.select(col(idCol).as("query_id"), normalized(col(vecCol)).as("qv"))
-    val qLut = q.withColumn("lut", lutUdf(col("qv"))).select("query_id", "lut")
+    val qLut = q.withColumn("lut", PqLut.ofColumn(col("qv"), bc, sub, codebookSize))
+      .select("query_id", "lut")
     // r21 (guide §8: ship a lightweight proxy, not payloads): the ADC scan
     // used to crossJoin the corpus against broadcast(query, lut) rows — the
     // joined row MATERIALIZED the m×codebookSize-double LUT (~1 KB) per
@@ -448,18 +382,15 @@ object Similarity {
     // no per-pair LUT copies, no cross join. query ids ride a tiny
     // broadcast-joined (qidx, query_id) frame, so arithmetic, pair
     // universe, self-exclusion, ranking and ties are IDENTICAL.
-    val qRows = qLut.collect()
+    // r22 (VERDICT r21 #3): the queries-are-small contract is now ENFORCED,
+    // not assumed — the collect is capped at the same driver byte budget as
+    // the training collects (one LUT is m·codebookSize doubles), and a
+    // caller exceeding it gets a loud error instead of a driver OOM.
+    val maxQueries = pqMaxBroadcastQueries(m, codebookSize)
+    val qRows = qLut.limit(maxQueries + 1).collect()
+    requireBoundedQueries(qRows.length, m, codebookSize)
     val bcLuts = spark.sparkContext.broadcast(
       qRows.map(_.getSeq[Double](1).toArray))
-    val scoresUdf = udf { (codes: Seq[Int]) =>
-      val ls = bcLuts.value
-      Array.tabulate(ls.length) { qi =>
-        val lut = ls(qi)
-        var s = 0.0; var b = 0
-        while (b < mLocal) { s += lut(b * cbLocal + codes(b)); b += 1 }
-        s
-      }
-    }
     val skinnySchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("__qidx",
         org.apache.spark.sql.types.IntegerType, nullable = false),
@@ -472,7 +403,8 @@ object Similarity {
       .orderBy(col("approx").desc, col("neighbor_id"))
     val cand = coded.select("neighbor_id", "codes")
       .select(col("neighbor_id"),
-        posexplode(scoresUdf(col("codes"))).as(Seq("__qidx", "approx")))
+        posexplode(PqScores.ofColumn(col("codes"), bcLuts, mLocal, cbLocal))
+          .as(Seq("__qidx", "approx")))
       .join(broadcast(skinny), Seq("__qidx"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("arank", row_number().over(wApprox))

@@ -5,7 +5,7 @@ import org.apache.spark.sql.GraftSqlBridge
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -82,7 +82,8 @@ object NgramRepetition {
     var slot = 2
     TopNs.foreach { n => out(slot) = topFrac(toks, lens, totalChars, n); slot += 1 }
     DupNs.foreach { n => out(slot) = dupFrac(toks, lens, totalChars, n); slot += 1 }
-    new GenericArrayData(out)
+    // r22: unboxed container — GenericArrayData(double[]) boxes per element
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
   }
 
   private def gramAt(toks: Array[String], i: Int, n: Int): String = {

@@ -80,12 +80,16 @@ case class WinnowingMins(child: Expression, k: Int, w: Int)
     else TypeCheckResult.TypeCheckFailure(
       s"winnowing_mins requires a string column, got ${child.dataType}")
 
+  // r22: all three array-returning kernels in this file now emit
+  // UnsafeArrayData.fromPrimitiveArray — GenericArrayData's primitive-array
+  // ctors call .toSeq and box every element (VERDICT r21 #2's allocation-
+  // pressure class). Same values, unboxed container.
   override protected def nullSafeEval(input: Any): Any = {
     val b = input.asInstanceOf[UTF8String].getBytes
     val n = b.length
     if (n < k + w - 1)
-      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        Array.empty[Long])
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(Array.empty[Long])
     val nh = n - k + 1
     val hs = new Array[Long](nh)
     var i = 0
@@ -105,7 +109,8 @@ case class WinnowingMins(child: Expression, k: Int, w: Int)
       mins(p) = m
       p += 1
     }
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(mins)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -136,7 +141,8 @@ case class WinnowingMins(child: Expression, k: Int, w: Int)
          |    ${v}_mins[${v}_p] = ${v}_m;
          |  }
          |}
-         |$v = new org.apache.spark.sql.catalyst.util.GenericArrayData(${v}_mins);
+         |$v = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(${v}_mins);
        """.stripMargin
     })
 
@@ -172,7 +178,7 @@ case class FeatureHashCounts(child: Expression, dim: Int)
       s"feature_hash_counts requires a string column, got ${child.dataType}")
 
   override protected def nullSafeEval(input: Any): Any =
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
       FeatureHashCounts.compute(input.asInstanceOf[UTF8String].getBytes, dim))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -181,7 +187,8 @@ case class FeatureHashCounts(child: Expression, dim: Int)
       s"""
          |byte[] ${v}_b = $c.getBytes();
          |double[] ${v}_cnt = graft.text.FeatureHashCounts.compute(${v}_b, $dim);
-         |$v = new org.apache.spark.sql.catalyst.util.GenericArrayData(${v}_cnt);
+         |$v = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(${v}_cnt);
        """.stripMargin
     })
 
@@ -219,7 +226,8 @@ case class FeatureHashEmbedding(child: Expression, dim: Int)
     val v = FeatureHashEmbedding.compute(
       input.asInstanceOf[UTF8String].getBytes, dim)
     if (v == null) null
-    else new org.apache.spark.sql.catalyst.util.GenericArrayData(v)
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(v)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -231,7 +239,8 @@ case class FeatureHashEmbedding(child: Expression, dim: Int)
          |if (${v}_e == null) {
          |  ${ev.isNull} = true;
          |} else {
-         |  $v = new org.apache.spark.sql.catalyst.util.GenericArrayData(${v}_e);
+         |  $v = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |    .fromPrimitiveArray(${v}_e);
          |}
        """.stripMargin
     })

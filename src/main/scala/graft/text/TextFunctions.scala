@@ -998,11 +998,20 @@ object TextFunctions {
       // counts → HOF-norm → HOF-divide → filter chain let the pushed-down
       // norm filter re-evaluate the counts kernel up to 5× per row inside
       // an interpreted Filter (see FeatureHashEmbedding's doc); the fused
-      // kernel runs once per row, emits NULL for token-less docs (the same
-      // rows the __norm > 0 filter dropped), and the vectors are
-      // bit-identical by construction. Plan still has NO exchange.
+      // kernel emits NULL for token-less docs (the same rows the
+      // __norm > 0 filter dropped). Plan still has NO exchange.
+      // r22 (ADVICE r21): the NULL-drop filter on a plain Project alias was
+      // a deterministic predicate Catalyst pushed BELOW the Project with
+      // alias substitution — the kernel ran twice per surviving row
+      // (Filter + Project). Routing the value through explode(array(...))
+      // puts a Generate between them: the filter references the generator's
+      // output attribute, which does not exist below the Generate, so the
+      // kernel is genuinely evaluated once per row. explode(array(x))
+      // always emits exactly one row (a 1-element array, even when x is
+      // NULL), so rows and values are unchanged.
       return df.select(col(idCol),
-          FeatureHashEmbedding.ofColumn(col(text), dim).as("embedding"))
+          explode(array(FeatureHashEmbedding.ofColumn(col(text), dim)))
+            .as("embedding"))
         .filter(col("embedding").isNotNull)
     }
     val raw =

@@ -127,7 +127,9 @@ object HashedWordShingles {
       if (m == 0 || hs(i) != hs(m - 1)) { hs(m) = hs(i); m += 1 }
       i += 1
     }
-    new GenericArrayData(if (m == n) hs else java.util.Arrays.copyOf(hs, m))
+    // r22: unboxed container — GenericArrayData(long[]) boxes per element
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(
+      if (m == n) hs else java.util.Arrays.copyOf(hs, m))
   }
 
   def ofColumn(c: Column, k: Int): Column =
