@@ -46,8 +46,10 @@ object Embeddings {
       while (i < a.length) { val t = a(i) - b(i); d += t * t; i += 1 }
       d
     }
+    // r22: codegen'd array Cast, not the interpreted transform HOF
+    // (float→double widening is exact either way)
     val base = df.select(col(idCol).cast("long").as("id"),
-      transform(col(vecCol), x => x.cast("double")).as("v"))
+      col(vecCol).cast("array<double>").as("v"))
       .as[(Long, Seq[Double])].map(t => (t._1, t._2.toArray))
     base.persist()
     try {

@@ -161,6 +161,13 @@ object Recall {
   // on a bounded deterministic subset)
   // ------------------------------------------------------------------
 
+  // NULL-ids note (ADVICE r21): the r21 tag-union groupBy rewrites group
+  // null-SAFELY, so a pair with a NULL id in both truth and approx would
+  // count as a hit where the old left-semi/anti joins dropped NULL keys.
+  // Ids here are the fixtures' non-null vec_id/doc_id by construction
+  // (parquet columns, required); if a future operator can emit NULL ids,
+  // add .filter(col("query_id").isNotNull && col("neighbor_id").isNotNull)
+  // before the unions to preserve the join semantics exactly.
   private def pairKey(df: DataFrame): DataFrame =
     df.select(col("id_a").as("query_id"), col("id_b").as("neighbor_id"))
 

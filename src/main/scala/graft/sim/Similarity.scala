@@ -28,7 +28,14 @@ object Similarity {
     * r21: the native codegen'd [[NormalizedVector]] — the previous
     * higher-order-function chain was CodegenFallback (interpreted, boxed
     * per element) and dominated the embedding family's corpus passes at
-    * scale; the expression replicates its arithmetic bit-exactly. */
+    * scale; the expression replicates its arithmetic bit-exactly.
+    *
+    * Input contract (ADVICE r21): ARRAY<DOUBLE> or ARRAY<FLOAT> only —
+    * narrower than the pre-r21 HOF chain, which silently accepted any
+    * castable element type (ARRAY<INT>, ARRAY<DECIMAL>, ...). External
+    * callers with integer arrays must cast explicitly
+    * (`col.cast("array<double>")`); they get an AnalysisException, never
+    * a silently different value. */
   def normalized(a: Column): Column = NormalizedVector.ofColumn(a)
 
   /** Cosine similarity; null (not an ANSI throw) when either norm is zero. */

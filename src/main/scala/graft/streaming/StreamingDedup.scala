@@ -154,11 +154,14 @@ object StreamingDedup {
       bands: Int = 16): DataFrame = {
     val sig = Dedup.minhashSignatureFromText(col(textCol), k, numHashes)
     val rowsPerBand = numHashes / bands
+    // r22: static unroll of the banding transform (see Dedup.bandBuckets) —
+    // bit-identical buckets, whole-stage codegen instead of an interpreted
+    // lambda per band per row
     corpus.select(col(idCol).as("corpus_id"), col(textCol).as("corpus_text"),
         sig.as("__sig"))
       .select(col("corpus_id"), col("corpus_text"), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+        array((0 until bands).map(b =>
+          hash(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
       ).as(Seq("band", "bucket")))
   }
 
@@ -175,11 +178,12 @@ object StreamingDedup {
       threshold: Double = 0.7): DataFrame = {
     val sig = Dedup.minhashSignatureFromText(col(textCol), k, numHashes)
     val rowsPerBand = numHashes / bands
+    // r22: static banding unroll (see Dedup.bandBuckets) — bit-identical
     val banded = stream.select(col(idCol).as("stream_id"),
         col(textCol).as("stream_text"), col(tsCol), sig.as("__sig"))
       .select(col("stream_id"), col("stream_text"), col(tsCol), posexplode(
-        transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("__sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+        array((0 until bands).map(b =>
+          hash(slice(col("__sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
       ).as(Seq("band", "bucket")))
     banded.join(corpusBk, Seq("band", "bucket"))
       .withColumn("jaccard", Dedup.jaccard(
@@ -213,9 +217,10 @@ object StreamingDedup {
       k: Int = 3, numHashes: Int = 64, bands: Int = 16,
       threshold: Double = 0.7): DataFrame = {
     val rowsPerBand = numHashes / bands
+    // r22: static banding unroll (see Dedup.bandBuckets) — bit-identical
     def bandedOf(sigCol: Column) = posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(sigCol, b * rowsPerBand + 1, lit(rowsPerBand)))))
+      array((0 until bands).map(b =>
+        hash(slice(sigCol, b * rowsPerBand + 1, rowsPerBand))): _*))
     val idxBk = index.select(col("id").as("corpus_id"),
       bandedOf(col("sig")).as(Seq("band", "bucket")))
     val sig = Dedup.minhashSignatureFromText(col(textCol), k, numHashes)

@@ -125,9 +125,14 @@ object Dedup {
   private def bandBuckets(df: DataFrame, idCol: String, sigCol: String,
       bands: Int): DataFrame = {
     val rowsPerBand = expr(s"size($sigCol) div $bands")
+    // r22: `bands` is a compile-time constant, so the per-row
+    // transform(sequence(0, bands-1), ...) — CodegenFallback, one
+    // interpreted lambda per band per row — unrolls to a STATIC
+    // array(hash(slice...), ...) of builtin codegen'd expressions.
+    // Same hash of the same slices: buckets bit-identical.
     df.select(col(idCol).as("id"), posexplode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col(sigCol), b * rowsPerBand + 1, rowsPerBand)))
+      array((0 until bands).map(b =>
+        hash(slice(col(sigCol), lit(b) * rowsPerBand + 1, rowsPerBand))): _*)
     ).as(Seq("band", "bucket")))
   }
 

@@ -44,12 +44,12 @@ object Dsir {
     * empty tokens (doubled spaces) excluded. */
   private def docNgrams(df: DataFrame, idCol: String, text: String): DataFrame = {
     val toks = filter(split(col(text), " "), t => t =!= "")
-    // guard: Spark's sequence(1, 0) counts DOWN ([1, 0]), so a 0/1-token
-    // doc must short-circuit to an empty bigram list
-    val bigrams = when(size(col("__toks")) >= 2, expr(
-      "transform(sequence(1, size(__toks) - 1)," +
-        " i -> concat(__toks[i - 1], ' ', __toks[i]))"))
-      .otherwise(array().cast("array<string>"))
+    // r22: native WordNgrams kernel — the transform(sequence...) bigram
+    // chain was CodegenFallback (interpreted lambda per bigram, plus the
+    // sequence(1, 0)-counts-DOWN guard it needed); tokens are non-empty
+    // strings here, so concat_ws ≡ the old concat and values are
+    // bit-identical. < 2 tokens yields an empty bigram list as before.
+    val bigrams = graft.text.WordNgrams.ofColumn(col("__toks"), 2)
     df.select(col(idCol).as("__id"), toks.as("__toks"))
       .select(col("__id"),
         explode(concat(col("__toks"), bigrams)).as("__ngram"))

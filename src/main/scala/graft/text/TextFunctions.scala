@@ -261,14 +261,9 @@ object TextFunctions {
    * then TakeOrderedAndProject — per-partition top-k, no global sort.
    */
   def topKBigrams(df: DataFrame, k: Int, text: String = "text"): DataFrame = {
-    // the token array is MATERIALIZED in its own projection first: inlining
-    // tokens(text) into the transform lambda makes every element_at re-split
-    // the document (O(len) per n-gram element instead of O(1) array access)
-    val w = col("__toks")
-    val bigrams = when(size(w) >= 2,
-        transform(sequence(lit(1), size(w) - 1),
-          i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    // r22: native WordNgrams kernel — the transform(sequence...) chain was
+    // CodegenFallback (interpreted lambda per bigram); values bit-identical
+    val bigrams = graft.text.WordNgrams.ofColumn(col("__toks"), 2)
     df.select(tokens(col(text)).as("__toks"))
       .select(explode(bigrams).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("n"))
@@ -551,12 +546,8 @@ object TextFunctions {
   def topKNgrams(df: DataFrame, n: Int, k: Int, idCol: String = "doc_id",
       text: String = "text"): DataFrame = {
     require(n >= 1, "n must be positive")
-    // token array materialized in its own projection — see topKBigrams
-    val w = col("__toks")
-    val grams = when(size(w) >= n,
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
+    // r22: native WordNgrams kernel (see topKBigrams) — bit-identical grams
+    val grams = graft.text.WordNgrams.ofColumn(col("__toks"), n)
     df.select(col(idCol), tokens(col(text)).as("__toks"))
       .select(col(idCol), explode(grams).as("ngram"))
       .groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("__c"))
@@ -585,12 +576,8 @@ object TextFunctions {
       width: Int = 1 << 20, idCol: String = "doc_id",
       text: String = "text"): DataFrame = {
     require(n >= 1, "n must be positive")
-    // token array materialized in its own projection — see topKBigrams
-    val w = col("__toks")
-    val grams = when(size(w) >= n,
-        transform(sequence(lit(1), size(w) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
-      .otherwise(array().cast("array<string>"))
+    // r22: native WordNgrams kernel (see topKBigrams) — bit-identical grams
+    val grams = graft.text.WordNgrams.ofColumn(col("__toks"), n)
     val exploded = df.select(col(idCol), tokens(col(text)).as("__toks"))
       .select(col(idCol), explode(grams).as("ngram"))
     val bucket = pmod(xxhash64(col("ngram")), lit(width.toLong))

@@ -70,6 +70,67 @@ object WordShingles {
 }
 
 /**
+ * Contiguous word n-grams of a token array as ONE compiled pass (r22):
+ * element i = tokens[i..i+n-1] joined by a single space, duplicates KEPT,
+ * order preserved — the n-gram stream the frequency operators (top-k
+ * bigrams/n-grams, DSIR features) explode. Replaces the
+ * `transform(sequence(1, size-(n-1)), i => concat_ws(" ", element_at...))`
+ * chain, which is CodegenFallback: an interpreted lambda invocation per
+ * n-gram plus a boxed sequence array per row. Joining uses
+ * UTF8String.concatWs — exactly concat_ws's semantics (NULL elements
+ * skipped), so values are bit-identical; fewer-than-n tokens yield an
+ * empty array (the `when(size >= n, ...)` guard the old chain needed,
+ * folded in).
+ */
+case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_ngrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"word_ngrams requires an array<string> column, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    WordNgrams.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.WordNgrams.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+    copy(child = newChild)
+}
+
+object WordNgrams {
+  private val Sep = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(toks: ArrayData, n: Int): ArrayData = {
+    val m = toks.numElements()
+    if (m < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[AnyRef](m - n + 1)
+    val window = new Array[UTF8String](n)
+    var i = 0
+    while (i + n <= m) {
+      var j = 0
+      while (j < n) { window(j) = toks.getUTF8String(i + j); j += 1 }
+      // concatWs copies into a fresh buffer (never a view into the input
+      // row) and skips NULL elements — concat_ws's exact contract
+      out(i) = UTF8String.concatWs(Sep, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def ofColumn(c: Column, n: Int): Column =
+    GraftSqlBridge.column(WordNgrams(GraftSqlBridge.expression(c), n))
+}
+
+/**
  * Sorted distinct 64-bit xxhash64 values of the word k-shingles — the lean
  * verification payload for near-dup pipelines. In a dup-dense corpus the
  * dominant cost of MinHash verification is shuffling two full shingle

@@ -244,6 +244,50 @@ class R22OptimizationSpec extends AnyFunSuite {
     }
   }
 
+  // --- WordNgrams: native kernel vs the transform(sequence...) chain ------
+
+  test("WordNgrams matches the transform/concat_ws chain bit-exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      "alpha beta gamma delta",
+      "one",
+      "",
+      "a  b",          // doubled space -> empty token kept by tokens()
+      "x y")
+      .toDF("text")
+      .select(split(col("text"), " ").as("__toks"))
+    for (n <- Seq(1, 2, 3)) {
+      val w = col("__toks")
+      val old = when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(j => element_at(w, i + j)): _*)))
+        .otherwise(array().cast("array<string>"))
+      val got = docs.select(old.as("o"),
+        graft.text.WordNgrams.ofColumn(w, n).as("g")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1), s"n=$n row=$r")
+      }
+    }
+  }
+
+  // --- minhash banding: static array unroll vs the transform lambda -------
+
+  test("static banding unroll matches transform(sequence(0, bands-1)) bit-exactly") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val df = (1 to 30).map(_ => Array.fill(64)(rnd.nextLong() & Long.MaxValue))
+      .toDF("sig")
+    val bands = 16
+    val rowsPerBand = expr(s"size(sig) div $bands")
+    val old = transform(sequence(lit(0), lit(bands - 1)),
+      b => hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+    val neu = array((0 until bands).map(b =>
+      hash(slice(col("sig"), lit(b) * rowsPerBand + 1, rowsPerBand))): _*)
+    df.select(old.as("o"), neu.as("n")).collect().foreach { r =>
+      assert(r.getSeq[Int](0) == r.getSeq[Int](1))
+    }
+  }
+
   // --- rc07 codebook sharing: pairsWithCodebook == semanticDuplicates -----
 
   test("fitCodebook + pairsWithCodebook reproduce semanticDuplicates exactly") {
