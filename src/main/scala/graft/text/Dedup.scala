@@ -80,38 +80,12 @@ object Dedup {
    * multiset equals minhash over the set.
    */
   def minhashSignatureFromText(textCol: Column, k: Int, numHashes: Int,
-      seed: Int = 42): Column = {
-    val rng = new java.util.Random(seed)
-    val as = Array.fill(numHashes)(rng.nextLong() | 1L)
-    val bs = Array.fill(numHashes)(rng.nextLong())
-    val f = udf { (text: String) =>
-      val toks = text.split(' ')
-      val sig = Array.fill(numHashes)(Long.MaxValue)
-      if (toks.length >= k) {
-        val th = new Array[Long](toks.length)
-        var t = 0
-        while (t < toks.length) {
-          th(t) = MurmurHash3.stringHash(toks(t)).toLong & 0xffffffffL
-          t += 1
-        }
-        var i = 0
-        while (i + k <= toks.length) {
-          var base = th(i)
-          var j = 1
-          while (j < k) { base = base * 1000003L + th(i + j); j += 1 }
-          var m = 0
-          while (m < numHashes) {
-            val h = (as(m) * base + bs(m)) & Long.MaxValue
-            if (h < sig(m)) sig(m) = h
-            m += 1
-          }
-          i += 1
-        }
-      }
-      sig
-    }
-    f(textCol)
-  }
+      seed: Int = 42): Column =
+    // r22: native codegen'd expression — the scalar UDF boxed the 64-long
+    // signature per document and paid the udf adapter per row; same
+    // tokenization, murmur token hashes, shingle fold and hash family from
+    // the same seeded stream, so signatures are bit-identical (spec-pinned)
+    MinhashSignatureFromText.ofColumn(textCol, k, numHashes, seed)
 
   /**
    * MinHash-LSH candidate pairs: band the signature, bucket-join on
@@ -478,11 +452,14 @@ object Dedup {
     require(k > 0, "k must be positive")
     require(minDocFreq >= 2, "minDocFreq >= 2 (a span always appears in its own doc)")
     val t = spread(df).select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-    val spans = t.select(col(idCol), posexplode(
-      when(size(col("__toks")) >= k,
-        transform(sequence(lit(0), size(col("__toks")) - k),
-          i => xxhash64(concat_ws(" ", slice(col("__toks"), i + 1, lit(k))))))
-        .otherwise(expr("array()").cast("array<bigint>"))).as(Seq("__start", "__h")))
+    // r22: the span strings come from the native WordNgrams kernel (one
+    // compiled pass, positions = array index) and xxhash64 applies to the
+    // exploded column — the old transform(sequence...) ran an interpreted
+    // lambda per span (slice copy + concat + hash inside it). Same
+    // "w1 .. wk" strings, same xxhash64, same (start, hash) rows.
+    val spans = t.select(col(idCol),
+        posexplode(WordNgrams.ofColumn(col("__toks"), k)).as(Seq("__start", "__g")))
+      .select(col(idCol), col("__start"), xxhash64(col("__g")).as("__h"))
     val dup = spans.groupBy(col("__h"))
       .agg(count_distinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDocFreq)
@@ -516,13 +493,14 @@ object Dedup {
   def dedupChunks(df: DataFrame, chunkTokens: Int = 20,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(chunkTokens > 0, "chunkTokens must be positive")
+    // r22: native TokenChunks kernel — the transform(sequence...) chunker
+    // ran an interpreted lambda per chunk (slice copy + join inside it);
+    // same "tok.. tok" chunk strings, same positions, one compiled pass
     val ck = spread(df)
       .select(col(idCol), TextFunctions.tokens(col(textCol)).as("__toks"))
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), ceil(size(col("__toks")).cast("double") / chunkTokens)
-          .cast("int") - 1),
-        i => array_join(slice(col("__toks"), i * chunkTokens + 1, lit(chunkTokens)), " ")))
-        .as(Seq("chunk_pos", "chunk")))
+      .select(col(idCol),
+        posexplode(TokenChunks.ofColumn(col("__toks"), chunkTokens))
+          .as(Seq("chunk_pos", "chunk")))
     val keeper = ck.groupBy(col("chunk"))
       .agg(min(struct(col(idCol), col("chunk_pos"))).as("__keep"))
     ck.join(keeper, Seq("chunk"))

@@ -402,13 +402,14 @@ object TextFunctions {
    */
   def bigramLogProb(df: DataFrame, idCol: String = "doc_id",
       text: String = "text"): DataFrame = {
+    // r22: native WordNgrams kernel — the zip_with(slice, slice,
+    // concat_ws) chain was CodegenFallback (interpreted lambda per bigram
+    // plus two sliced array copies per row); identical "w1 w2" strings
     val big = df
       .select(col(idCol), tokens(col(text)).as("__t"))
       .filter(size(col("__t")) >= 2)
-      .select(col(idCol), explode(zip_with(
-        slice(col("__t"), lit(1), size(col("__t")) - 1),
-        slice(col("__t"), lit(2), size(col("__t")) - 1),
-        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .select(col(idCol),
+        explode(graft.text.WordNgrams.ofColumn(col("__t"), 2)).as("bigram"))
       .groupBy(col(idCol), col("bigram"))
       .agg(count(lit(1)).as("cnt"))
     val corpus = big.groupBy(col("bigram")).agg(sum("cnt").as("cb"))

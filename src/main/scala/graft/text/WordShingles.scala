@@ -131,6 +131,66 @@ object WordNgrams {
 }
 
 /**
+ * Consecutive fixed-width token chunks as ONE compiled pass (r22): chunk i
+ * = tokens[i·w .. min((i+1)·w, m)-1] joined by a single space (the final
+ * chunk may be short) — the C4-style chunk splitter [[graft.text.Dedup
+ * .dedupChunks]] explodes. Replaces the `transform(sequence(0,
+ * ceil(m/w)-1), i => array_join(slice(...), " "))` chain (CodegenFallback:
+ * interpreted lambda + slice copy per chunk). Join semantics are
+ * array_join's (NULL elements skipped — tokens are never null here), so
+ * chunk strings and positions are bit-identical. A non-null token array is
+ * never empty (split always yields ≥ 1 element), so the m = 0 case is
+ * unreachable; it yields an empty array.
+ */
+case class TokenChunks(child: Expression, chunkTokens: Int) extends UnaryExpression {
+  require(chunkTokens >= 1, "chunkTokens must be positive")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "token_chunks"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"token_chunks requires an array<string> column, got $t")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenChunks.compute(input.asInstanceOf[ArrayData], chunkTokens)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.text.TokenChunks.compute($c, $chunkTokens);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenChunks =
+    copy(child = newChild)
+}
+
+object TokenChunks {
+  private val Sep = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(toks: ArrayData, w: Int): ArrayData = {
+    val m = toks.numElements()
+    val nc = (m + w - 1) / w
+    val out = new Array[AnyRef](nc)
+    var i = 0
+    while (i < nc) {
+      val lo = i * w
+      val hi = math.min(m, lo + w)
+      val window = new Array[UTF8String](hi - lo)
+      var j = lo
+      while (j < hi) { window(j - lo) = toks.getUTF8String(j); j += 1 }
+      out(i) = UTF8String.concatWs(Sep, window: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def ofColumn(c: Column, chunkTokens: Int): Column =
+    GraftSqlBridge.column(TokenChunks(GraftSqlBridge.expression(c), chunkTokens))
+}
+
+/**
  * Sorted distinct 64-bit xxhash64 values of the word k-shingles — the lean
  * verification payload for near-dup pipelines. In a dup-dense corpus the
  * dominant cost of MinHash verification is shuffling two full shingle

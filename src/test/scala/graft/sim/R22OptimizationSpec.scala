@@ -288,6 +288,65 @@ class R22OptimizationSpec extends AnyFunSuite {
     }
   }
 
+  // --- MinhashSignatureFromText: native kernel vs the old UDF body --------
+
+  test("MinhashSignatureFromText matches the scalar-UDF formulation bit-exactly") {
+    import spark.implicits._
+    val docs = Seq("a b c d e f", "one", "", "x y z x y z",
+      "tok1 tok2  tok3", "trailing space ").toDF("text")
+    for ((k, nh, seed) <- Seq((3, 64, 42), (2, 16, 7))) {
+      // the exact r01-r21 UDF closure
+      val rng = new java.util.Random(seed)
+      val as = Array.fill(nh)(rng.nextLong() | 1L)
+      val bs = Array.fill(nh)(rng.nextLong())
+      val f = udf { (text: String) =>
+        val toks = text.split(' ')
+        val sig = Array.fill(nh)(Long.MaxValue)
+        if (toks.length >= k) {
+          val th = toks.map(t =>
+            scala.util.hashing.MurmurHash3.stringHash(t).toLong & 0xffffffffL)
+          var i = 0
+          while (i + k <= toks.length) {
+            var base = th(i)
+            var j = 1
+            while (j < k) { base = base * 1000003L + th(i + j); j += 1 }
+            var m = 0
+            while (m < nh) {
+              val h = (as(m) * base + bs(m)) & Long.MaxValue
+              if (h < sig(m)) sig(m) = h
+              m += 1
+            }
+            i += 1
+          }
+        }
+        sig
+      }
+      val got = docs.select(f(col("text")).as("o"),
+        graft.text.MinhashSignatureFromText.ofColumn(col("text"), k, nh, seed)
+          .as("g")).collect()
+      got.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"k=$k nh=$nh seed=$seed"))
+    }
+  }
+
+  // --- TokenChunks: native kernel vs the transform chunker ----------------
+
+  test("TokenChunks matches the transform/array_join chunker bit-exactly") {
+    import spark.implicits._
+    val docs = Seq("a b c d e f g", "one", "exactly four tokens here",
+      "a  b", "1 2 3 4 5 6 7 8 9 10").toDF("text")
+      .select(split(col("text"), " ").as("__toks"))
+    for (w <- Seq(1, 3, 20)) {
+      val old = transform(
+        sequence(lit(0), ceil(size(col("__toks")).cast("double") / w)
+          .cast("int") - 1),
+        i => array_join(slice(col("__toks"), i * w + 1, lit(w)), " "))
+      val got = docs.select(old.as("o"),
+        graft.text.TokenChunks.ofColumn(col("__toks"), w).as("g")).collect()
+      got.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1), s"w=$w"))
+    }
+  }
+
   // --- rc07 codebook sharing: pairsWithCodebook == semanticDuplicates -----
 
   test("fitCodebook + pairsWithCodebook reproduce semanticDuplicates exactly") {
